@@ -139,7 +139,7 @@ def test_center_siti_bit_patterns():
 def test_next_prev_advance():
     ids = _random_cellids(1000)
     # keep away from the global begin/end of each level
-    inner = (C.face(ids) >= 1) & (C.face(ids) <= 3)
+    inner = (C.face(ids) >= 1) & (C.face(ids) <= 3) & (C.level(ids) >= 1)
     ids = ids[inner]
     nxt = C.next_id(ids)
     assert (C.prev_id(nxt) == ids).all()
