@@ -171,8 +171,13 @@ def test_maximum_tile():
     # Covering [range_min(cell), range_max(cell)+1) tiles back to the cell.
     ids = _random_cellids(500)
     lo = C.range_min(ids)
-    limit = C.range_max(ids) + np.uint64(1)
+    # exclusive end = leaf one past range_max: leaf ids are odd, so +2
+    limit = C.range_max(ids) + np.uint64(2)
     assert (C.maximum_tile(lo, limit) == ids).all()
+    # tiling a half range yields child(0..1) coverage start
+    m = C.level(ids) < 30
+    half_limit = C.range_max(C.child(ids[m], 1)) + np.uint64(2)
+    assert (C.maximum_tile(lo[m], half_limit) == C.child(ids[m], 0)).all()
 
 
 # ---------------------------------------------------------------- centers
@@ -197,7 +202,8 @@ def test_latlng_roundtrip_via_leaf_center():
     lat2, lng2 = C.to_latlng(ids)
     assert np.abs(lat2 - lat).max() < 1e-5
     dlng = np.abs(((lng2 - lng + 180) % 360) - 180)
-    assert dlng.max() < 1e-5
+    # meridians converge at the poles: scale longitude error by cos(lat)
+    assert (dlng * np.cos(np.radians(lat))).max() < 1e-5
 
 
 def test_hilbert_curve_continuity():
