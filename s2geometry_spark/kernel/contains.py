@@ -1,0 +1,182 @@
+"""Point-in-loop / point-in-polygon via crossing parity, vectorized.
+
+Port of the reference's containment semantics:
+  - loop containment = parity of crossings of the segment Origin→P with
+    the loop's edges, seeded by origin_inside
+    (S2Loop::BruteForceContains, s2loop.cc:605-617);
+  - origin_inside initialisation exactly as S2Loop::InitOriginAndBound
+    (s2loop.cc:271-303) via AngleContainsVertex;
+  - polygon containment = XOR (parity) of loop containments over nested
+    loops (S2Polygon::Contains, s2polygon.cc:704-729);
+  - vertex model SEMI_OPEN is what crossing parity from a fixed origin
+    yields inherently (s2contains_point_query.h:37-54).
+
+The batch kernel evaluates all (point × edge) orientation determinants as
+one einsum; only pairs with uncertain triage or shared vertices fall back
+to the robust scalar path (predicates.exact_sign).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import predicates as P
+from .coords import latlng_to_xyz
+
+__all__ = ["Loop", "Polygon", "parse_loop", "parse_polygon", "contains_points"]
+
+
+def _close_ring(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """edges (C, D) of the closed ring over vertex rows."""
+    return v, np.roll(v, -1, axis=0)
+
+
+class Loop:
+    """Closed vertex ring on the sphere; vertices (n,3) unit float64."""
+
+    def __init__(self, vertices: np.ndarray):
+        self.vertices = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+        n = len(self.vertices)
+        if n == 1:
+            # empty loop = single vertex with z ≥ 0; full = z < 0
+            self.is_empty_or_full = True
+            self.origin_inside = bool(self.vertices[0, 2] < 0)
+        elif n < 3:
+            self.is_empty_or_full = False
+            self.origin_inside = False
+        else:
+            self.is_empty_or_full = False
+            v0, v1, v2 = self.vertices[0], self.vertices[1], self.vertices[2]
+            v1_inside = (
+                tuple(v0) != tuple(v1)
+                and tuple(v2) != tuple(v1)
+                and P.angle_contains_vertex(v0, v1, v2)
+            )
+            self.origin_inside = False
+            got = bool(self.contains(v1[None])[0])
+            if v1_inside != got:
+                self.origin_inside = True
+
+    @property
+    def is_empty(self) -> bool:
+        return self.is_empty_or_full and not self.origin_inside
+
+    @property
+    def is_full(self) -> bool:
+        return self.is_empty_or_full and self.origin_inside
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        return contains_points(self.vertices, self.origin_inside, points,
+                               self.is_empty_or_full)
+
+
+class Polygon:
+    """Nested loops, even-odd semantics (hole = odd depth)."""
+
+    def __init__(self, loops: list[Loop]):
+        # Drop explicitly-empty loops like the reference's InitNested does.
+        self.loops = [l for l in loops if not l.is_empty]
+
+    def contains(self, points: np.ndarray) -> np.ndarray:
+        points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+        inside = np.zeros(len(points), dtype=bool)
+        for loop in self.loops:
+            inside ^= loop.contains(points)
+        return inside
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.loops
+
+    @property
+    def is_full(self) -> bool:
+        return len(self.loops) == 1 and self.loops[0].is_full
+
+
+def contains_points(
+    vertices: np.ndarray,
+    origin_inside: bool,
+    points: np.ndarray,
+    is_empty_or_full: bool = False,
+) -> np.ndarray:
+    """Vectorized BruteForceContains for N points against one ring."""
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    n_pts = len(points)
+    if is_empty_or_full or len(vertices) < 3:
+        return np.full(n_pts, origin_inside)
+    C, D = _close_ring(vertices)
+    n_edges = len(C)
+
+    # Vectorized triage of the four orientation signs per (point, edge).
+    o_cross_p = np.cross(P.ORIGIN[None, :], points)  # (N,3)
+    det_opv = o_cross_p @ vertices.T  # (N,M): sign(O,P,V_m) triage dets
+    s_opv = P.triage_sign_det(det_opv)
+    s_opc = s_opv
+    s_opd = np.roll(s_opv, -1, axis=1)
+
+    c_cross_d = np.cross(C, D)  # (M,3)
+    det_cdp = points @ c_cross_d.T  # (N,M): sign(C,D,P)
+    s_cdp = P.triage_sign_det(det_cdp)
+    det_cdo = c_cross_d @ P.ORIGIN  # (M,)
+    s_cdo = P.triage_sign_det(det_cdo)[None, :]
+
+    acb = -s_opc
+    bda = s_opd
+    cbd = -s_cdp
+    dac = np.broadcast_to(s_cdo, acb.shape)
+
+    # A pair is decided by triage iff all four signs are certain, or two
+    # certain opposite signs already rule out a crossing — and the point is
+    # not bit-equal to an edge endpoint (vertex-crossing tie-break needed).
+    shared = (points[:, None, :] == C[None, :, :]).all(-1) | (
+        points[:, None, :] == D[None, :, :]
+    ).all(-1)
+    all_certain = (s_opc != 0) & (s_opd != 0) & (s_cdp != 0) & (dac != 0)
+    certain_no = (s_opc != 0) & (s_opd != 0) & (acb != bda)
+    decided = (all_certain | certain_no) & ~shared
+    crossing = decided & (acb == bda) & (cbd == acb) & (dac == acb)
+    fallback = ~decided
+
+    crossings = crossing.astype(np.int64)
+    if fallback.any():
+        idx_n, idx_m = np.nonzero(fallback)
+        for ni, mi in zip(idx_n.tolist(), idx_m.tolist()):
+            crossings[ni, mi] = int(
+                P.edge_or_vertex_crossing(P.ORIGIN, points[ni], C[mi], D[mi])
+            )
+    parity = crossings.sum(axis=1) & 1
+    return np.asarray(origin_inside ^ parity.astype(bool))
+
+
+# ---------------------------------------------------------------- textformat
+def parse_points(s: str) -> np.ndarray:
+    """"lat:lng, lat:lng, …" → (n,3) unit vectors (s2text_format.h:63-92)."""
+    lat, lng = [], []
+    for tok in s.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        a, _, b = tok.partition(":")
+        lat.append(float(a))
+        lng.append(float(b))
+    x, y, z = latlng_to_xyz(np.array(lat), np.array(lng))
+    return np.stack([x, y, z], axis=-1)
+
+
+def parse_loop(s: str) -> Loop:
+    s = s.strip()
+    if s == "empty":
+        return Loop(np.array([[0.0, 0.0, 1.0]]))
+    if s == "full":
+        return Loop(np.array([[0.0, 0.0, -1.0]]))
+    return Loop(parse_points(s))
+
+
+def parse_polygon(s: str) -> Polygon:
+    """";"-separated loop strings (MakePolygon, s2text_format.h)."""
+    s = s.strip()
+    if not s or s == "empty":
+        return Polygon([])
+    if s == "full":
+        return Polygon([parse_loop("full")])
+    return Polygon([parse_loop(part) for part in s.split(";") if part.strip()])

@@ -1,0 +1,264 @@
+"""Robust spherical orientation predicates, vectorized with exact fallback.
+
+Port of the reference's tiered Sign() (s2predicates.cc:43-296):
+  1. TriageSign — plain float64 determinant with error bound
+     kMaxDetError = 3.6548 * DBL_EPSILON (s2predicates.cc:374-406),
+     evaluated for ALL rows as a NumPy einsum;
+  2. StableSign — numerically stable re-derivation on the uncertain
+     subset (s2predicates.cc:64-103);
+  3. ExactSign — exact rational arithmetic (`fractions.Fraction`; doubles
+     are dyadic rationals so this is exact like ExactFloat) + the
+     "Simulation of Simplicity" symbolic perturbation copied verbatim
+     from SymbolicallyPerturbedSign (s2predicates.cc:131-226).
+
+Only the (typically ~1e-6) uncertain fraction of rows ever leaves the
+vectorized path.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+
+DBL_EPSILON = float(np.finfo(np.float64).eps)
+MAX_DET_ERROR = 3.6548 * DBL_EPSILON  # s2predicates.cc:393
+DET_ERROR_MULT = 3.2321 * DBL_EPSILON  # StableSign, s2predicates.cc:82
+MIN_NO_UNDERFLOW = DET_ERROR_MULT * np.sqrt(np.finfo(np.float64).tiny)
+
+# S2::Origin (s2pointutil.h:98-115): ~66km from the north pole.
+ORIGIN = np.array(
+    [-0.0099994664350250197, 0.0025924542609324121, 0.99994664350250195]
+)
+
+
+def cross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cross product for (...,3) arrays."""
+    return np.cross(a, b)
+
+
+def dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.einsum("...i,...i->...i", a, b).sum(-1) if False else (a * b).sum(-1)
+
+
+def triage_sign_det(det: np.ndarray) -> np.ndarray:
+    """det → {-1, 0, +1} with 0 meaning *uncertain* (|det| ≤ kMaxDetError)."""
+    out = np.zeros(det.shape, dtype=np.int8)
+    out[det > MAX_DET_ERROR] = 1
+    out[det < -MAX_DET_ERROR] = -1
+    return out
+
+
+def _stable_sign_rows(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized StableSign (s2predicates.cc:64-103) on (n,3) rows;
+    0 = still uncertain."""
+    ab = b - a
+    bc = c - b
+    ca = a - c
+    ab2 = (ab * ab).sum(-1)
+    bc2 = (bc * bc).sum(-1)
+    ca2 = (ca * ca).sum(-1)
+    det_ab = -(np.cross(ca, bc) * c).sum(-1)
+    err_ab = DET_ERROR_MULT * np.sqrt(ca2 * bc2)
+    det_bc = -(np.cross(ab, ca) * a).sum(-1)
+    err_bc = DET_ERROR_MULT * np.sqrt(ab2 * ca2)
+    det_ca = -(np.cross(bc, ab) * b).sum(-1)
+    err_ca = DET_ERROR_MULT * np.sqrt(bc2 * ab2)
+    use_ab = (ab2 >= bc2) & (ab2 >= ca2)
+    use_bc = ~use_ab & (bc2 >= ca2)
+    det = np.where(use_ab, det_ab, np.where(use_bc, det_bc, det_ca))
+    err = np.where(use_ab, err_ab, np.where(use_bc, err_bc, err_ca))
+    out = np.zeros(det.shape, dtype=np.int8)
+    ok = err >= MIN_NO_UNDERFLOW
+    out[ok & (np.abs(det) > err) & (det > 0)] = 1
+    out[ok & (np.abs(det) > err) & (det < 0)] = -1
+    return out
+
+
+def _sgn(x: Fraction) -> int:
+    return (x > 0) - (x < 0)
+
+
+def _symbolically_perturbed_sign(a, b, c, bxc) -> int:
+    """Verbatim port of SymbolicallyPerturbedSign (s2predicates.cc:131-226).
+
+    a,b,c are Fraction triples sorted lexicographically ascending;
+    bxc is the exact cross product b × c.
+    """
+    s = _sgn(bxc[2])  # da[2]
+    if s:
+        return s
+    s = _sgn(bxc[1])  # da[1]
+    if s:
+        return s
+    s = _sgn(bxc[0])  # da[0]
+    if s:
+        return s
+    s = _sgn(c[0] * a[1] - c[1] * a[0])  # db[2]
+    if s:
+        return s
+    s = _sgn(c[0])  # db[2] * da[1]
+    if s:
+        return s
+    s = -_sgn(c[1])  # db[2] * da[0]
+    if s:
+        return s
+    s = _sgn(c[2] * a[0] - c[0] * a[2])  # db[1]
+    if s:
+        return s
+    s = _sgn(c[2])  # db[1] * da[0]
+    if s:
+        return s
+    s = _sgn(a[0] * b[1] - a[1] * b[0])  # dc[2]
+    if s:
+        return s
+    s = -_sgn(b[0])  # dc[2] * da[1]
+    if s:
+        return s
+    s = _sgn(b[1])  # dc[2] * da[0]
+    if s:
+        return s
+    s = _sgn(a[0])  # dc[2] * db[1]
+    if s:
+        return s
+    return 1  # dc[2] * db[1] * da[0]
+
+
+def exact_sign(pa, pb, pc, perturb: bool = True) -> int:
+    """ExactSign (s2predicates.cc:229-262) for one point triple (tuples)."""
+    pa, pb, pc = tuple(pa), tuple(pb), tuple(pc)
+    if pa == pb or pb == pc or pc == pa:
+        return 0
+    perm_sign = 1
+    if pa > pb:
+        pa, pb = pb, pa
+        perm_sign = -perm_sign
+    if pb > pc:
+        pb, pc = pc, pb
+        perm_sign = -perm_sign
+    if pa > pb:
+        pa, pb = pb, pa
+        perm_sign = -perm_sign
+    a = tuple(Fraction(x) for x in pa)
+    b = tuple(Fraction(x) for x in pb)
+    c = tuple(Fraction(x) for x in pc)
+    bxc = (
+        b[1] * c[2] - b[2] * c[1],
+        b[2] * c[0] - b[0] * c[2],
+        b[0] * c[1] - b[1] * c[0],
+    )
+    det = a[0] * bxc[0] + a[1] * bxc[1] + a[2] * bxc[2]
+    det_sign = _sgn(det)
+    if det_sign == 0 and perturb:
+        det_sign = _symbolically_perturbed_sign(a, b, c, bxc)
+    return perm_sign * det_sign
+
+
+def sign(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Robust Sign() for broadcastable (...,3) arrays → int8 in {-1,+1}
+    (0 only when two points are bit-identical, matching ExpensiveSign)."""
+    a, b, c = np.broadcast_arrays(
+        np.asarray(a, float), np.asarray(b, float), np.asarray(c, float)
+    )
+    det = (np.cross(a, b) * c).sum(-1)
+    out = triage_sign_det(det)
+    unc = out == 0
+    if unc.any():
+        rows_a = a[unc].reshape(-1, 3)
+        rows_b = b[unc].reshape(-1, 3)
+        rows_c = c[unc].reshape(-1, 3)
+        stable = _stable_sign_rows(rows_a, rows_b, rows_c)
+        still = stable == 0
+        if still.any():
+            exact = np.array(
+                [
+                    exact_sign(ra, rb, rc)
+                    for ra, rb, rc in zip(
+                        rows_a[still], rows_b[still], rows_c[still]
+                    )
+                ],
+                dtype=np.int8,
+            )
+            stable[still] = exact
+        out[unc] = stable
+    return out
+
+
+def ortho(a: np.ndarray) -> np.ndarray:
+    """S2::Ortho == Vector3::Ortho (vector.h:481-487): deterministic
+    orthonormal direction; RefDir for vertex crossings (s2pointutil.h:118-120)."""
+    a = np.asarray(a, float)
+    ax = np.abs(a)
+    largest = np.where(ax[0] > ax[1], np.where(ax[0] > ax[2], 0, 2), np.where(ax[1] > ax[2], 1, 2))
+    k = largest - 1
+    if k < 0:
+        k = 2
+    temp = np.zeros(3)
+    temp[k] = 1.0
+    out = np.cross(a, temp)
+    return out / np.linalg.norm(out)
+
+
+def ordered_ccw(a, b, c, o) -> bool:
+    """OrderedCCW (s2predicates.cc:299-312), scalar."""
+    s = 0
+    if sign(b[None], o[None], a[None])[0] >= 0:
+        s += 1
+    if sign(c[None], o[None], b[None])[0] >= 0:
+        s += 1
+    if sign(a[None], o[None], c[None])[0] > 0:
+        s += 1
+    return s >= 2
+
+
+def angle_contains_vertex(a, b, c) -> bool:
+    """AngleContainsVertex (s2edge_crossings.h:239-252)."""
+    return not ordered_ccw(ortho(b), c, a, b)
+
+
+def vertex_crossing(a, b, c, d) -> bool:
+    """VertexCrossing (s2edge_crossings.cc), scalar — requires a shared vertex."""
+    a, b, c, d = (tuple(v) for v in (a, b, c, d))
+    if a == b or c == d:
+        return False
+    an, bn, cn, dn = (np.asarray(v) for v in (a, b, c, d))
+    if a == c:
+        return (b == d) or ordered_ccw(ortho(an), dn, bn, an)
+    if b == d:
+        return ordered_ccw(ortho(bn), cn, an, bn)
+    if a == d:
+        return (b == c) or ordered_ccw(ortho(an), cn, bn, an)
+    if b == c:
+        return ordered_ccw(ortho(bn), dn, an, bn)
+    return False
+
+
+def crossing_sign(a, b, c, d) -> int:
+    """CrossingSign (s2edge_crossings.h:103-127), scalar robust version:
+    +1 interior crossing / 0 shared vertex / -1 none."""
+    a, b, c, d = (np.asarray(v, float) for v in (a, b, c, d))
+    ta, tb, tc, td = (tuple(v) for v in (a, b, c, d))
+    if ta == tc or ta == td or tb == tc or tb == td:
+        return 0
+    if ta == tb or tc == td:
+        return -1
+    acb = -int(sign(a[None], b[None], c[None])[0])
+    bda = int(sign(a[None], b[None], d[None])[0])
+    if acb != bda:
+        return -1
+    cbd = -int(sign(c[None], d[None], b[None])[0])
+    if cbd != acb:
+        return -1
+    dac = int(sign(c[None], d[None], a[None])[0])
+    if dac != acb:
+        return -1
+    return 1
+
+
+def edge_or_vertex_crossing(a, b, c, d) -> bool:
+    cs = crossing_sign(a, b, c, d)
+    if cs < 0:
+        return False
+    if cs > 0:
+        return True
+    return vertex_crossing(a, b, c, d)
