@@ -1,0 +1,71 @@
+"""S2 metrics — quadratic projection constants (s2metrics.cc:39-90) and
+level↔physical-size helpers (s2metrics.h:169-205)."""
+
+from __future__ import annotations
+
+import math
+
+MAX_LEVEL = 30
+
+
+class Metric:
+    def __init__(self, deriv: float, dim: int):
+        self.deriv = deriv
+        self.dim = dim
+
+    def get_value(self, level: int) -> float:
+        return math.ldexp(self.deriv, -self.dim * level)
+
+    def get_level_for_max_value(self, value: float) -> int:
+        """Minimum level such that the metric is ≤ value (s2metrics.h:169-183)."""
+        if not value > 0:
+            return MAX_LEVEL
+        level = _ilogb(value / self.deriv)
+        return max(0, min(MAX_LEVEL, -(level >> (self.dim - 1))))
+
+    def get_level_for_min_value(self, value: float) -> int:
+        """Maximum level such that the metric is ≥ value (s2metrics.h:186-200)."""
+        if not value > 0:
+            return MAX_LEVEL
+        level = _ilogb(self.deriv / value)
+        return max(0, min(MAX_LEVEL, level >> (self.dim - 1)))
+
+    def get_closest_level(self, value: float) -> int:
+        return self.get_level_for_max_value(
+            (math.sqrt(2) if self.dim == 1 else 2) * value
+        )
+
+
+def _ilogb(x: float) -> int:
+    """C ilogb: exponent e with |x| = m*2^e, m in [1,2)."""
+    m, e = math.frexp(abs(x))
+    return e - 1
+
+
+# Quadratic-projection values (s2metrics.cc:39-90)
+MIN_ANGLE_SPAN = Metric(4.0 / 3, 1)
+MAX_ANGLE_SPAN = Metric(1.704897179199218452, 1)
+AVG_ANGLE_SPAN = Metric(math.pi / 2, 1)
+MIN_WIDTH = Metric(2 * math.sqrt(2) / 3, 1)
+MAX_WIDTH = Metric(MAX_ANGLE_SPAN.deriv, 1)
+AVG_WIDTH = Metric(1.434523672886099389, 1)
+MIN_EDGE = Metric(2 * math.sqrt(2) / 3, 1)
+MAX_EDGE = Metric(MAX_ANGLE_SPAN.deriv, 1)
+AVG_EDGE = Metric(1.459213746386106062, 1)
+MIN_DIAG = Metric(8 * math.sqrt(2) / 9, 1)
+MAX_DIAG = Metric(2.438654594434021032, 1)
+AVG_DIAG = Metric(2.060422738998471683, 1)
+MIN_AREA = Metric(8 * math.sqrt(2) / 9, 2)
+MAX_AREA = Metric(2.635799256963161491, 2)
+AVG_AREA = Metric(4 * math.pi / 6, 2)
+
+# S2Earth (s2earth.h:269)
+EARTH_RADIUS_METERS = 6371010.0
+
+
+def meters_to_radians(meters: float) -> float:
+    return meters / EARTH_RADIUS_METERS
+
+
+def radians_to_meters(radians: float) -> float:
+    return radians * EARTH_RADIUS_METERS

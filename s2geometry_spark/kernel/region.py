@@ -1,0 +1,513 @@
+"""Driver-side S2Region implementations for the coverer.
+
+Each region implements the S2Region interface (s2region.h:39-98):
+  contains_cell(cell), may_intersect_cell(cell), contains_point(p),
+  get_cap_bound(), get_cell_union_bound().
+
+Regions: Cap (s2cap.cc), LatLngRect (s2latlng_rect.cc), ShapeRegion
+(points/polylines/polygons with S2ShapeIndexRegion-equivalent semantics,
+s2shape_index_region.h), CellUnionRegion (s2cell_union.cc).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import metrics
+from .cell import Cell, DBL_EPSILON
+from .cid import CID, MAX_LEVEL
+from .clipping import (
+    FACE_CLIP_ERROR_UV_COORD,
+    INTERSECTS_RECT_ERROR_UV_DIST,
+    clip_to_padded_face,
+    intersects_rect,
+    robust_cross_prod,
+)
+from .contains import Loop, Polygon
+from .coords import latlng_to_xyz
+from .intervals import PI, R1Interval, S1Interval
+from .predicates import crossing_sign
+
+__all__ = ["Cap", "LatLngRect", "ShapeRegion", "CellUnionRegion", "LatLng"]
+
+
+def _ll_to_point(lat_rad: float, lng_rad: float) -> np.ndarray:
+    x, y, z = latlng_to_xyz(math.degrees(lat_rad), math.degrees(lng_rad))
+    return np.array([float(x), float(y), float(z)])
+
+
+def _latitude(p) -> float:
+    return math.atan2(p[2] + 0.0, math.sqrt(p[0] * p[0] + p[1] * p[1]))
+
+
+def _longitude(p) -> float:
+    return math.atan2(p[1] + 0.0, p[0] + 0.0)
+
+
+def _chord_angle2(x, y) -> float:
+    """S1ChordAngle(x, y): min(4, |x-y|²)."""
+    d = np.asarray(x) - np.asarray(y)
+    return min(4.0, float(d @ d))
+
+
+def _vertex_neighbors(p: np.ndarray, level: int) -> list[CID]:
+    from . import cellid as K
+
+    leaf = K.from_point(
+        np.array([p[0]]), np.array([p[1]]), np.array([p[2]])
+    )
+    return [CID(int(v)) for v in K.vertex_neighbors(leaf, level)[0]]
+
+
+class Cap:
+    """S2Cap: center point + radius as squared chord length (s2cap.h)."""
+
+    def __init__(self, center: np.ndarray, length2: float):
+        self.center = np.asarray(center, dtype=np.float64)
+        self.length2 = length2  # < 0 empty; 4 full
+
+    # ---- constructors
+    @staticmethod
+    def from_point(p) -> "Cap":
+        return Cap(p, 0.0)
+
+    @staticmethod
+    def from_center_angle(center, radians: float) -> "Cap":
+        if radians < 0:
+            return Cap(center, -1.0)
+        length = 2 * math.sin(0.5 * min(math.pi, radians))
+        return Cap(center, length * length)
+
+    @staticmethod
+    def empty() -> "Cap":
+        return Cap(np.array([1.0, 0, 0]), -1.0)
+
+    @staticmethod
+    def full() -> "Cap":
+        return Cap(np.array([1.0, 0, 0]), 4.0)
+
+    def is_empty(self) -> bool:
+        return self.length2 < 0
+
+    def is_full(self) -> bool:
+        return self.length2 == 4.0
+
+    def height(self) -> float:
+        return 0.5 * self.length2
+
+    def radius_radians(self) -> float:
+        if self.is_empty():
+            return -1.0
+        return 2 * math.asin(0.5 * math.sqrt(min(self.length2, 4.0)))
+
+    def complement(self) -> "Cap":
+        if self.is_full():
+            return Cap.empty()
+        if self.is_empty():
+            return Cap.full()
+        return Cap(-self.center, 4.0 - self.length2)
+
+    def add_point(self, p) -> None:
+        if self.is_empty():
+            self.center = np.asarray(p, dtype=np.float64)
+            self.length2 = 0.0
+        else:
+            self.length2 = max(self.length2, _chord_angle2(self.center, p))
+
+    # ---- region interface
+    def contains_point(self, p) -> bool:
+        return _chord_angle2(self.center, p) <= self.length2
+
+    def _intersects(self, cell: Cell, vertices) -> bool:
+        """S2Cap::Intersects (s2cap.cc:225-268): cell interior vs cap."""
+        if self.length2 >= 2.0:  # >= Right
+            return False
+        if self.is_empty():
+            return False
+        if cell.contains_point(self.center):
+            return True
+        sin2_angle = self.length2 * (1 - 0.25 * self.length2)  # sin²(radius)
+        for k in range(4):
+            edge = cell.get_edge_raw(k)
+            dot = float(self.center @ edge)
+            if dot > 0:
+                continue
+            if dot * dot > sin2_angle * float(edge @ edge):
+                return False
+            direction = np.cross(edge, self.center)
+            if float(direction @ vertices[k]) < 0 and float(
+                direction @ vertices[(k + 1) & 3]
+            ) > 0:
+                return True
+        return False
+
+    def contains_cell(self, cell: Cell) -> bool:
+        vertices = [cell.get_vertex(k) for k in range(4)]
+        for v in vertices:
+            if not self.contains_point(v):
+                return False
+        return not self.complement()._intersects(cell, vertices)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        vertices = [cell.get_vertex(k) for k in range(4)]
+        for v in vertices:
+            if self.contains_point(v):
+                return True
+        return self._intersects(cell, vertices)
+
+    def get_cap_bound(self) -> "Cap":
+        return self
+
+    def get_cell_union_bound(self) -> list[CID]:
+        """s2cap.cc:202-223: ≤4 vertex neighbors, or 6 faces for big caps."""
+        level = metrics.MIN_WIDTH.get_level_for_min_value(self.radius_radians()) - 1
+        if level < 0:
+            return [CID.from_face(f) for f in range(6)]
+        return _vertex_neighbors(self.center, level)
+
+
+class LatLng:
+    __slots__ = ("lat", "lng")
+
+    def __init__(self, lat_rad: float, lng_rad: float):
+        self.lat = lat_rad
+        self.lng = lng_rad
+
+    @staticmethod
+    def from_degrees(lat: float, lng: float) -> "LatLng":
+        return LatLng(math.radians(lat), math.radians(lng))
+
+    def to_point(self) -> np.ndarray:
+        return _ll_to_point(self.lat, self.lng)
+
+
+class LatLngRect:
+    """S2LatLngRect (s2latlng_rect.h/.cc) with S1Interval lng wraparound."""
+
+    def __init__(self, lat: R1Interval, lng: S1Interval):
+        self.lat = lat
+        self.lng = lng
+
+    @staticmethod
+    def from_degrees(lat_lo, lng_lo, lat_hi, lng_hi) -> "LatLngRect":
+        return LatLngRect(
+            R1Interval(math.radians(lat_lo), math.radians(lat_hi)),
+            S1Interval(math.radians(lng_lo), math.radians(lng_hi)),
+        )
+
+    @staticmethod
+    def from_point_pair(a: LatLng, b: LatLng) -> "LatLngRect":
+        return LatLngRect(
+            R1Interval.from_point_pair(a.lat, b.lat),
+            S1Interval.from_point_pair(a.lng, b.lng),
+        )
+
+    @staticmethod
+    def empty() -> "LatLngRect":
+        return LatLngRect(R1Interval.empty(), S1Interval.empty())
+
+    def is_empty(self) -> bool:
+        return self.lat.is_empty()
+
+    def get_center(self) -> LatLng:
+        return LatLng(self.lat.get_center(), self.lng.get_center())
+
+    def get_vertex(self, k: int) -> LatLng:
+        i = (k >> 1) & 1
+        lats = (self.lat.lo, self.lat.hi)
+        lngs = (self.lng.lo, self.lng.hi)
+        return LatLng(lats[i], lngs[i ^ (k & 1)])
+
+    def contains_latlng(self, ll: LatLng) -> bool:
+        return self.lat.contains(ll.lat) and self.lng.contains(ll.lng)
+
+    def contains_point(self, p) -> bool:
+        return self.contains_latlng(LatLng(_latitude(p), _longitude(p)))
+
+    def contains_rect(self, o: "LatLngRect") -> bool:
+        return self.lat.contains_interval(o.lat) and self.lng.contains_interval(o.lng)
+
+    def intersects_rect(self, o: "LatLngRect") -> bool:
+        return self.lat.intersects(o.lat) and self.lng.intersects(o.lng)
+
+    def expanded_radians(self, lat_margin: float, lng_margin: float) -> "LatLngRect":
+        lat = self.lat.expanded(lat_margin)
+        lng = self.lng.expanded(lng_margin)
+        if lat.is_empty() or lng.is_empty():
+            return LatLngRect.empty()
+        return LatLngRect(lat.intersection(R1Interval(-PI / 2, PI / 2)), lng)
+
+    def polar_closure(self) -> "LatLngRect":
+        if self.lat.lo == -PI / 2 or self.lat.hi == PI / 2:
+            return LatLngRect(self.lat, S1Interval.full())
+        return self
+
+    def union(self, o: "LatLngRect") -> "LatLngRect":
+        return LatLngRect(self.lat.union(o.lat), self.lng.union(o.lng))
+
+    # ---- region interface
+    def contains_cell(self, cell: Cell) -> bool:
+        return self.contains_rect(cell.get_rect_bound())
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        """Exact Intersects(S2Cell) (s2latlng_rect.cc:300-357)."""
+        if self.is_empty():
+            return False
+        if self.contains_point(cell.get_center_raw()):
+            return True
+        if cell.contains_point(self.get_center().to_point()):
+            return True
+        if not self.intersects_rect(cell.get_rect_bound()):
+            return False
+        cell_v = [cell.get_vertex(i) for i in range(4)]
+        cell_ll = [LatLng(_latitude(v), _longitude(v)) for v in cell_v]
+        for i in range(4):
+            if self.contains_latlng(cell_ll[i]):
+                return True
+            if cell.contains_point(self.get_vertex(i).to_point()):
+                return True
+        for i in range(4):
+            edge_lng = S1Interval.from_point_pair(
+                cell_ll[i].lng, cell_ll[(i + 1) & 3].lng
+            )
+            if not self.lng.intersects(edge_lng):
+                continue
+            a = cell_v[i]
+            b = cell_v[(i + 1) & 3]
+            if edge_lng.contains(self.lng.lo):
+                if _intersects_lng_edge(a, b, self.lat, self.lng.lo):
+                    return True
+            if edge_lng.contains(self.lng.hi):
+                if _intersects_lng_edge(a, b, self.lat, self.lng.hi):
+                    return True
+            if _intersects_lat_edge(a, b, self.lat.lo, self.lng):
+                return True
+            if _intersects_lat_edge(a, b, self.lat.hi, self.lng):
+                return True
+        return False
+
+    def get_cap_bound(self) -> Cap:
+        """s2latlng_rect.cc GetCapBound: smaller of pole cap / mid cap."""
+        if self.is_empty():
+            return Cap.empty()
+        if self.lat.lo + self.lat.hi < 0:
+            pole_z, pole_angle = -1.0, PI / 2 + self.lat.hi
+        else:
+            pole_z, pole_angle = 1.0, PI / 2 - self.lat.lo
+        pole_cap = Cap.from_center_angle(
+            np.array([0.0, 0.0, pole_z]), (1 + 2 * DBL_EPSILON) * pole_angle
+        )
+        if self.lng.get_length() <= PI:
+            mid_cap = Cap.from_point(self.get_center().to_point())
+            for k in range(4):
+                mid_cap.add_point(self.get_vertex(k).to_point())
+            if mid_cap.height() < pole_cap.height():
+                return mid_cap
+        return pole_cap
+
+    def get_cell_union_bound(self) -> list[CID]:
+        return self.get_cap_bound().get_cell_union_bound()
+
+
+def _intersects_lng_edge(a, b, lat: R1Interval, lng: float) -> bool:
+    """s2latlng_rect.cc IntersectsLngEdge."""
+    return (
+        crossing_sign(
+            a, b, _ll_to_point(lat.lo, lng), _ll_to_point(lat.hi, lng)
+        )
+        > 0
+    )
+
+
+def _intersects_lat_edge(a, b, lat: float, lng: S1Interval) -> bool:
+    """s2latlng_rect.cc IntersectsLatEdge."""
+    z = robust_cross_prod(np.asarray(a, float), np.asarray(b, float))
+    z = z / np.linalg.norm(z)
+    if z[2] < 0:
+        z = -z
+    y = robust_cross_prod(z, np.array([0.0, 0.0, 1.0]))
+    y = y / np.linalg.norm(y)
+    x = np.cross(y, z)
+    sin_lat = math.sin(lat)
+    if abs(sin_lat) >= x[2]:
+        return False
+    cos_theta = sin_lat / x[2]
+    sin_theta = math.sqrt(1 - cos_theta * cos_theta)
+    theta = math.atan2(sin_theta, cos_theta)
+    ab_theta = S1Interval.from_point_pair(
+        math.atan2(float(a @ y), float(a @ x)),
+        math.atan2(float(b @ y), float(b @ x)),
+    )
+    if ab_theta.contains(theta):
+        isect = x * cos_theta + y * sin_theta
+        if lng.contains(math.atan2(isect[1], isect[0])):
+            return True
+    if ab_theta.contains(-theta):
+        isect = x * cos_theta - y * sin_theta
+        if lng.contains(math.atan2(isect[1], isect[0])):
+            return True
+    return False
+
+
+class ShapeRegion:
+    """Region over point/polyline/polygon geometry with
+    S2ShapeIndexRegion-equivalent semantics (s2shape_index_region.h):
+
+    may_intersect(cell) ⇔ some edge intersects the cell padded by
+    kMaxError = kFaceClipErrorUVCoord + kIntersectsRectErrorUVDist
+    (AnyEdgeIntersects), or the cell is entirely inside a polygon;
+    contains(cell) ⇔ no edge intersects and the cell center is inside.
+    """
+
+    PAD = FACE_CLIP_ERROR_UV_COORD + INTERSECTS_RECT_ERROR_UV_DIST
+
+    def __init__(
+        self,
+        points: np.ndarray | None = None,
+        polylines: list[np.ndarray] | None = None,
+        polygon: Polygon | None = None,
+    ):
+        self.points = (
+            np.asarray(points, float).reshape(-1, 3)
+            if points is not None and len(points)
+            else np.zeros((0, 3))
+        )
+        self.polylines = [np.asarray(p, float) for p in (polylines or [])]
+        self.polygon = polygon
+        # edge list: (a, b) pairs from polylines + polygon loops
+        edges = []
+        for pl in self.polylines:
+            for i in range(len(pl) - 1):
+                edges.append((pl[i], pl[i + 1]))
+        if polygon is not None:
+            for loop in polygon.loops:
+                v = loop.vertices
+                if len(v) >= 3:
+                    for i in range(len(v)):
+                        edges.append((v[i], v[(i + 1) % len(v)]))
+        self.edges = edges
+
+    def _any_edge_intersects(self, cell: Cell) -> bool:
+        bound = cell.get_bound_uv_expanded(self.PAD)
+        face = cell.face
+        for a, b in self.edges:
+            clipped = clip_to_padded_face(a, b, face, self.PAD)
+            if clipped is not None and intersects_rect(clipped[0], clipped[1], bound):
+                return True
+        return False
+
+    def _any_point_in_cell(self, cell: Cell) -> bool:
+        for p in self.points:
+            if cell.contains_point(p):
+                return True
+        return False
+
+    def contains_point(self, p) -> bool:
+        return self.polygon is not None and bool(
+            self.polygon.contains(np.asarray(p, float)[None])[0]
+        )
+
+    def contains_cell(self, cell: Cell) -> bool:
+        # Only a polygon interior can contain a 2D cell; any point/polyline
+        # edge crossing the cell boundary breaks containment only if it
+        # exits — matching S2ShapeIndexRegion::Contains, we require no edge
+        # intersections and the center inside.
+        if self.points.size or self.polylines:
+            return False
+        if self.polygon is None:
+            return False
+        if self._any_edge_intersects(cell):
+            return False
+        return self.contains_point(cell.get_center())
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        if self._any_point_in_cell(cell):
+            return True
+        if self._any_edge_intersects(cell):
+            return True
+        if self.polygon is not None and self.contains_point(cell.get_center()):
+            return True
+        return False
+
+    def get_cap_bound(self) -> Cap:
+        cap = Cap.empty()
+        for p in self.points:
+            cap.add_point(p)
+        for a, b in self.edges:
+            cap.add_point(a)
+            cap.add_point(b)
+        if cap.is_empty():
+            return cap
+        # grow slightly: the vertices bound the geometry for polylines and
+        # polygon boundaries; polygon interiors are bounded since every loop
+        # smaller than a hemisphere is inside its vertex cap... be safe and
+        # expand to the full hemisphere when a polygon might exceed it.
+        grown = Cap.from_center_angle(
+            cap.center, min(math.pi, cap.radius_radians() * (1 + 1e-14) + 1e-15)
+        )
+        return grown
+
+    def get_cell_union_bound(self) -> list[CID]:
+        return self.get_cap_bound().get_cell_union_bound()
+
+
+class CellUnionRegion:
+    """S2CellUnion as a region (s2cell_union.cc): exact cell algebra."""
+
+    def __init__(self, ids: list[CID]):
+        self.ids = sorted(ids, key=lambda c: c.id)
+
+    def contains_cid(self, cid: CID) -> bool:
+        """Exact port of S2CellUnion::Contains(S2CellId)."""
+        import bisect
+
+        i = bisect.bisect_left(self.ids, cid)
+        if i < len(self.ids) and self.ids[i].range_min().id <= cid.id:
+            return True
+        return i > 0 and self.ids[i - 1].range_max().id >= cid.id
+
+    def intersects_cid(self, cid: CID) -> bool:
+        """Exact port of S2CellUnion::Intersects(S2CellId)."""
+        import bisect
+
+        i = bisect.bisect_left(self.ids, cid)
+        if i < len(self.ids) and self.ids[i].range_min().id <= cid.range_max().id:
+            return True
+        return i > 0 and self.ids[i - 1].range_max().id >= cid.range_min().id
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return self.contains_cid(cell.id)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return self.intersects_cid(cell.id)
+
+    def contains_point(self, p) -> bool:
+        from . import cellid as K
+
+        leaf = CID(
+            int(K.from_point(np.array([p[0]]), np.array([p[1]]), np.array([p[2]]))[0])
+        )
+        return self.contains_cid(leaf)
+
+    def get_cap_bound(self) -> Cap:
+        cap = Cap.empty()
+        for cid in self.ids:
+            cap.add_point(Cell(cid).get_center())
+        if cap.is_empty():
+            return cap
+        # expand by max cell diag radius at each cell's level
+        max_r = 0.0
+        for cid in self.ids:
+            c = Cell(cid)
+            center = c.get_center()
+            for k in range(4):
+                d = 2 * math.asin(0.5 * math.sqrt(_chord_angle2(center, c.get_vertex(k))))
+                max_r = max(max_r, d)
+        return Cap.from_center_angle(
+            cap.center, cap.radius_radians() + max_r
+        )
+
+    def get_cell_union_bound(self) -> list[CID]:
+        return list(self.ids)
