@@ -1,0 +1,85 @@
+"""Chord-angle distance kernels (s1chord_angle.h, s2edge_distances.cc).
+
+All distances are squared chord lengths (S1ChordAngle representation,
+s1chord_angle.h:35-60) — trig-free comparisons, monotone with angle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+DBL_EPSILON = 2.220446049250313e-16
+
+
+def angle_to_chord2(radians) -> np.ndarray:
+    """S1ChordAngle(S1Angle): 4·sin²(θ/2), clamped at π."""
+    r = np.minimum(np.asarray(radians, dtype=np.float64), math.pi)
+    s = 2.0 * np.sin(0.5 * r)
+    return s * s
+
+
+def chord2_to_angle(length2) -> np.ndarray:
+    """ToAngle: 2·asin(√(l²)/2)."""
+    l2 = np.asarray(length2, dtype=np.float64)
+    return 2.0 * np.arcsin(0.5 * np.sqrt(np.minimum(l2, 4.0)))
+
+
+def chord2(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """S1ChordAngle(x, y) = min(4, |x-y|²) for (...,3) arrays."""
+    d = np.asarray(x, float) - np.asarray(y, float)
+    return np.minimum((d * d).sum(-1), 4.0)
+
+
+def s1angle_constructor_max_error(length2) -> np.ndarray:
+    """S1ChordAngle::GetS1AngleConstructorMaxError (s1chord_angle.h)."""
+    return 1.5 * DBL_EPSILON * np.asarray(length2, float)
+
+
+def s2point_constructor_max_error(length2) -> np.ndarray:
+    """S1ChordAngle::GetS2PointConstructorMaxError: rounding when built
+    from two S2Points: 4.5e-16·l² + 2e-31 (s1chord_angle.cc)."""
+    l2 = np.asarray(length2, float)
+    return 4.5 * DBL_EPSILON * l2 + 16 * DBL_EPSILON * DBL_EPSILON
+
+
+def point_edge_dist2(X: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Min squared-chord distance from each point X[n] to each edge
+    (A[m], B[m]) — vectorized port of AlwaysUpdateMinInteriorDistance +
+    vertex fallback (s2edge_distances.cc).  Shapes: X (N,3), A/B (M,3)
+    → (N,M)."""
+    X = np.asarray(X, float).reshape(-1, 3)
+    A = np.asarray(A, float).reshape(-1, 3)
+    B = np.asarray(B, float).reshape(-1, 3)
+    # vertex distances
+    xa2 = ((X[:, None, :] - A[None, :, :]) ** 2).sum(-1)  # (N,M)
+    xb2 = ((X[:, None, :] - B[None, :, :]) ** 2).sum(-1)
+    vertex_d2 = np.minimum(xa2, xb2)
+
+    ab2 = ((A - B) ** 2).sum(-1)[None, :]  # (1,M)
+    max_error = 4.75 * DBL_EPSILON * (xa2 + xb2 + ab2) + 8 * DBL_EPSILON**2
+    maybe_interior = np.abs(xa2 - xb2) < ab2 + max_error
+
+    C = np.cross(A, B)  # (M,3); degenerate edges handled by vertex case
+    c2 = (C * C).sum(-1)[None, :]  # (1,M)
+    x_dot_c = X @ C.T  # (N,M)
+    x_dot_c2 = x_dot_c * x_dot_c
+    # interior wedge test: det(a,c,x) < 0 and det(b,c,x) > 0
+    # det(a,c,x) = x·(a×c); det(b,c,x) = x·(b×c)
+    AxC = np.cross(A, C)
+    BxC = np.cross(B, C)
+    w1 = X @ AxC.T  # (a-x)·(c×x)
+    w2 = X @ BxC.T
+    interior = maybe_interior & (w1 < 0) & (w2 > 0) & (c2 > 0)
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.clip(x_dot_c2 / c2, 0.0, 1.0)
+        qr = 1.0 - np.sqrt(np.clip(1.0 - ratio, 0.0, 1.0))
+        interior_d2 = ratio + qr * qr
+    return np.where(interior, np.minimum(interior_d2, vertex_d2), vertex_d2)
+
+
+def update_min_distance(x, a, b) -> float:
+    """Scalar convenience for tests."""
+    return float(point_edge_dist2(np.asarray(x)[None], np.asarray(a)[None], np.asarray(b)[None])[0, 0])
