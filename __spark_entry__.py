@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship geo pipeline (pages → mentions →
+S2 cells → point-in-polygon join) at sf0.001.  ``queries()`` exposes one
+entry per implemented operator family (SURVEY.md §2 + the training-data
+extensions); ``oracle_sql()`` gives exact DuckDB oracles wherever the
+semantics are SQL-expressible (cell-id bit algebra, text analysis,
+dedup, similarity, windows); Hilbert-curve / spherical-geometry ops have
+pytest-level brute-force oracles instead (tests/) and get rows-only
+checks here.
 """
 
 from __future__ import annotations
@@ -12,27 +15,421 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_PAGES_FLAGSHIP = 2000
+
+
+def _mentions(spark: SparkSession, n_pages: int):
+    from s2geometry_spark.operators.indexing import index_points
+    from s2geometry_spark.sources.pages import extract_mentions, synthesize_pages
+
+    pages = synthesize_pages(spark, n_pages, partitions=8)
+    return index_points(extract_mentions(pages), level=30)
+
+
+def _fixture_polygons():
+    from s2geometry_spark.kernel.contains import parse_polygon
+
+    return [
+        ("nyc", parse_polygon("40.2:-74.5, 40.2:-73.5, 41.2:-73.5, 41.2:-74.5")),
+        ("london", parse_polygon("51.0:-0.7, 51.0:0.4, 52.0:0.4, 52.0:-0.7")),
+        ("tokyo_w_hole", parse_polygon(
+            "35.1:139.2, 35.1:140.2, 36.2:140.2, 36.2:139.2;"
+            "35.5:139.5, 35.5:139.9, 35.9:139.9, 35.9:139.5"
+        )),
+        ("near0", parse_polygon("-1:0, 0:1, 1:0, 0:-1")),
+        ("big_triangle", parse_polygon("-10:-30, -10:30, 45:0")),
+    ]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial join of geotagged mentions against polygons,
+    aggregated to (polygon, level-8 tile) counts."""
+    from s2geometry_spark.functions import columns as CC
+    from s2geometry_spark.operators.spatial_join import point_in_polygon_join
+
+    pts = _mentions(spark, N_PAGES_FLAGSHIP)
+    joined = point_in_polygon_join(pts, _fixture_polygons())
+    return (
+        joined.groupBy(
+            "polygon_id", CC.parent("cell_id_s", 8).alias("tile8_s")
+        )
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy("polygon_id", "tile8_s")
+    )
+
+
+# --------------------------------------------------------------- queries
+def _q_geo_mentions_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2geometry_spark.functions import columns as CC
+    from s2geometry_spark.operators.indexing import cell_histogram
+
+    pts = _mentions(spark, 1000)
+    return (
+        cell_histogram(pts, 8)
+        .withColumn("token", CC.token("cell_id_s"))
+        .orderBy("cell_id_s")
+    )
+
+
+def _q_geo_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2geometry_spark.operators.spatial_join import point_in_polygon_join
+
+    pts = _mentions(spark, 1000)
+    out = point_in_polygon_join(pts, _fixture_polygons())
+    return (
+        out.groupBy("polygon_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("is_interior_cell").cast("int")).alias("n_interior"),
+        )
+        .orderBy("polygon_id")
+    )
+
+
+def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from s2geometry_spark.operators.indexing import index_points
+    from s2geometry_spark.operators.knn import knn_join
+    from s2geometry_spark.sources.pages import extract_mentions, synthesize_pages
+
+    pages = synthesize_pages(spark, 500, partitions=8)
+    pts = index_points(extract_mentions(pages), level=30, with_xyz=True)
+    queries = pd.DataFrame(
+        {
+            "query_id": ["nyc", "london", "tokyo", "sparse_ocean"],
+            "lat": [40.71, 51.51, 35.68, -40.0],
+            "lng": [-74.0, -0.13, 139.69, -140.0],
+        }
+    )
+    out = knn_join(queries, pts, k=5, level=8)
+    return out.select(
+        "query_id", "url", "mention_idx", F.round("dist_rad", 9).alias("dist_rad_r")
+    ).orderBy("query_id", "dist_rad_r", "url", "mention_idx")
+
+
+def _q_geo_polygon_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2geometry_spark.functions import columns as CC
+    from s2geometry_spark.operators.spatial_join import coverings_df
+
+    df = coverings_df(spark, _fixture_polygons())
+    return df.select(
+        "polygon_id", "cell_id_s", CC.token("cell_id_s").alias("token"), "is_interior"
+    ).orderBy("polygon_id", "cell_id_s")
+
+
+def _q_cell_hierarchy(spark, sf_dir):
+    from s2geometry_spark.operators.cellops import cell_hierarchy
+
+    return cell_hierarchy(spark, sf_dir).orderBy("key")
+
+
+def _q_cell_containment(spark, sf_dir):
+    from s2geometry_spark.operators.cellops import cell_containment_join
+
+    return cell_containment_join(spark, sf_dir)
+
+
+def _q_cell_histogram(spark, sf_dir):
+    from s2geometry_spark.operators.cellops import cell_histogram_q
+
+    return cell_histogram_q(spark, sf_dir)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_text_token_stats(spark, sf_dir):
+    from s2geometry_spark.operators.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_text_quality(spark, sf_dir):
+    from s2geometry_spark.operators.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_text_lang_id(spark, sf_dir):
+    from s2geometry_spark.operators.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from s2geometry_spark.operators.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from s2geometry_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir)).orderBy("text_hash")
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    from s2geometry_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from s2geometry_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir)).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard_r")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from s2geometry_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from s2geometry_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from s2geometry_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from s2geometry_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from s2geometry_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 500)
+    return extract_features(media).orderBy("media_id")
+
+
+def _q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("w_start", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cell_hierarchy": _q_cell_hierarchy,
+        "cell_containment_join": _q_cell_containment,
+        "cell_histogram": _q_cell_histogram,
+        "geo_mentions_per_cell": _q_geo_mentions_per_cell,
+        "geo_pip_join": _q_geo_pip_join,
+        "geo_knn": _q_geo_knn,
+        "geo_polygon_covering": _q_geo_polygon_covering,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "multimodal_features": _q_multimodal_features,
+        "events_window": _q_events_window,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------- oracle SQL
+_STOPWORDS_SQL = "['a','and','das','de','der','des','die','el','et','ist','la','le','les','los','of','que','the','to','und','我','了','在','是','的']"
+
+_LANG_MARKERS_SQL = {
+    "en": "['the','and','of','to','a']",
+    "de": "['der','die','und','das','ist']",
+    "fr": "['le','la','et','les','des']",
+    "es": "['el','la','los','que','de']",
+    "zh": "['的','是','了','在','我']",
+}
+
+
+def _lang_score(lang: str) -> str:
+    return (
+        f"length(list_filter(string_split(text,' '), "
+        f"w -> list_contains({_LANG_MARKERS_SQL[lang]}, w)))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from s2geometry_spark.operators.cellops import (
+        cell_containment_join_oracle,
+        cell_hierarchy_oracle,
+        cell_histogram_oracle,
+    )
+
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    words = "string_split(text, ' ')"
+    nwords = f"string_split({norm}, ' ')"
+    sh = (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({nwords}) - 2, 1)),"
+        f" i -> array_to_string(({nwords})[i:i+2], ' ')))"
+    )
+    minhash_sig = (
+        "["
+        + ", ".join(
+            f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(12)
+        )
+        + "]"
+    )
+    simhash_bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(32)
+    )
+    # fold the dot products in double precision, sequentially, to match
+    # Spark's aggregate() fold exactly (float32 kernels differ in the ulps)
+    ddot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
+    )
+    cos = (
+        f"round({ddot.format(a='qe', b='ce')} / "
+        f"(sqrt({ddot.format(a='qe', b='qe')}) * sqrt({ddot.format(a='ce', b='ce')})), 6)"
+    )
+    return {
+        "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
+        "cell_containment_join": cell_containment_join_oracle(),
+        "cell_histogram": cell_histogram_oracle(),
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   length({words})::INT AS n_tokens,
+                   length(list_distinct({words}))::INT AS n_distinct_tokens,
+                   length(text)::INT AS n_chars_computed,
+                   length(text) / length({words}) AS avg_token_len
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   length({words})::INT AS n_tokens,
+                   length(list_intersect(list_distinct({words}), {_STOPWORDS_SQL}))::INT AS n_stopword_types,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::INT AS n_punct,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) AS punct_ratio,
+                   CASE WHEN length({words}) >= 10
+                         AND length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) < 0.1
+                        THEN 1 ELSE 0 END AS is_quality
+            FROM documents ORDER BY doc_id
+        """,
+        "text_lang_id": f"""
+            WITH s AS (
+              SELECT doc_id, lang AS lang_true,
+                     {_lang_score('en')} AS s_en, {_lang_score('de')} AS s_de,
+                     {_lang_score('fr')} AS s_fr, {_lang_score('es')} AS s_es,
+                     {_lang_score('zh')} AS s_zh
+              FROM documents)
+            SELECT doc_id, lang_true,
+              CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+                   WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                   WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                   WHEN s_es >= s_zh THEN 'es'
+                   ELSE 'zh' END AS lang_pred
+            FROM s ORDER BY doc_id
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id, md5({norm}) AS fp_full,
+                   md5(array_to_string((string_split({norm}, ' '))[1:8], ' ')) AS fp_prefix
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": f"""
+            SELECT md5({norm}) AS text_hash,
+                   min(doc_id) AS keeper_doc_id,
+                   count(*) AS group_size
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (SELECT doc_id, source AS blk, {sh} AS sh FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(length(list_intersect(a.sh, b.sh))::DOUBLE
+                         / length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_r
+            FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE length(list_intersect(a.sh, b.sh))::DOUBLE
+                  / length(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+            sig AS (SELECT doc_id, {minhash_sig} AS sig FROM sh),
+            banded AS (
+              SELECT doc_id, sig, b AS band,
+                     md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS bucket
+              FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(length(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))::DOUBLE
+                         / length(sig_a), 6) AS est_jaccard_r
+            FROM pairs ORDER BY doc_a, doc_b
+        """,
+        "dedup_simhash": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(string_split({norm}, ' '),
+                                    w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS hs
+              FROM documents)
+            SELECT doc_id, ({simhash_bits}) AS simhash32 FROM h ORDER BY doc_id
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+            scored AS (
+              SELECT query_id, cand_id, {cos} AS cosine
+              FROM c CROSS JOIN q WHERE cand_id <> query_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, cand_id, cosine, rank::INT AS rank FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "events_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+                   event_type,
+                   count(*) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    }

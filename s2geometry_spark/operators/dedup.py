@@ -1,0 +1,155 @@
+"""Deduplication operators for web-scale corpora over `documents`.
+
+Four families (SURVEY.md "training-data pipeline" extension):
+  - exact: hash-groupBy on normalized text (one shuffle, map-side combine)
+  - n-gram Jaccard: blocked self-join + set similarity, pure JVM arrays
+  - MinHash + LSH: md5-based signatures (md5 exists in DuckDB too, so the
+    oracle is exact); shingle → minhash → band → bucket self-join
+  - SimHash: 32-bit sign-vote hash over md5(word) bits
+
+Scale notes: the self-joins are *blocked* (bucket equi join, never a
+cross join); LSH banding keeps the candidate count linear in corpus size
+for a fixed collision rate — at 100 TB the band-bucket join is the only
+shuffle, keyed well-distributed by construction (md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 12
+BANDS = 4  # rows per band = NUM_HASHES / BANDS = 3
+SHINGLE = 3
+
+
+def _norm_words(col="text"):
+    return F.split(F.regexp_replace(F.lower(F.col(col)), "\\s+", " "), " ")
+
+
+def exact_dedup_groups(df: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) docs; keeper = min doc_id."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    return (
+        df.select("doc_id", F.md5(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def shingles(col="text", k: int = SHINGLE):
+    """Distinct word k-shingles as an array column (pure JVM)."""
+    words = _norm_words(col)
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Word-3-gram Jaccard over a `source`-blocked self-join."""
+    sh = df.select("doc_id", F.col("source").alias("blk"), shingles().alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / uni).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(col="text", num_hashes: int = NUM_HASHES):
+    """MinHash signature: per hash index i, min over shingles of
+    md5(i || '|' || shingle).  Lexicographic min of a uniform hex hash is
+    a valid min-hash; md5 is available bit-identically in DuckDB."""
+    sh = shingles(col)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    bucket.  Returns distinct (doc_a < doc_b) pairs with their estimated
+    Jaccard (fraction of matching minhashes)."""
+    rows = num_hashes // bands
+    sig = df.select("doc_id", minhash_signature().alias("sig"))
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / F.size(F.col("sig_a"))
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def simhash(df: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per word, take the first 8 hex chars of md5(word)
+    as a uint32; bit j votes +1 if set else -1; simhash bit j = vote ≥ 0.
+    Pure JVM (conv + bit ops), portable to a DuckDB oracle."""
+    words = _norm_words()
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(vote >= 0, F.lit(1 << j).cast("long")).otherwise(0))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim + c
+    return df.select("doc_id", sim.alias("simhash32"))

@@ -1,0 +1,164 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+- brute-force cosine top-k: exact baseline, pure JVM (zip_with +
+  aggregate in double precision, no Python);
+- sign-LSH bucketed ANN: deterministic random-hyperplane signs derived
+  from md5 of the dimension index (no RNG at plan time), bucket join →
+  candidates → exact re-rank.  The scale path: candidates per query are
+  O(corpus/2^bits) instead of O(corpus).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, round_digits: int = 6
+) -> DataFrame:
+    """Exact top-k cosine neighbors for vec_id < n_queries.
+
+    The query side is tiny → broadcast; the corpus side streams once.
+    Scores are rounded so the result is engine-independent; ranking uses
+    (rounded score desc, vec_id) to be deterministic under ties.
+    """
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    pairs = c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = pairs.select(
+        "query_id", "cand_id", F.round(cos, round_digits).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes: sign from md5("h|<bit>|<dim>")."""
+    H = np.empty((bits, dim), dtype=np.float64)
+    for b in range(bits):
+        for d in range(dim):
+            h = hashlib.md5(f"h|{b}|{d}".encode()).hexdigest()
+            H[b, d] = 1.0 if int(h[0], 16) < 8 else -1.0
+    return H
+
+
+def lsh_bucket_expr(emb_col, planes: np.ndarray):
+    """Bucket id = sign bits against the fixed hyperplanes, as one JVM
+    expression per bit (aggregate over the array)."""
+    bits = []
+    for j, row in enumerate(planes):
+        signed = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(float(v)) for v in row]),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(signed >= 0, F.lit(1 << j)).otherwise(0))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    bits: int = 6,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share the sign-LSH bucket, then
+    exact cosine re-rank inside the bucket."""
+    planes = _hyperplanes(dim, bits)
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("c_bucket") == F.col("q_bucket"))
+        & (F.col("cand_id") != F.col("query_id")),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = pairs.select(
+        "query_id", "cand_id", F.round(cos, round_digits).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, bits: int = 8, dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact
+    threshold filter (the embedding analog of MinHash dedup)."""
+    planes = _hyperplanes(dim, bits)
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, round_digits).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
