@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+`python bench.py --scaling` additionally runs the flagship spatial join
+at local[8] and local[32] in fresh subprocesses and reports throughput
+at both plus the scaling efficiency (the sandbox proxy for the N→4N
+cluster-size criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+
+
+def _sf_from_dir(d: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def build_session(cpus: str):
+    from s2geometry_spark.session import get_spark
+
+    return get_spark(
+        app_name="s2spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2,
+    )
+
+
+def bench_queries(spark):
+    """Returns (timings dict, row counts dict, mention count)."""
+    from pyspark.sql import functions as F
+
+    from s2geometry_spark.functions import columns as CC
+    from s2geometry_spark.operators.dedup import minhash_lsh_pairs
+    from s2geometry_spark.operators.indexing import cell_histogram, index_points
+    from s2geometry_spark.operators.knn import knn_join
+    from s2geometry_spark.operators.similarity import cosine_topk
+    from s2geometry_spark.operators.spatial_join import point_in_polygon_join
+    from s2geometry_spark.sources.pages import extract_mentions, synthesize_pages
+    import __spark_entry__ as E
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    pages = synthesize_pages(spark, N_PAGES, partitions=int(CPUS) * 2)
+    mentions = extract_mentions(pages)
+    points = index_points(mentions, level=30).cache()
+    n_points = points.count()  # warm the cache outside the timers
+
+    run("q_index_cells", lambda: index_points(mentions, level=30, with_token=True)
+        .agg(F.count("*"), F.min("cell_id_s"), F.max("cell_id_s")).collect() and n_points)
+    run("q_cell_histogram", lambda: cell_histogram(points, 8).count())
+    from s2geometry_spark.operators.spatial_join import cover_polygons
+
+    cov_rows = cover_polygons(E._fixture_polygons())  # query-compile cost
+    run(
+        "q_pip_join",
+        lambda: point_in_polygon_join(
+            points, E._fixture_polygons(), covering_rows=cov_rows
+        ).groupBy("polygon_id").count().count(),
+    )
+    import pandas as pd
+
+    queries = pd.DataFrame(
+        {
+            "query_id": [f"q{i}" for i in range(64)],
+            "lat": [(-80 + (i * 2.51) % 160) for i in range(64)],
+            "lng": [(-180 + (i * 11.37) % 360) for i in range(64)],
+        }
+    )
+    run("q_knn", lambda: knn_join(queries, points, k=10, level=8).count())
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    run("q_dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    run("q_ann_cosine", lambda: cosine_topk(emb, n_queries=20, k=10).count())
+    return timings, counts, n_points
+
+
+def main():
+    t0 = time.perf_counter()
+    spark = build_session(CPUS)
+    timings, counts, n_points = bench_queries(spark)
+    total = round(time.perf_counter() - t0, 3)
+    pip_rows_per_sec = n_points / timings["q_pip_join"] if timings.get("q_pip_join") else 0
+    out = {
+        "metric": "spatial_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_points": n_points,
+        "throughput": {
+            "pip_join_rows_per_sec": round(pip_rows_per_sec),
+            "pip_join_mrows_per_sec": round(pip_rows_per_sec / 1e6, 3),
+        },
+        "cpus": int(CPUS),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+def scaling_worker(cpus: str):
+    """One scaling measurement in this process; prints JSON.
+
+    CPU affinity pins this process (and the child JVM + python workers,
+    which inherit it) to `cpus` cores — the honest sandbox proxy for an
+    N-executor cluster.  The timed job is the full north-rule pipeline:
+    cell assignment (Arrow pUDF) + covering equi-join + PIP filter + agg,
+    over cached slim mentions.  3 warm-up runs (JIT + python workers),
+    then min of 5 — steady-state throughput, as on a long cluster job.
+    """
+    os.sched_setaffinity(0, range(int(cpus)))
+    spark = build_session(cpus)
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from s2geometry_spark.operators.indexing import index_points
+    from s2geometry_spark.operators.spatial_join import (
+        cover_polygons,
+        point_in_polygon_join,
+    )
+    from s2geometry_spark.sources.pages import extract_mentions, synthesize_pages
+
+    pages = synthesize_pages(spark, N_PAGES * 4, partitions=128)
+    mentions = (
+        extract_mentions(pages)
+        .select(F.xxhash64("url").alias("pid"), "mention_idx", "lat", "lng")
+        .cache()
+    )
+    n = mentions.count()
+    cov_rows = cover_polygons(E._fixture_polygons())
+
+    def job():
+        pts = index_points(mentions, level=30)
+        point_in_polygon_join(
+            pts, E._fixture_polygons(), covering_rows=cov_rows
+        ).groupBy("polygon_id").count().collect()
+
+    for _ in range(3):
+        job()
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        job()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    spark.stop()
+    print(json.dumps({"cpus": int(cpus), "sec": round(dt, 3), "rows": n,
+                      "all_secs": [round(t, 2) for t in times],
+                      "rows_per_sec": round(n / dt)}))
+
+
+def scaling():
+    results = {}
+    for cpus in ("8", "32"):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--scaling-worker", cpus],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results["8"]["sec"], results["32"]["sec"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "t_local8_sec": t8,
+                "t_local32_sec": t32,
+                "rows": results["32"]["rows"],
+                "rows_per_sec_8": results["8"]["rows_per_sec"],
+                "rows_per_sec_32": results["32"]["rows_per_sec"],
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling-worker" in sys.argv:
+        scaling_worker(sys.argv[sys.argv.index("--scaling-worker") + 1])
+    elif "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

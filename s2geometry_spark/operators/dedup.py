@@ -83,12 +83,33 @@ def minhash_signature(col="text", num_hashes: int = NUM_HASHES):
     )
 
 
+def minhash_signatures_df(df: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, sig array) via explode + groupBy(min) — one shuffle with
+    map-side partial aggregation, and the shingle array is computed once
+    (the nested-transform form re-evaluates it per hash and falls out of
+    codegen for large expression trees)."""
+    exploded = df.select("doc_id", F.explode(shingles()).alias("sh"))
+    hashed = exploded.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = NUM_HASHES, bands: int = BANDS) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
     bucket.  Returns distinct (doc_a < doc_b) pairs with their estimated
     Jaccard (fraction of matching minhashes)."""
     rows = num_hashes // bands
-    sig = df.select("doc_id", minhash_signature().alias("sig"))
+    sig = minhash_signatures_df(df, num_hashes)
     banded = sig.select(
         "doc_id",
         "sig",

@@ -130,29 +130,44 @@ def point_in_polygon_join(
     min_level: int = DEFAULT_MIN_LEVEL,
     max_level: int = DEFAULT_MAX_LEVEL,
     max_cells: int = DEFAULT_MAX_CELLS,
-    level_step: int = 1,
+    covering_rows: list[tuple[str, int, bool]] | None = None,
 ) -> DataFrame:
     """points(…, lat, lng, cell_id_s at leaf) ⋈ polygons → rows that fall
-    inside; output = points columns + polygon_id + is_interior_cell."""
+    inside; output = points columns + polygon_id + is_interior_cell.
+
+    The point side explodes its ancestors only at the levels that actually
+    occur in the coverings (collected driver-side — the term-indexer's
+    level_mod trick, s2region_term_indexer.h:145-160, taken to its
+    data-dependent limit), so the fact-table blow-up is #distinct-levels,
+    not (max_level - min_level).
+    """
     spark = points.sparkSession
-    cov = coverings_df(
-        spark, polygons, min_level=min_level, max_level=max_level, max_cells=max_cells
+    if covering_rows is None:
+        covering_rows = cover_polygons(
+            polygons, min_level=min_level, max_level=max_level, max_cells=max_cells
+        )
+    cov = spark.createDataFrame(
+        covering_rows, "polygon_id string, cell_id_s long, is_interior boolean"
     )
+    levels = sorted(
+        {CID(c + (1 << 63)).level() for _, c, _ in covering_rows}
+    ) or [min_level]
     terms = points.withColumn(
-        "_term",
-        F.explode(CC.ancestors_array("cell_id_s", min_level, max_level, level_step)),
+        "_term", F.explode(F.array(*[CC.parent("cell_id_s", l) for l in levels]))
     )
     cand = terms.join(
         F.broadcast(cov), terms["_term"] == cov["cell_id_s"], "inner"
     ).drop(cov["cell_id_s"]).drop("_term")
 
+    # Single pass: interior-cell candidates pass outright; boundary-cell
+    # candidates need the exact PIP test.  One filter (no union) keeps the
+    # explode+join upstream from being computed twice.
     pip = make_pip_udf(polygons)
-    interior = cand.filter(F.col("is_interior"))
-    boundary = cand.filter(~F.col("is_interior")).filter(
-        pip(F.col("polygon_id"), F.col("lat"), F.col("lng"))
-    )
-    return interior.unionByName(boundary).withColumnRenamed(
-        "is_interior", "is_interior_cell"
+    return (
+        cand.filter(
+            F.col("is_interior") | pip(F.col("polygon_id"), F.col("lat"), F.col("lng"))
+        )
+        .withColumnRenamed("is_interior", "is_interior_cell")
     )
 
 
