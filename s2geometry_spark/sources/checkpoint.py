@@ -1,0 +1,140 @@
+"""Checkpointed pipeline stages with per-partition lineage + metrics.
+
+North-rule requirement: every stage writes a parquet (Iceberg-style —
+Iceberg runtime isn't in this sandbox, so plain parquet + an explicit
+lineage/manifest table stand in; the layout maps 1:1 onto an Iceberg
+table with snapshot metadata) checkpoint plus a lineage table keyed by
+(stage, partition_id) carrying row/byte metrics.  A killed job resumes
+by validating each stage's manifest against its lineage and recomputing
+only the stages whose checkpoints are missing or incomplete.
+
+Layout under `root/`:
+    <stage>/data/part-*.parquet       the stage output
+    <stage>/lineage/*.parquet         (stage, partition_id, rows, bytes)
+    <stage>/_COMMITTED                atomic completion marker (written
+                                      last; torn runs lack it)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = "stage string, partition_id int, rows long, bytes long"
+
+
+class CheckpointedPipeline:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.metrics: dict[str, dict] = {}
+
+    # ---------------------------------------------------------------- paths
+    def _stage_dir(self, stage: str) -> str:
+        return f"{self.root}/{stage}"
+
+    def _marker(self, stage: str) -> str:
+        return f"{self._stage_dir(stage)}/_COMMITTED"
+
+    # ---------------------------------------------------------------- api
+    def is_complete(self, stage: str) -> bool:
+        """Stage is complete iff the marker exists AND the lineage row
+        counts reconcile with the data files (guards torn writes)."""
+        if not os.path.exists(self._marker(stage)):
+            return False
+        try:
+            with open(self._marker(stage)) as fh:
+                manifest = json.load(fh)
+            lineage = self.spark.read.parquet(f"{self._stage_dir(stage)}/lineage")
+            total = lineage.agg(F.sum("rows")).first()[0] or 0
+            return int(total) == int(manifest["rows"])
+        except Exception:
+            return False
+
+    def run_stage(
+        self, stage: str, build: "callable[[], DataFrame]", force: bool = False
+    ) -> DataFrame:
+        """Return the stage's DataFrame, recomputing only if needed.
+
+        The build function is only invoked on a cache miss — a resumed
+        job pays a parquet scan instead of recomputation (and Catalyst
+        pushes filters/pruning into that scan).
+        """
+        data_dir = f"{self._stage_dir(stage)}/data"
+        if not force and self.is_complete(stage):
+            self.metrics[stage] = {"resumed": True}
+            return self.spark.read.parquet(data_dir)
+
+        t0 = time.perf_counter()
+        df = build()
+        # Per-partition lineage: spark_partition_id + row/byte metrics in
+        # one pass over the data (byte size approximated JVM-side from the
+        # to_json length — cheap, and exact enough for skew telemetry).
+        with_pid = df.withColumn("_pid", F.spark_partition_id())
+        with_pid.write.mode("overwrite").parquet(data_dir)
+        written = self.spark.read.parquet(data_dir)
+        lineage = (
+            with_pid.groupBy("_pid")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.length(F.to_json(F.struct("*")))).alias("bytes"),
+            )
+            .select(
+                F.lit(stage).alias("stage"),
+                F.col("_pid").alias("partition_id"),
+                "rows",
+                "bytes",
+            )
+        )
+        lineage.write.mode("overwrite").parquet(f"{self._stage_dir(stage)}/lineage")
+        n_rows = written.count()
+        wall = round(time.perf_counter() - t0, 3)
+        # marker last → atomic commit point
+        with open(self._marker(stage), "w") as fh:
+            json.dump({"rows": n_rows, "wall_sec": wall, "stage": stage}, fh)
+        self.metrics[stage] = {"resumed": False, "rows": n_rows, "wall_sec": wall}
+        return self.spark.read.parquet(data_dir)
+
+    def lineage(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(f"{self._stage_dir(stage)}/lineage")
+
+    def invalidate(self, stage: str) -> None:
+        marker = self._marker(stage)
+        if os.path.exists(marker):
+            os.remove(marker)
+
+
+def run_geo_pipeline(
+    spark: SparkSession,
+    root: str,
+    n_pages: int,
+    polygons,
+    covering_rows=None,
+    level: int = 30,
+) -> tuple[DataFrame, CheckpointedPipeline]:
+    """The north-rule pipeline as resumable checkpointed stages:
+    pages → mentions → points → pip_join.  Each stage persists with
+    lineage; a killed job resumes from the last committed stage."""
+    from ..operators.indexing import index_points
+    from ..operators.spatial_join import point_in_polygon_join
+    from .pages import extract_mentions, synthesize_pages
+
+    pipe = CheckpointedPipeline(spark, root)
+    pages = pipe.run_stage(
+        "pages", lambda: synthesize_pages(spark, n_pages, partitions=32)
+    )
+    mentions = pipe.run_stage("mentions", lambda: extract_mentions(pages))
+    points = pipe.run_stage(
+        "points", lambda: index_points(mentions, level=level)
+    )
+    joined = pipe.run_stage(
+        "pip_join",
+        lambda: point_in_polygon_join(
+            points, polygons, covering_rows=covering_rows
+        ),
+    )
+    return joined, pipe
