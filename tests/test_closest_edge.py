@@ -1,0 +1,78 @@
+"""S2ClosestEdgeQuery golden fixtures (FIXTURES.md §5) + properties."""
+
+import math
+
+import numpy as np
+
+from s2geometry_spark.kernel.closest_edge import find_closest_edges, parse_index
+from s2geometry_spark.kernel.contains import parse_points
+from s2geometry_spark.kernel.distance import chord2, point_edge_dist2
+
+RNG = np.random.default_rng(42)
+INDEX = "# 0:0, 0:5, 5:5, 5:0 # 0:10, 0:15, 5:15, 5:10"
+
+
+def test_target_point_inside_indexed_polygon():
+    """s2closest_edge_query_test.cc:197-214: exactly one result —
+    shape 1 (the polygon), edge -1, distance 0, is_interior."""
+    shapes = parse_index(INDEX)
+    assert len(shapes) == 2
+    assert shapes[0].dim == 1 and shapes[1].dim == 2
+    target = parse_points("2:12")
+    results = find_closest_edges(
+        shapes, target, k=10,
+        max_distance_rad=math.radians(1), include_interiors=True,
+    )[0]
+    assert len(results) == 1
+    sid, eid, d2 = results[0]
+    assert (sid, eid, d2) == (1, -1, 0.0)
+
+
+def test_target_point_outside_indexed_polygon():
+    """s2closest_edge_query_test.cc:449-461: target inside the polyline
+    loop (no interior) → no results."""
+    shapes = parse_index(INDEX)
+    target = parse_points("2:2")
+    results = find_closest_edges(
+        shapes, target, k=10,
+        max_distance_rad=math.radians(1), include_interiors=True,
+    )[0]
+    assert results == []
+
+
+def test_distance_equal_to_limit_query_semantics():
+    """s2closest_edge_query_test.cc:135-159 via the query layer: the
+    max_distance bound is exclusive."""
+    shapes = parse_index("23:12 # #")
+    t2 = parse_points("47:11")
+    exact = chord2(t2[0], parse_points("23:12")[0])
+    exact_rad = 2 * math.asin(0.5 * math.sqrt(exact))
+    # IsDistanceLess(limit) == False at the exact limit...
+    res = find_closest_edges(shapes, t2, k=1, max_distance_rad=exact_rad)
+    assert res[0] == []
+    # ...but True for any larger limit
+    res2 = find_closest_edges(
+        shapes, t2, k=1, max_distance_rad=math.nextafter(exact_rad, 4.0)
+    )
+    assert len(res2[0]) == 1
+
+
+def test_knn_edges_vs_brute_force():
+    # random polylines; top-k edges match an independent argsort oracle
+    for _ in range(5):
+        lats = RNG.uniform(-60, 60, 12)
+        lngs = RNG.uniform(-170, 170, 12)
+        line = ", ".join(f"{a}:{b}" for a, b in zip(lats, lngs))
+        shapes = parse_index(f"# {line} #")
+        targets = np.stack(
+            __import__(
+                "s2geometry_spark.kernel.coords", fromlist=["latlng_to_xyz"]
+            ).latlng_to_xyz(RNG.uniform(-80, 80, 20), RNG.uniform(-180, 180, 20)),
+            -1,
+        )
+        got = find_closest_edges(shapes, targets, k=3)
+        d2 = point_edge_dist2(targets, shapes[0].edges_c, shapes[0].edges_d)
+        for i in range(len(targets)):
+            want = np.sort(d2[i])[:3]
+            have = [d for (_, _, d) in got[i]]
+            np.testing.assert_allclose(have, want, rtol=1e-15)
