@@ -1,0 +1,93 @@
+"""Raster↔vector tiling: projections, web tiles, cell coverings."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.kernel.cell import Cell
+from s2geometry_spark.kernel.cid import CID
+from s2geometry_spark.operators import tiling as T
+from s2geometry_spark.operators.indexing import index_points
+from s2geometry_spark.sources.pages import extract_mentions, synthesize_pages
+
+RNG = np.random.default_rng(42)
+
+
+def test_plate_carree_roundtrip():
+    lat = RNG.uniform(-89, 89, 1000)
+    lng = RNG.uniform(-179.9, 179.9, 1000)
+    x, y = T.plate_carree_project(lat, lng, x_scale=180.0)
+    np.testing.assert_allclose(x, lng, atol=1e-12)
+    np.testing.assert_allclose(y, lat, atol=1e-12)
+    lat2, lng2 = T.plate_carree_unproject(x, y, x_scale=180.0)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    np.testing.assert_allclose(lng2, lng, atol=1e-9)
+
+
+def test_mercator_roundtrip_and_known_values():
+    lat = RNG.uniform(-85, 85, 1000)
+    lng = RNG.uniform(-179.9, 179.9, 1000)
+    x, y = T.mercator_project(lat, lng)
+    lat2, lng2 = T.mercator_unproject(x, y)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    np.testing.assert_allclose(lng2, lng, atol=1e-9)
+    # equator maps to y=0; 45° latitude to ln(tan(67.5°))
+    _, y0 = T.mercator_project(np.array([0.0]), np.array([0.0]))
+    assert abs(y0[0]) < 1e-15
+    _, y45 = T.mercator_project(np.array([45.0]), np.array([0.0]))
+    assert abs(y45[0] - math.log(math.tan(math.radians(67.5)))) < 1e-12
+
+
+def test_web_tile_known_values():
+    # zoom 1: four quadrants
+    tx, ty = T.web_tile(np.array([40.0, 40.0, -40.0]), np.array([-100.0, 100.0, 100.0]), 1)
+    assert tx.tolist() == [0, 1, 1]
+    assert ty.tolist() == [0, 0, 1]
+    # tile bounds invert the mapping
+    for zoom in (2, 5, 9):
+        lat, lng = 37.77, -122.42
+        x, y = T.web_tile(np.array([lat]), np.array([lng]), zoom)
+        lat_lo, lat_hi, lng_lo, lng_hi = T.web_tile_bounds(int(x[0]), int(y[0]), zoom)
+        assert lat_lo <= lat <= lat_hi
+        assert lng_lo <= lng <= lng_hi
+
+
+def test_tile_to_cell_covering_covers_tile_center():
+    from s2geometry_spark.kernel import cellid as K
+
+    zoom = 7
+    tx, ty = T.web_tile(np.array([48.85]), np.array([2.35]), zoom)
+    cover = T.tile_to_cell_covering(int(tx[0]), int(ty[0]), zoom)
+    assert 1 <= len(cover) <= 8
+    lat_lo, lat_hi, lng_lo, lng_hi = T.web_tile_bounds(int(tx[0]), int(ty[0]), zoom)
+    mid_leaf = CID(int(K.from_latlng(
+        np.array([(lat_lo + lat_hi) / 2]), np.array([(lng_lo + lng_hi) / 2])
+    )[0]))
+    assert any(c.contains(mid_leaf) for c in cover)
+
+
+def test_range_tiling_roundtrip():
+    cid = CID.from_token("6b12ae36313d")
+    begin = cid.range_min().id - (1 << 63)
+    end = cid.range_max().next().id - (1 << 63)
+    tiles = T.range_tiling(begin, end)
+    assert tiles == [cid]
+    # a two-cell range tiles into ≤ a few canonical cells
+    sib = cid.next()
+    tiles2 = T.range_tiling(begin, sib.range_max().next().id - (1 << 63))
+    assert all(t.is_valid() for t in tiles2)
+    total = sum(t.range_max().id - t.range_min().id + 2 for t in tiles2)
+    expect = (sib.range_max().id - cid.range_min().id) + 2
+    assert total == expect
+
+
+def test_tile_histogram_spark(spark):
+    pages = synthesize_pages(spark, 400, partitions=4)
+    pts = index_points(extract_mentions(pages), level=30)
+    hist = T.tile_histogram(pts, zoom=4).cache()
+    assert hist.agg(F.sum("n_points")).first()[0] == pts.count()
+    rows = hist.collect()
+    n = 1 << 4
+    assert all(0 <= r.tile_x < n and 0 <= r.tile_y < n for r in rows)
