@@ -1,0 +1,180 @@
+"""Spherical measures: triangle/loop areas, perimeters, centroids.
+
+Ports s2measures.cc (l'Huilier triangle area with Girard fallback for
+skinny triangles, s2measures.cc:87-160) and the surface-integral loop
+decomposition (s2loop_measures.h:44-114): for a closed loop,
+Σ_edges SignedArea(P, v_i, v_{i+1}) is independent of the reference
+point P (mod 4π), so fixing P = north pole makes every edge term
+independent — the loop area becomes a pure partial+final aggregation
+(explode edges → per-edge term → groupBy(loop).sum()).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import predicates as P
+
+NORTH = np.array([0.0, 0.0, 1.0])
+
+
+def stable_angle(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Kahan's stable angle: 2*atan2(|a/|a| - b/|b||, |a/|a| + b/|b||)
+    (robust for nearly parallel/antiparallel vectors)."""
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    an = a / np.linalg.norm(a, axis=-1, keepdims=True)
+    bn = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    return 2.0 * np.arctan2(
+        np.linalg.norm(an - bn, axis=-1), np.linalg.norm(an + bn, axis=-1)
+    )
+
+
+def triangle_area(a, b, c) -> np.ndarray:
+    """l'Huilier's theorem, vectorized; Girard fallback for the skinny
+    cases per s2measures.cc:87-147."""
+    a, b, c = np.broadcast_arrays(
+        np.asarray(a, float), np.asarray(b, float), np.asarray(c, float)
+    )
+    sa = stable_angle(b, c)
+    sb = stable_angle(c, a)
+    sc = stable_angle(a, b)
+    s = 0.5 * (sa + sb + sc)
+    with np.errstate(invalid="ignore"):
+        tan_prod = (
+            np.tan(0.5 * s)
+            * np.tan(0.5 * (s - sa))
+            * np.tan(0.5 * (s - sb))
+            * np.tan(0.5 * (s - sc))
+        )
+        lhuilier = 4 * np.arctan(np.sqrt(np.maximum(0.0, tan_prod)))
+    dmin = s - np.maximum(sa, np.maximum(sb, sc))
+    use_girard = (dmin < 1e-2 * s * s * s * s * s) & (s > 3e-4)
+    if np.any(use_girard):
+        girard = girard_area(a, b, c)
+        return np.where(use_girard, girard, lhuilier)
+    return lhuilier
+
+
+def girard_area(a, b, c) -> np.ndarray:
+    """Girard's formula via RobustCrossProd-style normals
+    (s2measures.cc:149-159)."""
+    ab = np.cross(a, b)
+    bc = np.cross(b, c)
+    ac = np.cross(a, c)
+    area = (
+        stable_angle(ab, ac) - stable_angle(ab, bc) + stable_angle(bc, ac)
+    )
+    return np.maximum(0.0, area)
+
+
+def signed_triangle_area(a, b, c) -> np.ndarray:
+    """SignedArea (s2measures.cc:161-166): Sign() × Area()."""
+    sign = P.sign(a, b, c).astype(np.float64)
+    return sign * triangle_area(a, b, c)
+
+
+def loop_edge_area_terms(C: np.ndarray, D: np.ndarray) -> np.ndarray:
+    """Per-edge signed-area terms w.r.t. the north pole — summing the
+    terms of one closed loop yields its signed area (mod 4π)."""
+    C = np.asarray(C, float).reshape(-1, 3)
+    D = np.asarray(D, float).reshape(-1, 3)
+    N = np.broadcast_to(NORTH, C.shape)
+    return signed_triangle_area(N, C, D)
+
+
+def normalize_signed_area(total: np.ndarray) -> np.ndarray:
+    """Fold the summed terms into (-2π, 2π] like GetSignedArea."""
+    total = np.asarray(total, float)
+    total = np.remainder(total, 4 * np.pi)
+    total = np.where(total > 2 * np.pi, total - 4 * np.pi, total)
+    return total
+
+
+def loop_signed_area(vertices: np.ndarray) -> float:
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    terms = loop_edge_area_terms(v, np.roll(v, -1, axis=0))
+    return float(normalize_signed_area(terms.sum()))
+
+
+def loop_area(vertices: np.ndarray) -> float:
+    """GetArea (s2loop_measures.cc): signed area, +4π if negative."""
+    area = loop_signed_area(vertices)
+    return area + 4 * np.pi if area < 0 else area
+
+
+def loop_perimeter(vertices: np.ndarray) -> float:
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    return float(stable_angle(v, np.roll(v, -1, axis=0)).sum())
+
+
+def polyline_length(vertices: np.ndarray) -> float:
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    if len(v) < 2:
+        return 0.0
+    return float(stable_angle(v[:-1], v[1:]).sum())
+
+
+def triangle_true_centroid(a, b, c) -> np.ndarray:
+    """Exact vectorized port of S2::TrueCentroid(a, b, c)
+    (s2centroids.cc): the true centroid times the triangle's area —
+    additive over a triangle fan, so loop centroids decompose into
+    per-edge terms (fan from the north pole)."""
+    a, b, c = np.broadcast_arrays(
+        np.asarray(a, float), np.asarray(b, float), np.asarray(c, float)
+    )
+    angle_a = stable_angle(b, c)
+    angle_b = stable_angle(c, a)
+    angle_c = stable_angle(a, b)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ra = np.where(angle_a == 0, 1.0, angle_a / np.sin(angle_a))
+        rb = np.where(angle_b == 0, 1.0, angle_b / np.sin(angle_b))
+        rc = np.where(angle_c == 0, 1.0, angle_c / np.sin(angle_c))
+    # rows of the system after subtracting row A (Cramer's rule)
+    x = np.stack([a[..., 0], b[..., 0] - a[..., 0], c[..., 0] - a[..., 0]], -1)
+    y = np.stack([a[..., 1], b[..., 1] - a[..., 1], c[..., 1] - a[..., 1]], -1)
+    z = np.stack([a[..., 2], b[..., 2] - a[..., 2], c[..., 2] - a[..., 2]], -1)
+    r = np.stack([ra, rb - ra, rc - ra], -1)
+    out = 0.5 * np.stack(
+        [
+            (np.cross(y, z) * r).sum(-1),
+            (np.cross(z, x) * r).sum(-1),
+            (np.cross(x, y) * r).sum(-1),
+        ],
+        -1,
+    )
+    return out
+
+
+def loop_centroid(vertices: np.ndarray) -> np.ndarray:
+    """Area-weighted true centroid of a loop (fan from the north pole;
+    S2::GetCentroid semantics, s2loop_measures.h:100-114)."""
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    C, D = v, np.roll(v, -1, axis=0)
+    N = np.broadcast_to(NORTH, C.shape)
+    terms = triangle_true_centroid(N, C, D)
+    return terms.sum(axis=0)
+
+
+def polyline_interpolate(vertices: np.ndarray, fraction: float) -> np.ndarray:
+    """S2Polyline::Interpolate (s2polyline.h:158-236): point at the given
+    fraction of total length (clamped)."""
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    seg = stable_angle(v[:-1], v[1:])
+    total = seg.sum()
+    target = min(max(fraction, 0.0), 1.0) * total
+    acc = 0.0
+    for i, d in enumerate(seg):
+        if acc + d >= target or i == len(seg) - 1:
+            t = 0.0 if d == 0 else (target - acc) / d
+            # slerp along the edge
+            a, b = v[i], v[i + 1]
+            omega = d
+            if omega == 0:
+                return a
+            sa = np.sin((1 - t) * omega) / np.sin(omega)
+            sb = np.sin(t * omega) / np.sin(omega)
+            out = sa * a + sb * b
+            return out / np.linalg.norm(out)
+        acc += d
+    return v[-1]

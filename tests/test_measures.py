@@ -1,0 +1,96 @@
+"""Spherical measure kernels + distributed aggregation equivalence."""
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernel import measures as M
+from s2geometry_spark.kernel.contains import parse_points
+from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+RNG = np.random.default_rng(42)
+
+
+def _loop(s):
+    return parse_points(s)
+
+
+def test_triangle_area_octant():
+    # one octant of the sphere = 4π/8 = π/2
+    a = np.array([1.0, 0, 0])
+    b = np.array([0.0, 1, 0])
+    c = np.array([0.0, 0, 1])
+    assert abs(M.triangle_area(a, b, c) - math.pi / 2) < 1e-14
+    assert M.signed_triangle_area(a, b, c) > 0
+    assert M.signed_triangle_area(c, b, a) < 0
+
+
+def test_small_triangle_relative_accuracy():
+    # l'Huilier keeps relative accuracy for tiny triangles
+    eps = 1e-6
+    a = _loop("0:0")[0]
+    b = _loop(f"0:{eps}")[0]
+    c = _loop(f"{eps}:0")[0]
+    area = float(M.triangle_area(a, b, c))
+    expect = 0.5 * math.radians(eps) ** 2
+    assert abs(area - expect) / expect < 1e-6
+
+
+def test_hemisphere_loop_area():
+    hemi = _loop("0:-90, -90:0, 0:90, 90:0")
+    assert abs(M.loop_area(hemi) - 2 * math.pi) < 1e-12
+
+
+def test_small_square_loop_area():
+    sq = _loop("-0.5:-0.5, -0.5:0.5, 0.5:0.5, 0.5:-0.5")
+    area = M.loop_area(sq)
+    expect = math.radians(1.0) ** 2  # ~1°×1° near the equator
+    assert abs(area - expect) / expect < 1e-3
+    # reversing orientation complements the area to 4π
+    area_cw = M.loop_area(sq[::-1])
+    assert abs(area + area_cw - 4 * math.pi) < 1e-9
+
+
+def test_loop_perimeter_and_polyline_length():
+    sq = _loop("0:0, 0:90, 90:0")  # octant triangle: 3 edges of 90°
+    assert abs(M.loop_perimeter(sq) - 3 * math.pi / 2) < 1e-12
+    line = _loop("0:0, 0:10, 0:20")
+    assert abs(M.polyline_length(line) - math.radians(20)) < 1e-12
+
+
+def test_polyline_interpolate():
+    line = _loop("0:0, 0:10")
+    mid = M.polyline_interpolate(line, 0.5)
+    x, y, z = latlng_to_xyz(np.array([0.0]), np.array([5.0]))
+    np.testing.assert_allclose(mid, [x[0], y[0], z[0]], atol=1e-12)
+    assert np.allclose(M.polyline_interpolate(line, 0.0), line[0])
+    assert np.allclose(M.polyline_interpolate(line, 1.0), line[1])
+
+
+def test_loop_centroid_direction():
+    # centroid of a polar loop points at the pole
+    polar = _loop("80:0, 80:90, 80:180, 80:-90")
+    cen = M.loop_centroid(polar)
+    cen = cen / np.linalg.norm(cen)
+    assert cen[2] > 0.999
+
+
+def test_spark_distributed_measures_match_kernel(spark):
+    from s2geometry_spark.operators.measures import edges_df, loop_measures
+
+    loops = {
+        "hemi": _loop("0:-90, -90:0, 0:90, 90:0"),
+        "sq": _loop("-0.5:-0.5, -0.5:0.5, 0.5:0.5, 0.5:-0.5"),
+        "tri": _loop("10:10, 10:30, 30:20"),
+    }
+    df = edges_df(spark, list(loops.items()))
+    out = {r.loop_id: r for r in loop_measures(df).collect()}
+    for name, verts in loops.items():
+        assert abs(out[name].area - M.loop_area(verts)) < 1e-9, name
+        assert abs(out[name].perimeter - M.loop_perimeter(verts)) < 1e-9
+        cen = M.loop_centroid(verts)
+        np.testing.assert_allclose(
+            [out[name].centroid_x, out[name].centroid_y, out[name].centroid_z],
+            cen, atol=1e-9,
+        )
