@@ -1,0 +1,51 @@
+"""Structured Streaming ingest: file source → windowed cell counts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.operators.indexing import index_points
+from s2geometry_spark.sources.pages import extract_mentions, synthesize_pages
+from s2geometry_spark.streaming.ingest import (
+    index_stream,
+    parse_pages_stream,
+    windowed_cell_counts,
+)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pages_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synthesize_pages(spark, 300, partitions=4)
+    pages.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    indexed = index_stream(parse_pages_stream(stream), level=8)
+    counts = windowed_cell_counts(indexed, window="1 hour", watermark="2 hours")
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cell_counts")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w_start, r.cell_id_s): r.n_mentions
+        for r in spark.sql("select * from cell_counts").collect()
+    }
+    # batch oracle with the same operators
+    batch = index_points(extract_mentions(pages), level=8)
+    pages_ts = pages.select("url", "warc_ts")
+    want_rows = (
+        batch.join(pages_ts, "url")
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "cell_id_s")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "cell_id_s", "n")
+        .collect()
+    )
+    want = {(r.w_start, r.cell_id_s): r.n for r in want_rows}
+    assert got == want
+    assert sum(got.values()) > 0
