@@ -248,6 +248,94 @@ def _q_events_window(spark, sf_dir):
     )
 
 
+_TILE_LAT = "((c_custkey * 7919) % 17000) / 100.0 - 85.0 + 0.005"
+_TILE_LNG = "((c_custkey * 104729) % 36000) / 100.0 - 180.0 + 0.005"
+
+
+def _q_tiling_web_tiles(spark, sf_dir):
+    from s2geometry_spark.operators.tiling import assign_web_tiles
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.selectExpr(
+        "c_custkey AS key", f"{_TILE_LAT} AS lat", f"{_TILE_LNG} AS lng"
+    )
+    return (
+        assign_web_tiles(pts, zoom=6)
+        .select("key", "tile_x", "tile_y")
+        .orderBy("key")
+    )
+
+
+def _q_geo_loop_measures(spark, sf_dir):
+    from s2geometry_spark.operators.measures import edges_df, loop_measures
+
+    loops = [
+        (pid, loop.vertices)
+        for pid, poly in _fixture_polygons()
+        for loop in poly.loops
+    ]
+    named = [(f"{pid}_{i}", v) for i, (pid, v) in enumerate(loops)]
+    out = loop_measures(edges_df(spark, named))
+    return out.select(
+        "loop_id",
+        F.round("area", 9).alias("area_r"),
+        F.round("perimeter", 9).alias("perimeter_r"),
+    ).orderBy("loop_id")
+
+
+def _q_geo_cellunion_ops(spark, sf_dir):
+    from s2geometry_spark.operators.cellops import synth_cell_expr
+    from s2geometry_spark.operators.unionops import (
+        intersect_unions,
+        normalize_unions,
+        subtract_unions,
+        union_unions,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = normalize_unions(
+        cust.filter("c_custkey % 2 = 0").select(
+            F.lit("r").alias("region_id"),
+            __import__(
+                "s2geometry_spark.functions.columns", fromlist=["parent"]
+            ).parent(synth_cell_expr("c_custkey"), 8).alias("cell_id_s"),
+        )
+    )
+    b = normalize_unions(
+        cust.filter("c_custkey % 3 = 0").select(
+            F.lit("r").alias("region_id"),
+            __import__(
+                "s2geometry_spark.functions.columns", fromlist=["parent"]
+            ).parent(synth_cell_expr("c_custkey"), 8).alias("cell_id_s"),
+        )
+    )
+    u = union_unions(a, b).withColumn("op", F.lit("union"))
+    i = intersect_unions(a, b).withColumn("op", F.lit("intersect"))
+    d = subtract_unions(a, b).withColumn("op", F.lit("difference"))
+    return u.unionByName(i).unionByName(d).orderBy("op", "cell_id_s")
+
+
+def _q_geo_closest_edge(spark, sf_dir):
+    import pandas as pd
+
+    from s2geometry_spark.kernel.closest_edge import find_closest_edges, parse_index
+    from s2geometry_spark.kernel.contains import parse_points
+
+    shapes = parse_index("# 0:0, 0:5, 5:5, 5:0 # 0:10, 0:15, 5:15, 5:10")
+    targets = parse_points("2:12, 2:2, 4:14, 0:7, -1:-1")
+    res = find_closest_edges(
+        shapes, targets, k=3, max_distance_rad=0.1, include_interiors=True
+    )
+    rows = [
+        (int(t), sid, eid, round(d, 12))
+        for t, hits in enumerate(res)
+        for sid, eid, d in hits
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["target_idx", "shape_id", "edge_id", "dist2"])
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_hierarchy": _q_cell_hierarchy,
@@ -270,6 +358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
         "events_window": _q_events_window,
+        "tiling_web_tiles": _q_tiling_web_tiles,
+        "geo_loop_measures": _q_geo_loop_measures,
+        "geo_cellunion_ops": _q_geo_cellunion_ops,
+        "geo_closest_edge": _q_geo_closest_edge,
     }
 
 
@@ -431,5 +523,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "tiling_web_tiles": f"""
+            WITH p AS (
+              SELECT c_custkey AS key, {_TILE_LAT} AS lat, {_TILE_LNG} AS lng
+              FROM customer)
+            SELECT key,
+              greatest(0, least(63,
+                floor((lng + 180.0) / 360.0 * 64)))::BIGINT AS tile_x,
+              greatest(0, least(63,
+                floor((1.0 - ln(tan(radians(least(greatest(lat, -85.05112878), 85.05112878)))
+                               + 1.0 / cos(radians(least(greatest(lat, -85.05112878), 85.05112878))))
+                       / pi()) / 2.0 * 64)))::BIGINT AS tile_y
+            FROM p ORDER BY key
         """,
     }
