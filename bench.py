@@ -91,7 +91,8 @@ def bench_queries(spark):
     )
     run("q_knn", lambda: knn_join(queries, points, k=10, level=8).count())
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # small parquet reads land in one partition — spread the hash work
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(int(CPUS))
     run("q_dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     run("q_ann_cosine", lambda: cosine_topk(emb, n_queries=20, k=10).count())
