@@ -67,6 +67,13 @@ def bench_queries(spark):
     mentions = extract_mentions(pages)
     points = index_points(mentions, level=30).cache()
     n_points = points.count()  # warm the cache outside the timers
+    # steady-state warm-up (JIT + python workers), outside the timers:
+    # a small end-to-end pass through every UDF/codegen path measured below
+    warm = points.limit(20000)
+    point_in_polygon_join(warm, E._fixture_polygons()).groupBy(
+        "polygon_id"
+    ).count().collect()
+    cell_histogram(warm, 8).count()
 
     run("q_index_cells", lambda: index_points(mentions, level=30, with_token=True)
         .agg(F.count("*"), F.min("cell_id_s"), F.max("cell_id_s")).collect() and n_points)

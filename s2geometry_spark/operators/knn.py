@@ -99,10 +99,10 @@ def knn_join(
     # Round schedule: grow the ring at the chosen level, then escalate to
     # coarser levels (cells 8× wider each step) so sparse regions converge;
     # at level 0, ring 2 covers the whole sphere → guaranteed termination.
-    schedule: list[tuple[int, int]] = []
-    lvl = level
+    schedule: list[tuple[int, int]] = [(level, 1), (level, 3)]
+    lvl = max(level - 3, 0)
     while lvl > 0:
-        schedule += [(lvl, 1), (lvl, 2), (lvl, 4)]
+        schedule.append((lvl, 3))
         lvl = max(lvl - 3, 0)
     # final entries guarantee termination: 4·kMinWidth(0) ≥ π → no unseen cell
     schedule += [(0, 2), (0, 4)]
