@@ -336,6 +336,33 @@ def _q_geo_closest_edge(spark, sf_dir):
     )
 
 
+def _q_cell_index_labels(spark, sf_dir):
+    from s2geometry_spark.functions import columns as CC
+    from s2geometry_spark.operators.cell_index import (
+        build_cell_index,
+        intersecting_labels,
+    )
+    from s2geometry_spark.operators.cellops import synth_cell_expr
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cells = cust.select(
+        (F.col("c_custkey") % 25).alias("label"),
+        synth_cell_expr("c_custkey").alias("cell_id_s"),
+    )
+    index = build_cell_index(cells)
+    targets = nation.select(
+        F.col("n_nationkey").alias("target_id"),
+        CC.parent(synth_cell_expr("n_nationkey"), 6).alias("cell_id_s"),
+    )
+    return (
+        intersecting_labels(index, targets)
+        .groupBy("target_id")
+        .agg(F.count("*").alias("n_labels"))
+        .orderBy("target_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_hierarchy": _q_cell_hierarchy,
@@ -359,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "events_window": _q_events_window,
         "tiling_web_tiles": _q_tiling_web_tiles,
+        "cell_index_labels": _q_cell_index_labels,
         "geo_loop_measures": _q_geo_loop_measures,
         "geo_cellunion_ops": _q_geo_cellunion_ops,
         "geo_closest_edge": _q_geo_closest_edge,
@@ -419,8 +447,38 @@ def oracle_sql() -> dict[str, str]:
         f"round({ddot.format(a='qe', b='ce')} / "
         f"(sqrt({ddot.format(a='qe', b='qe')}) * sqrt({ddot.format(a='ce', b='ce')})), 6)"
     )
+    from s2geometry_spark.operators.cellops import synth_cell_sql
+
+    cell_c = synth_cell_sql("c_custkey")
+    cell_n = synth_cell_sql("n_nationkey")
+    lsb6 = 1 << (2 * 24)
     return {
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
+        "cell_index_labels": f"""
+            WITH cells AS (
+              SELECT c_custkey % 25 AS label,
+                     {cell_c} AS cell_id_s
+              FROM customer),
+            idx AS (
+              SELECT label,
+                     cell_id_s - ((cell_id_s & -cell_id_s) - 1) AS range_start_s,
+                     cell_id_s + ((cell_id_s & -cell_id_s) - 1) AS range_end_s
+              FROM cells),
+            targets AS (
+              SELECT n_nationkey AS target_id,
+                     (({cell_n} & -({lsb6}::BIGINT)) | {lsb6}::BIGINT) AS cell_s
+              FROM nation),
+            t AS (
+              SELECT target_id,
+                     cell_s - ({lsb6}::BIGINT - 1) AS tlo,
+                     cell_s + ({lsb6}::BIGINT - 1) AS thi
+              FROM targets)
+            SELECT target_id, count(*) AS n_labels FROM (
+              SELECT DISTINCT target_id, label
+              FROM t JOIN idx
+                ON t.tlo <= idx.range_end_s AND t.thi >= idx.range_start_s)
+            GROUP BY target_id ORDER BY target_id
+        """,
         "cell_containment_join": cell_containment_join_oracle(),
         "cell_histogram": cell_histogram_oracle(),
         "text_token_stats": f"""
