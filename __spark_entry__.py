@@ -363,6 +363,25 @@ def _q_cell_index_labels(spark, sf_dir):
     )
 
 
+
+def _q_geo_rect_filter(spark, sf_dir):
+    """S2LatLngRect containment as a pure-JVM filter (exact SQL oracle);
+    includes an inverted (date-line-wrapping) longitude interval."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.selectExpr(
+        "c_custkey AS key", f"{_TILE_LAT} AS lat", f"{_TILE_LNG} AS lng"
+    )
+    in_band = (F.col("lat") >= 10.0) & (F.col("lat") <= 60.0)
+    # rect A: normal lng interval [-30, 40]; rect B: inverted [150, -150]
+    in_a = in_band & (F.col("lng") >= -30.0) & (F.col("lng") <= 40.0)
+    in_b = in_band & ((F.col("lng") >= 150.0) | (F.col("lng") <= -150.0))
+    return pts.select(
+        "key",
+        in_a.cast("int").alias("in_rect_a"),
+        in_b.cast("int").alias("in_rect_b"),
+    ).filter((F.col("in_rect_a") == 1) | (F.col("in_rect_b") == 1)).orderBy("key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_hierarchy": _q_cell_hierarchy,
@@ -387,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "tiling_web_tiles": _q_tiling_web_tiles,
         "cell_index_labels": _q_cell_index_labels,
+        "geo_rect_filter": _q_geo_rect_filter,
         "geo_loop_measures": _q_geo_loop_measures,
         "geo_cellunion_ops": _q_geo_cellunion_ops,
         "geo_closest_edge": _q_geo_closest_edge,
@@ -581,6 +601,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+
+        "geo_rect_filter": f"""
+            WITH p AS (
+              SELECT c_custkey AS key, {_TILE_LAT} AS lat, {_TILE_LNG} AS lng
+              FROM customer)
+            SELECT key,
+              CASE WHEN lat >= 10.0 AND lat <= 60.0 AND lng >= -30.0 AND lng <= 40.0
+                   THEN 1 ELSE 0 END AS in_rect_a,
+              CASE WHEN lat >= 10.0 AND lat <= 60.0 AND (lng >= 150.0 OR lng <= -150.0)
+                   THEN 1 ELSE 0 END AS in_rect_b
+            FROM p
+            WHERE (lat >= 10.0 AND lat <= 60.0 AND lng >= -30.0 AND lng <= 40.0)
+               OR (lat >= 10.0 AND lat <= 60.0 AND (lng >= 150.0 OR lng <= -150.0))
+            ORDER BY key
         """,
         "tiling_web_tiles": f"""
             WITH p AS (
