@@ -462,3 +462,27 @@ def all_neighbors(ids: np.ndarray, nbr_level: int) -> list[np.ndarray]:
         for local, row in enumerate(rows):
             results[row] = stacked[local]
     return results
+
+
+def advance_wrap(ids: np.ndarray, steps: np.ndarray) -> np.ndarray:
+    """Hilbert-order advance with wraparound (s2cell_id.cc:144-166)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    steps = np.asarray(steps, dtype=np.int64).copy()
+    shift = (2 * (MAX_LEVEL - level(ids)) + 1).astype(np.uint64)
+    step_wrap = (WRAP_OFFSET >> shift).view(np.int64)
+    neg = steps < 0
+    if neg.any():
+        min_steps = -((ids >> shift).astype(np.int64))
+        need = neg & (steps < min_steps)
+        # C++ % truncates toward zero; numpy % floors — use fmod
+        steps[need] = np.fmod(steps[need], step_wrap[need])
+        still = neg & (steps < min_steps)
+        steps[still] += step_wrap[still]
+    pos = ~neg
+    if pos.any():
+        max_steps = ((WRAP_OFFSET - ids) >> shift).astype(np.int64)
+        need = pos & (steps > max_steps)
+        steps[need] = np.fmod(steps[need], step_wrap[need])
+        still = pos & (steps > max_steps)
+        steps[still] -= step_wrap[still]
+    return ids + (steps.view(np.uint64) << shift)

@@ -153,3 +153,46 @@ def from_begin_end(begin: CID, end: CID) -> list[CID]:
         out.append(tile)
         cid = tile.range_max().next()
     return out
+
+
+def expand_level(ids: list[CID], expand_level: int) -> list[CID]:
+    """S2CellUnion::Expand(level) (s2cell_union.cc:454-469): buffer the
+    union by one ring of neighbors at `expand_level` — the kNN/"within
+    distance" ring-expansion primitive."""
+    import numpy as np
+
+    from . import cellid as K
+
+    ids = sorted(ids, key=lambda c: c.id)
+    level_lsb = CID.lsb_for_level(expand_level)
+    output: list[CID] = []
+    i = len(ids) - 1
+    while i >= 0:
+        cid = ids[i]
+        if cid.lsb() < level_lsb:
+            cid = cid.parent(expand_level)
+            while i > 0 and cid.contains(ids[i - 1]):
+                i -= 1
+        output.append(cid)
+        nbrs = K.all_neighbors(np.array([cid.id], dtype=np.uint64), expand_level)[0]
+        output.extend(CID(int(n)) for n in nbrs)
+        i -= 1
+    return normalize(output)
+
+
+def expand_radius(ids: list[CID], min_radius_rad: float, max_level_diff: int = 8) -> list[CID]:
+    """S2CellUnion::Expand(min_radius, max_level_diff) (s2cell_union.cc:471-484)."""
+    from . import metrics
+
+    if not ids:
+        return []
+    min_level = min(c.level() for c in ids)
+    radius_level = metrics.MIN_WIDTH.get_level_for_min_value(min_radius_rad)
+    if radius_level == 0 and min_radius_rad > metrics.MIN_WIDTH.get_value(0):
+        ids = expand_level(ids, 0)
+    return expand_level(ids, min(min_level + max_level_diff, radius_level))
+
+
+def leaf_cells_covered(ids: list[CID]) -> int:
+    """LeafCellsCovered (s2cell_union.cc:487-494)."""
+    return sum(1 << ((MAX_LEVEL - c.level()) << 1) for c in ids)

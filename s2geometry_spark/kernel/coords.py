@@ -170,3 +170,25 @@ def normalize_xyz(
     n = np.sqrt(x * x + y * y + z * z)
     n = np.where(n == 0, 1.0, n)
     return x / n, y / n, z / n
+
+
+def xyz_to_face_siti(
+    x: np.ndarray, y: np.ndarray, z: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """XYZtoFaceSiTi (s2coords.cc:43-66): returns (face, si, ti, level);
+    level = -1 where p is not the center of a cell at any level."""
+    face, u, v = xyz_to_face_uv(x, y, z)
+    si = st_to_siti(uv_to_st(u))
+    ti = st_to_siti(uv_to_st(v))
+    or_max = np.int64(MAX_SI_TI)
+    lsb_si = (si | or_max) & -(si | or_max)
+    lsb_ti = (ti | or_max) & -(ti | or_max)
+    # level = kMaxCellLevel - countr_zero(si | kMaxSiTi) (s2coords.cc:54)
+    lvl_si = MAX_LEVEL - np.log2(lsb_si.astype(np.float64)).astype(np.int64)
+    lvl_ti = MAX_LEVEL - np.log2(lsb_ti.astype(np.float64)).astype(np.int64)
+    level = np.where((lvl_si >= 0) & (lvl_si == lvl_ti), lvl_si, -1)
+    # exact center check: recompute the center and compare bit-for-bit
+    cx, cy, cz = normalize_xyz(*face_siti_to_xyz(face, si, ti))
+    is_center = (cx == x) & (cy == y) & (cz == z)
+    level = np.where(is_center, level, -1)
+    return face, si, ti, level

@@ -83,3 +83,23 @@ def point_edge_dist2(X: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
 def update_min_distance(x, a, b) -> float:
     """Scalar convenience for tests."""
     return float(point_edge_dist2(np.asarray(x)[None], np.asarray(a)[None], np.asarray(b)[None])[0, 0])
+
+
+def chord2_successor(length2) -> np.ndarray:
+    """S1ChordAngle::Successor: smallest representable larger angle
+    (s1chord_angle.cc); 4 stays 4 (Straight→Infinity not modeled)."""
+    l2 = np.asarray(length2, dtype=np.float64)
+    return np.where(l2 >= 4.0, l2, np.where(l2 < 0, 0.0, np.nextafter(l2, np.inf)))
+
+
+def chord2_predecessor(length2) -> np.ndarray:
+    l2 = np.asarray(length2, dtype=np.float64)
+    return np.where(l2 <= 0.0, -1.0, np.where(l2 > 4.0, 4.0, np.nextafter(l2, -np.inf)))
+
+
+def directed_hausdorff2(A_vertices: np.ndarray, B_edges_c: np.ndarray, B_edges_d: np.ndarray) -> float:
+    """Discrete directed Hausdorff distance (squared chord): max over A's
+    vertices of the min distance to B's edges (S2HausdorffDistanceQuery
+    semantics over vertex samples, s2hausdorff_distance_query.h)."""
+    d2 = point_edge_dist2(A_vertices, B_edges_c, B_edges_d)
+    return float(d2.min(axis=1).max())
