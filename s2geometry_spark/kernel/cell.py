@@ -206,3 +206,55 @@ class Cell:
 
     def get_bound_uv_expanded(self, pad: float):
         return (self.u_lo - pad, self.u_hi + pad, self.v_lo - pad, self.v_hi + pad)
+
+
+# ---- areas & distances (s2cell.cc:120-160, 382-560) ----
+def _cell_vertices(cell: "Cell"):
+    import numpy as _np
+
+    return _np.stack([cell.get_vertex(k) for k in range(4)])
+
+
+def average_area(level: int) -> float:
+    from . import metrics
+
+    return metrics.AVG_AREA.get_value(level)
+
+
+def approx_area(cell: "Cell") -> float:
+    """S2Cell::ApproxArea (s2cell.cc:127-144)."""
+    import math
+
+    import numpy as _np
+
+    if cell.level < 2:
+        return average_area(cell.level)
+    v = _cell_vertices(cell)
+    flat_area = 0.5 * float(
+        _np.linalg.norm(_np.cross(v[2] - v[0], v[3] - v[1]))
+    )
+    return flat_area * 2 / (1 + math.sqrt(1 - min(flat_area / math.pi, 1.0)))
+
+
+def exact_area(cell: "Cell") -> float:
+    """S2Cell::ExactArea (s2cell.cc:146-157): two triangles."""
+    from .measures import triangle_area
+
+    v = _cell_vertices(cell)
+    return float(triangle_area(v[0], v[1], v[2])) + float(
+        triangle_area(v[0], v[2], v[3])
+    )
+
+
+def cell_distance2(cell: "Cell", p) -> float:
+    """Min squared-chord distance from point p to the cell (0 if inside)
+    — S2Cell::GetDistance semantics (s2cell.cc:434-470)."""
+    import numpy as _np
+
+    from .distance import point_edge_dist2
+
+    if cell.contains_point(_np.asarray(p, float)):
+        return 0.0
+    v = _cell_vertices(cell)
+    d = _np.roll(v, -1, axis=0)
+    return float(point_edge_dist2(_np.asarray(p, float)[None], v, d).min())
