@@ -1,0 +1,119 @@
+"""Polygon boolean ops (general-position overlay) — area identities and
+PIP-sampled set semantics."""
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernel import booleans as B
+from s2geometry_spark.kernel import measures as M
+from s2geometry_spark.kernel.contains import parse_points, parse_polygon
+from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+RNG = np.random.default_rng(42)
+
+
+def _poly_area(p) -> float:
+    """Even-odd region area: Σ (−1)^depth · loop_area (all loops CCW);
+    depth via an interior representative (loop centroid, convex loops)."""
+    if not p.loops:
+        return 0.0
+    # depth probe: a loop VERTEX (on the loop's own boundary but, in
+    # general position, strictly inside/outside every other loop)
+    reps = [loop.vertices[0] for loop in p.loops]
+    total = 0.0
+    for i, loop in enumerate(p.loops):
+        depth = sum(
+            1
+            for j, other in enumerate(p.loops)
+            if j != i and other.contains(np.asarray(reps[i])[None])[0]
+        )
+        total += (-1) ** depth * M.loop_area(loop.vertices)
+    return total
+
+
+def _sample(n=4000):
+    lat = RNG.uniform(-10, 15, n)
+    lng = RNG.uniform(-10, 15, n)
+    return np.stack(latlng_to_xyz(lat, lng), -1)
+
+
+# overlapping hexagon-ish rings with no shared vertices (general position)
+OVERLAP1 = parse_polygon("0:1, 1:1.5, 2:1, 2:0, 1:-0.5, 0:0")
+OVERLAP2 = parse_polygon("1:2, 2.5:2, 3:1, 3:0, 2:-1, 1:0.2")
+SQ_A = parse_polygon("0:0, 0:4, 4:4, 4:0")
+SQ_B = parse_polygon("2:2, 2:6, 6:6, 6:2")
+SMALL = parse_polygon("1:1, 1:3, 3:3, 3:1")
+DISJOINT = parse_polygon("10:10, 10:12, 12:12, 12:10")
+
+
+def _check_pip_semantics(a, b, out, op, pts):
+    in_a = a.contains(pts)
+    in_b = b.contains(pts)
+    got = out.contains(pts)
+    if op == "int":
+        want = in_a & in_b
+    elif op == "uni":
+        want = in_a | in_b
+    else:
+        want = in_a & ~in_b
+    # allow a sliver of disagreement right on output boundaries
+    frac = (got != want).mean()
+    assert frac < 0.003, f"{op}: {frac}"
+
+
+@pytest.mark.parametrize("a,b", [(SQ_A, SQ_B), (OVERLAP1, OVERLAP2)])
+def test_overlay_pip_semantics(a, b):
+    pts = _sample()
+    _check_pip_semantics(a, b, B.intersection(a, b), "int", pts)
+    _check_pip_semantics(a, b, B.union(a, b), "uni", pts)
+    _check_pip_semantics(a, b, B.difference(a, b), "dif", pts)
+
+
+def test_overlay_area_identity():
+    a, b = SQ_A, SQ_B
+    ai = _poly_area(B.intersection(a, b))
+    au = _poly_area(B.union(a, b))
+    aa, ab = _poly_area(a), _poly_area(b)
+    assert abs((ai + au) - (aa + ab)) < 1e-9
+    ad = _poly_area(B.difference(a, b))
+    assert abs((ad + ai) - aa) < 1e-9
+    # sanity: close to the planar [2,4]² box (edges are great circles,
+    # not parallels, so only approximately)
+    expect = M.loop_area(parse_points("2:2, 2:4, 4:4, 4:2"))
+    assert abs(ai - expect) / expect < 1e-3
+
+
+def test_nested_and_disjoint_cases():
+    pts = _sample()
+    # nested: SMALL ⊂ SQ_A
+    inter = B.intersection(SQ_A, SMALL)
+    assert abs(_poly_area(inter) - _poly_area(SMALL)) < 1e-12
+    uni = B.union(SQ_A, SMALL)
+    assert abs(_poly_area(uni) - _poly_area(SQ_A)) < 1e-12
+    diff = B.difference(SQ_A, SMALL)  # annulus
+    assert abs(_poly_area(diff) - (_poly_area(SQ_A) - _poly_area(SMALL))) < 1e-12
+    _check_pip_semantics(SQ_A, SMALL, diff, "dif", pts)
+    # disjoint
+    assert B.intersection(SQ_A, DISJOINT).is_empty
+    assert abs(
+        _poly_area(B.union(SQ_A, DISJOINT))
+        - (_poly_area(SQ_A) + _poly_area(DISJOINT))
+    ) < 1e-12
+
+
+def test_empty_full_cases():
+    empty = parse_polygon("empty")
+    full = parse_polygon("full")
+    assert B.intersection(SQ_A, empty).is_empty
+    assert B.union(SQ_A, empty) is SQ_A
+    assert abs(_poly_area(B.intersection(SQ_A, full)) - _poly_area(SQ_A)) < 1e-12
+    assert B.union(SQ_A, full).is_full
+    assert B.difference(SQ_A, full).is_empty
+
+
+def test_degenerate_raises():
+    shared = parse_polygon("0:0, 0:4, 4:4, 4:0")  # identical boundary
+    with pytest.raises(ValueError):
+        B.intersection(SQ_A, shared)
