@@ -382,6 +382,33 @@ def _q_geo_rect_filter(spark, sf_dir):
     ).filter((F.col("in_rect_a") == 1) | (F.col("in_rect_b") == 1)).orderBy("key")
 
 
+
+def _q_geo_boolean_ops(spark, sf_dir):
+    """Polygon boolean ops (general-position overlay): areas of a∩b, a∪b,
+    a\\b for fixture polygon pairs, as a small result table."""
+    import pandas as pd
+
+    from s2geometry_spark.kernel import booleans as B
+    from s2geometry_spark.kernel import measures as M
+    from s2geometry_spark.kernel.contains import parse_polygon
+
+    a = parse_polygon("0:0, 0:4, 4:4, 4:0")
+    b = parse_polygon("2:2, 2:6, 6:6, 6:2")
+    c = parse_polygon("1:1, 1:3, 3:3, 3:1")
+
+    def area(p):
+        return round(sum(M.loop_signed_area(l.vertices) for l in p.loops), 12)
+
+    rows = []
+    for name, pa, pb in [("sq_overlap", a, b), ("nested", a, c)]:
+        rows.append((name, "intersection", area(B.intersection(pa, pb)),
+                     len(B.intersection(pa, pb).loops)))
+        rows.append((name, "union", area(B.union(pa, pb)), len(B.union(pa, pb).loops)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pair", "op", "signed_area", "n_loops"])
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_hierarchy": _q_cell_hierarchy,
@@ -410,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_loop_measures": _q_geo_loop_measures,
         "geo_cellunion_ops": _q_geo_cellunion_ops,
         "geo_closest_edge": _q_geo_closest_edge,
+        "geo_boolean_ops": _q_geo_boolean_ops,
     }
 
 
