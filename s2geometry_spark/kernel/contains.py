@@ -172,11 +172,29 @@ def parse_loop(s: str) -> Loop:
     return Loop(parse_points(s))
 
 
-def parse_polygon(s: str) -> Polygon:
-    """";"-separated loop strings (MakePolygon, s2text_format.h)."""
+def parse_polygon(s: str, normalize: bool = False) -> Polygon:
+    """";"-separated loop strings (MakePolygon, s2text_format.h).
+
+    normalize=True matches s2textformat::MakePolygon (s2text_format.cc:
+    185-203): each loop is inverted if it encloses more than half the
+    sphere (S2Loop::Normalize); loops at exactly a hemisphere keep the
+    given orientation (turning angle 0 counts as normalized).
+    """
     s = s.strip()
     if not s or s == "empty":
         return Polygon([])
     if s == "full":
         return Polygon([parse_loop("full")])
-    return Polygon([parse_loop(part) for part in s.split(";") if part.strip()])
+    loops = [parse_loop(part) for part in s.split(";") if part.strip()]
+    if normalize:
+        from .measures import loop_signed_area
+
+        fixed = []
+        for loop in loops:
+            if not loop.is_empty_or_full and len(loop.vertices) >= 3:
+                sa = loop_signed_area(loop.vertices)
+                if sa < 0 and abs(abs(sa) - 2 * np.pi) > 1e-9:
+                    loop = Loop(loop.vertices[::-1].copy())
+            fixed.append(loop)
+        loops = fixed
+    return Polygon(loops)

@@ -55,14 +55,22 @@ def _proper_crossing(a: Polygon, b: Polygon) -> bool:
     n2 = np.cross(cb, db)
     s_cd_a = P.triage_sign_det(ca @ n2.T)  # (E1,E2): sign(c2,d2,a1)
     s_cd_b = P.triage_sign_det(da @ n2.T)
+    # Spherical crossing needs all four orientations mutually consistent
+    # (acb == bda == cbd == dac, s2edge_crosser.cc) — the planar
+    # opposite-sides test alone also fires on ANTIPODAL crossings.
+    acb = -s_ab_c
+    bda = s_ab_d
+    cbd = -s_cd_b
+    dac = s_cd_a
     certain_no = (
-        ((s_ab_c != 0) & (s_ab_d != 0) & (s_ab_c == s_ab_d))
-        | ((s_cd_a != 0) & (s_cd_b != 0) & (s_cd_a == s_cd_b))
+        ((acb != 0) & (bda != 0) & (acb != bda))
+        | ((cbd != 0) & (dac != 0) & (cbd != dac))
+        | ((acb != 0) & (cbd != 0) & (acb != cbd))
+        | ((bda != 0) & (dac != 0) & (bda != dac))
+        | ((acb != 0) & (dac != 0) & (acb != dac))
+        | ((bda != 0) & (cbd != 0) & (bda != cbd))
     )
-    crossing = (
-        (s_ab_c == -s_ab_d) & (s_ab_c != 0)
-        & (s_cd_a == -s_cd_b) & (s_cd_a != 0)
-    )
+    crossing = (acb == bda) & (cbd == acb) & (dac == acb) & (acb != 0)
     if crossing.any():
         return True
     pending = ~certain_no & ~crossing
@@ -100,4 +108,54 @@ def polygon_relations(a: Polygon, b: Polygon) -> tuple[bool, bool, bool]:
     contains_ab = bool(b_in_a.all()) and not bool(a_in_b.any())
     contains_ba = bool(a_in_b.all()) and not bool(b_in_a.any())
     intersects = bool(b_in_a.any() or a_in_b.any())
+    return (contains_ab, contains_ba, intersects)
+
+
+def _probes_of(poly: Polygon, eps: float) -> np.ndarray:
+    """Two probe points per edge, displaced ±eps perpendicular to the
+    boundary at each edge midpoint.  With no proper boundary crossings,
+    every face of the two-polygon overlay is adjacent to some edge
+    midpoint, so these probes witness every face."""
+    C, D = _edges(poly)
+    if not len(C):
+        return np.zeros((0, 3))
+    m = C + D
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    t = D - C
+    t = t - m * (t * m).sum(1, keepdims=True)
+    norm_t = np.linalg.norm(t, axis=1, keepdims=True)
+    norm_t[norm_t == 0] = 1.0
+    t = t / norm_t
+    n = np.cross(m, t)
+    probes = np.concatenate([m + eps * n, m - eps * n])
+    return probes / np.linalg.norm(probes, axis=1, keepdims=True)
+
+
+def polygon_relations_probed(
+    a: Polygon, b: Polygon, eps: float = 1e-11
+) -> tuple[bool, bool, bool]:
+    """(a ⊇ b, b ⊇ a, a ∩ b ≠ ∅) — robust to SHARED boundaries.
+
+    Handles the full s2polygon_test relation matrix: shared loops,
+    shared vertices (the south-pole family), hemisphere complements.
+    Requires: no pair of edges overlaps *partially* (fixture polygons
+    share edges exactly or only vertices), and the minimum separation
+    between distinct non-incident edges at edge midpoints exceeds eps.
+
+    A proper boundary crossing forces (False, False, True); otherwise
+    every overlay face is witnessed by an edge-midpoint probe and the
+    relations are decided by probe containment in both polygons.
+    """
+    if a.is_empty or b.is_empty:
+        return (b.is_empty, a.is_empty, False)
+    if a.is_full or b.is_full:
+        return (a.is_full, b.is_full, True)
+    if _proper_crossing(a, b):
+        return (False, False, True)
+    probes = np.concatenate([_probes_of(a, eps), _probes_of(b, eps)])
+    in_a = a.contains(probes)
+    in_b = b.contains(probes)
+    contains_ab = not bool((in_b & ~in_a).any())
+    contains_ba = not bool((in_a & ~in_b).any())
+    intersects = bool((in_a & in_b).any())
     return (contains_ab, contains_ba, intersects)
