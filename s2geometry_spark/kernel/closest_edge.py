@@ -117,3 +117,57 @@ def find_closest_edges(
         # de-dup: an interior hit (dist 0) subsumes coincident edge hits
         out.append([(sid, eid, d) for d, sid, eid in best])
     return out
+
+
+def closest_to_shape_targets(
+    points: np.ndarray,
+    target_shapes: list[Shape],
+    max_distance_rad: float | None = None,
+    include_interiors: bool = True,
+) -> list[tuple[int, float]]:
+    """S2ClosestEdgeQuery with a ShapeIndexTarget over indexed points
+    (s2closest_edge_query_test.cc TargetPolygonContainingIndexedPoints):
+    for each point, the min squared-chord distance to the target geometry
+    (0 when inside a target polygon and include_interiors) — (point_idx,
+    dist2) for points within max_distance."""
+    import math
+
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    best = np.full(len(points), 4.0)
+    for shape in target_shapes:
+        if include_interiors and shape.polygon is not None:
+            inside = shape.polygon.contains(points)
+            best = np.where(inside, 0.0, best)
+        if len(shape.edges_c):
+            d2 = point_edge_dist2(points, shape.edges_c, shape.edges_d).min(axis=1)
+            best = np.minimum(best, d2)
+    limit2 = None
+    if max_distance_rad is not None:
+        s = 2 * math.sin(0.5 * min(math.pi, max_distance_rad))
+        limit2 = s * s
+    out = []
+    for i, d in enumerate(best):
+        if limit2 is None or d < limit2:
+            out.append((i, float(d)))
+    return out
+
+
+def find_furthest_edges(
+    shapes: list[Shape], targets: np.ndarray, k: int = 1
+) -> list[list[tuple[int, int, float]]]:
+    """S2FurthestEdgeQuery analog: same machinery, max distance order."""
+    targets = np.asarray(targets, dtype=np.float64).reshape(-1, 3)
+    cand: list[list[tuple[float, int, int]]] = [[] for _ in range(len(targets))]
+    for shape in shapes:
+        if len(shape.edges_c):
+            # max distance to an edge is attained at a vertex
+            d2c = ((targets[:, None, :] - shape.edges_c[None]) ** 2).sum(-1)
+            d2d = ((targets[:, None, :] - shape.edges_d[None]) ** 2).sum(-1)
+            d2 = np.minimum(np.maximum(d2c, d2d), 4.0)
+            for i in range(len(targets)):
+                for e in range(d2.shape[1]):
+                    cand[i].append((float(d2[i, e]), shape.shape_id, e))
+    return [
+        [(sid, eid, d) for d, sid, eid in sorted(c, reverse=True)[:k]]
+        for c in cand
+    ]

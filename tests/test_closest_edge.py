@@ -76,3 +76,34 @@ def test_knn_edges_vs_brute_force():
             want = np.sort(d2[i])[:3]
             have = [d for (_, _, d) in got[i]]
             np.testing.assert_allclose(have, want, rtol=1e-15)
+
+
+def test_target_polygon_containing_indexed_points():
+    """s2closest_edge_query_test.cc:463-480: 4 indexed points, target =
+    polyline loop + polygon; only the 2 points in the polygon (and any
+    point within 1° of target edges) are returned with distance 0."""
+    from s2geometry_spark.kernel.closest_edge import closest_to_shape_targets
+
+    pts = parse_points("2:2, 3:3, 1:11, 3:13")
+    target = parse_index(INDEX)
+    res = closest_to_shape_targets(
+        pts, target, max_distance_rad=math.radians(1), include_interiors=True
+    )
+    zero = {i for i, d in res if d == 0.0}
+    assert zero == {2, 3}  # the two points inside the polygon
+    # 2:2 and 3:3 are inside the polyline LOOP (no interior) and > 1° from
+    # its edges? 2:2 is 1°+ from all polyline edges... ensure none report 0
+    assert all(i in (2, 3) or d > 0 for i, d in res)
+
+
+def test_furthest_edges():
+    from s2geometry_spark.kernel.closest_edge import find_furthest_edges
+
+    shapes = parse_index("# 0:0, 0:10 #")
+    t = parse_points("0:5, 0:-170")
+    res = find_furthest_edges(shapes, t, k=1)
+    # for 0:5 furthest vertex is either end (5°); for 0:-170 it's 0:10 (180°)
+    d_near = res[0][0][2]
+    d_far = res[1][0][2]
+    assert d_far > d_near
+    assert abs(d_far - chord2(t[1], parse_points("0:10")[0])) < 1e-15
