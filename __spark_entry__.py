@@ -409,6 +409,58 @@ def _q_geo_boolean_ops(spark, sf_dir):
     )
 
 
+
+
+def _q_geo_closest_edges_join(spark, sf_dir):
+    import math
+
+    from s2geometry_spark.kernel.closest_edge import parse_index
+    from s2geometry_spark.operators.closest_edges import closest_edges_join
+
+    shapes = parse_index("# 0:0, 0:5, 5:5, 5:0 # 0:10, 0:15, 5:15, 5:10")
+    pts = _mentions(spark, 400)
+    out = closest_edges_join(
+        pts, shapes, k=1, max_distance_rad=math.radians(45), include_interiors=True
+    )
+    return out.select(
+        "url", "mention_idx", "shape_id", "edge_id",
+        F.round("dist_rad", 9).alias("dist_rad_r"),
+    ).orderBy("url", "mention_idx", "shape_id", "edge_id")
+
+
+def _q_geo_relation_matrix(spark, sf_dir):
+    """Polygon relation matrix sample (probe-based overlay relations),
+    covering shared-boundary and hemisphere rows of s2polygon_test."""
+    import pandas as pd
+
+    from s2geometry_spark.kernel.contains import parse_polygon
+    from s2geometry_spark.kernel.relations import polygon_relations_probed
+
+    kNear0 = "-1:0, 0:1, 1:0, 0:-1;"
+    kNear1 = "-1:-1, -1:0, -1:1, 0:1, 1:1, 1:0, 1:-1, 0:-1;"
+    kNear2 = "-1:-2, -2:5, 5:-2;"
+    kNear3 = "-2:-2, -3:6, 6:-3;"
+    kNearHemi = "0:-90, -90:0, 0:90, 90:0;"
+    polys = {
+        "near_10": parse_polygon(kNear0 + kNear1, normalize=True),
+        "near_30": parse_polygon(kNear3 + kNear0, normalize=True),
+        "near_32": parse_polygon(kNear2 + kNear3, normalize=True),
+        "near_3210": parse_polygon(kNear0 + kNear2 + kNear3 + kNear1, normalize=True),
+        "near_H3210": parse_polygon(
+            kNear0 + kNear2 + kNear3 + kNearHemi + kNear1, normalize=True
+        ),
+    }
+    names = sorted(polys)
+    rows = []
+    for i, na in enumerate(names):
+        for nb in names[i:]:
+            c_ab, c_ba, inter = polygon_relations_probed(polys[na], polys[nb])
+            rows.append((na, nb, int(c_ab), int(c_ba), int(inter)))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["a", "b", "contains", "contained", "intersects"])
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_hierarchy": _q_cell_hierarchy,
@@ -438,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cellunion_ops": _q_geo_cellunion_ops,
         "geo_closest_edge": _q_geo_closest_edge,
         "geo_boolean_ops": _q_geo_boolean_ops,
+        "geo_relation_matrix": _q_geo_relation_matrix,
+        "geo_closest_edges_join": _q_geo_closest_edges_join,
     }
 
 

@@ -486,3 +486,36 @@ def advance_wrap(ids: np.ndarray, steps: np.ndarray) -> np.ndarray:
         still = pos & (steps > max_steps)
         steps[still] -= step_wrap[still]
     return ids + (steps.view(np.uint64) << shift)
+
+
+def expanded_by_distance_uv(
+    u_lo, u_hi, v_lo, v_hi, distance_rad: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """ExpandedByDistanceUV (s2cell_id.cc:418-456): grow a (u,v)-rect just
+    enough to include all points within the given on-sphere distance.
+    Vectorized over rect arrays; negative distance shrinks (may collapse
+    to a degenerate rect at the first corner like the reference)."""
+    u_lo, u_hi, v_lo, v_hi = (
+        np.asarray(a, dtype=np.float64) for a in (u_lo, u_hi, v_lo, v_hi)
+    )
+    max_u = np.maximum(np.abs(u_lo), np.abs(u_hi))
+    max_v = np.maximum(np.abs(v_lo), np.abs(v_hi))
+    sin_dist = np.sin(distance_rad)
+
+    def expand(u, max_w, sd):
+        # ExpandEndpoint (s2cell_id.cc:424-439)
+        sin_u_shift = sd * np.sqrt((1 + u * u + max_w * max_w) / (1 + u * u))
+        cos_u_shift = np.sqrt(np.maximum(1 - sin_u_shift * sin_u_shift, 0.0))
+        return (cos_u_shift * u + sin_u_shift) / (cos_u_shift - sin_u_shift * u)
+
+    new_u_lo = expand(u_lo, max_v, -sin_dist)
+    new_u_hi = expand(u_hi, max_v, sin_dist)
+    new_v_lo = expand(v_lo, max_u, -sin_dist)
+    new_v_hi = expand(v_hi, max_u, sin_dist)
+    empty = (new_u_lo > new_u_hi) | (new_v_lo > new_v_hi)
+    return (
+        np.where(empty, u_lo, new_u_lo),
+        np.where(empty, u_lo, new_u_hi),
+        np.where(empty, v_lo, new_v_lo),
+        np.where(empty, v_lo, new_v_hi),
+    )

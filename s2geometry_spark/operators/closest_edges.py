@@ -1,0 +1,79 @@
+"""Distributed closest-edge join: a points DataFrame vs broadcast shapes.
+
+The DataFrame face of kernel/closest_edge.py: shapes (small, query side)
+ship in the UDF closure; each Arrow batch computes all (point × edge)
+distances as one einsum + polygon-interior PIP, returning the per-point
+top-k as an array that is then exploded — the S2ClosestEdgeQuery
+semantics at fact-table scale with zero shuffles of the point side.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.closest_edge import Shape, find_closest_edges
+
+_HIT = StructType(
+    [
+        StructField("shape_id", IntegerType()),
+        StructField("edge_id", IntegerType()),
+        StructField("dist2", DoubleType()),
+    ]
+)
+
+
+def closest_edges_join(
+    points: DataFrame,
+    shapes: list[Shape],
+    k: int = 1,
+    max_distance_rad: float | None = None,
+    include_interiors: bool = True,
+) -> DataFrame:
+    """points(lat, lng, …) → one row per (point, hit) with shape_id,
+    edge_id (−1 = polygon interior), dist2, dist_rad."""
+
+    @F.pandas_udf(ArrayType(_HIT))
+    def hits(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernel.coords import latlng_to_xyz
+
+        x, y, z = latlng_to_xyz(lat.to_numpy(np.float64), lng.to_numpy(np.float64))
+        targets = np.stack([x, y, z], -1)
+        res = find_closest_edges(
+            shapes, targets, k=k,
+            max_distance_rad=max_distance_rad,
+            include_interiors=include_interiors,
+        )
+        return pd.Series(
+            [
+                [
+                    {"shape_id": sid, "edge_id": eid, "dist2": d}
+                    for sid, eid, d in row
+                ]
+                for row in res
+            ]
+        )
+
+    exploded = points.withColumn(
+        "_hit", F.explode(hits(F.col("lat"), F.col("lng")))
+    )
+    return exploded.select(
+        "*",
+        F.col("_hit.shape_id").alias("shape_id"),
+        F.col("_hit.edge_id").alias("edge_id"),
+        F.col("_hit.dist2").alias("dist2"),
+    ).drop("_hit").withColumn(
+        "dist_rad",
+        2 * F.asin(0.5 * F.sqrt(F.least(F.col("dist2"), F.lit(4.0)))),
+    )
