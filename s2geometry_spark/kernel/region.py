@@ -511,3 +511,72 @@ class CellUnionRegion:
 
     def get_cell_union_bound(self) -> list[CID]:
         return list(self.ids)
+
+
+class RegionUnion:
+    """S2RegionUnion (s2region_union.cc): lazy union of regions."""
+
+    def __init__(self, regions: list):
+        self.regions = regions
+
+    def contains_point(self, p) -> bool:
+        return any(r.contains_point(p) for r in self.regions)
+
+    def contains_cell(self, cell: Cell) -> bool:
+        # conservative like the reference: true if any member contains it
+        return any(r.contains_cell(cell) for r in self.regions)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return any(r.may_intersect_cell(cell) for r in self.regions)
+
+    def get_cap_bound(self) -> Cap:
+        cap = Cap.empty()
+        for r in self.regions:
+            sub = r.get_cap_bound()
+            if sub.is_empty():
+                continue
+            cap.add_point(sub.center)
+            # grow to cover the member cap
+            grow = _chord_angle2(cap.center, sub.center)
+            cap.length2 = max(
+                cap.length2,
+                Cap.from_center_angle(
+                    cap.center,
+                    cap.radius_radians() + sub.radius_radians(),
+                ).length2,
+            )
+        return cap
+
+    def get_cell_union_bound(self) -> list[CID]:
+        out: list[CID] = []
+        for r in self.regions:
+            out.extend(r.get_cell_union_bound())
+        from . import cellunion
+
+        return cellunion.normalize(out)
+
+
+class RegionIntersection:
+    """S2RegionIntersection (s2region_intersection.cc): lazy intersection."""
+
+    def __init__(self, regions: list):
+        self.regions = regions
+
+    def contains_point(self, p) -> bool:
+        return all(r.contains_point(p) for r in self.regions)
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return all(r.contains_cell(cell) for r in self.regions)
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        # conservative: a cell may intersect only if it may intersect all
+        return all(r.may_intersect_cell(cell) for r in self.regions)
+
+    def get_cap_bound(self) -> Cap:
+        caps = [r.get_cap_bound() for r in self.regions]
+        if not caps:
+            return Cap.full()
+        return min(caps, key=lambda c: c.length2)
+
+    def get_cell_union_bound(self) -> list[CID]:
+        return self.get_cap_bound().get_cell_union_bound()
