@@ -580,3 +580,57 @@ class RegionIntersection:
 
     def get_cell_union_bound(self) -> list[CID]:
         return self.get_cap_bound().get_cell_union_bound()
+
+
+def _cap_get_rect_bound(cap: Cap) -> LatLngRect:
+    """S2Cap::GetRectBound (s2cap.cc:165-196)."""
+    if cap.is_empty():
+        return LatLngRect.empty()
+    center_lat = _latitude(cap.center)
+    center_lng = _longitude(cap.center)
+    cap_angle = cap.radius_radians()
+    all_longitudes = False
+    lat_lo = center_lat - cap_angle
+    lat_hi = center_lat + cap_angle
+    lng_lo, lng_hi = -PI, PI
+    if lat_lo <= -PI / 2:
+        lat_lo = -PI / 2
+        all_longitudes = True
+    if lat_hi >= PI / 2:
+        lat_hi = PI / 2
+        all_longitudes = True
+    if not all_longitudes:
+        # sin(radius) from the squared chord: sin²(a) = l²(1 - l²/4)
+        sin_a = math.sqrt(cap.length2 * (1 - 0.25 * cap.length2))
+        sin_c = math.cos(center_lat)
+        if sin_a <= sin_c:
+            angle_a = math.asin(sin_a / sin_c)
+            lng_lo = math.remainder(center_lng - angle_a, 2 * PI)
+            lng_hi = math.remainder(center_lng + angle_a, 2 * PI)
+    return LatLngRect(R1Interval(lat_lo, lat_hi), S1Interval(lng_lo, lng_hi))
+
+
+def _cap_expanded(cap: Cap, distance_rad: float) -> Cap:
+    """S2Cap::Expanded (s2cap.cc)."""
+    if cap.is_empty():
+        return Cap.empty()
+    return Cap.from_center_angle(cap.center, cap.radius_radians() + distance_rad)
+
+
+Cap.get_rect_bound = _cap_get_rect_bound
+Cap.expanded = _cap_expanded
+
+
+def cell_cap_bound(cell: Cell) -> Cap:
+    """S2Cell::GetCapBound (s2cell.cc:159-175): uv-center axis + AddPoint
+    of the 4 vertices."""
+    from .cell import _face_uv_to_xyz
+
+    c = _face_uv_to_xyz(
+        cell.face, 0.5 * (cell.u_lo + cell.u_hi), 0.5 * (cell.v_lo + cell.v_hi)
+    )
+    c = c / np.linalg.norm(c)
+    cap = Cap.from_point(c)
+    for k in range(4):
+        cap.add_point(cell.get_vertex(k))
+    return cap
