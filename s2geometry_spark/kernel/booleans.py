@@ -16,12 +16,15 @@ Overlay algorithm:
  5. walk the directed sub-edge graph to assemble output loops (at a
     transversal crossing exactly one kept edge leaves each kept entry).
 
-Degenerate inputs (shared vertices/edges, tangencies) require the snap
-machinery and raise ValueError — matching the documented scope
-(SURVEY.md §2.6 stretch).
+Shared boundaries are supported: exactly-shared edges resolve by
+orientation rules, shared vertices by max-CCW-turn face tracing.  Only
+*partially* overlapping collinear edges (true snap-rounding territory,
+S2Builder) are out of scope.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -64,17 +67,14 @@ def _slerp_mid(a, b) -> np.ndarray:
 
 def _split_edges(edges, other_edges):
     """For each directed edge, its crossing points ordered along the edge
-    → list of sub-edges (a', b')."""
+    → list of sub-edges (a', b').  Shared vertices and exactly-shared
+    edges produce no cut (crossing_sign == 0); *partially* overlapping
+    collinear edges are not supported (snap-rounding territory)."""
     subs = []
     for a, b in edges:
         cuts = []
         for c, d in other_edges:
             cs = P.crossing_sign(a, b, c, d)
-            if cs == 0:
-                raise ValueError(
-                    "shared vertex between boundaries: general-position "
-                    "overlay does not apply (needs snap rounding)"
-                )
             if cs > 0:
                 cuts.append(_intersection_point(a, b, c, d))
         if cuts:
@@ -96,8 +96,20 @@ def _classify(subs, other: Polygon) -> np.ndarray:
     return other.contains(mids)
 
 
+def _tangent_toward(v: np.ndarray, w: np.ndarray) -> np.ndarray:
+    t = w - v * float(v @ w)
+    n = np.linalg.norm(t)
+    return t / n if n > 0 else t
+
+
 def _assemble_loops(directed_edges) -> list[np.ndarray]:
-    """Walk directed edges into closed loops; vertices keyed bitwise."""
+    """Walk directed edges into closed loops; vertices keyed bitwise.
+
+    At a junction (shared vertex with several unused outgoing edges) the
+    next edge is the one with the MAXIMUM counterclockwise angle from the
+    reversed incoming direction — the interior-on-left face-tracing rule,
+    which keeps touching rings separate instead of jumping between them.
+    """
     by_start: dict[tuple, list[int]] = {}
     for i, (a, _b) in enumerate(directed_edges):
         by_start.setdefault(tuple(a), []).append(i)
@@ -114,11 +126,24 @@ def _assemble_loops(directed_edges) -> list[np.ndarray]:
             verts.append(a)
             nxts = [k for k in by_start.get(tuple(b), []) if not used[k]]
             if not nxts:
-                # loop must close back to the start vertex
                 if tuple(b) != tuple(directed_edges[i][0]):
                     raise ValueError("open chain in overlay (degenerate input)")
                 break
-            j = nxts[0]
+            if len(nxts) == 1:
+                j = nxts[0]
+            else:
+                v = b
+                r = _tangent_toward(v, a)  # back toward where we came from
+                e2 = np.cross(v, r)
+                best, best_ang = None, -1.0
+                for k in nxts:
+                    cdir = _tangent_toward(v, directed_edges[k][1])
+                    ang = math.atan2(float(cdir @ e2), float(cdir @ r)) % (
+                        2 * math.pi
+                    )
+                    if ang > best_ang:
+                        best, best_ang = k, ang
+                j = best
         if len(verts) >= 3:
             loops.append(np.array(verts))
     return loops
@@ -126,11 +151,53 @@ def _assemble_loops(directed_edges) -> list[np.ndarray]:
 
 def _overlay(a: Polygon, b: Polygon, keep_a_inside: bool, keep_b_inside: bool,
              reverse_b: bool) -> Polygon:
-    ea = _split_edges(_edges_of(a), _edges_of(b))
-    eb = _split_edges(_edges_of(b), _edges_of(a))
+    raw_a = _edges_of(a)
+    raw_b = _edges_of(b)
+    # Exactly-shared boundary segments can't be classified by midpoint PIP
+    # (the midpoint lies ON the other boundary).  Classify by 4 probes
+    # (m ± ε·left in both polygons): the edge is on the result's boundary
+    # iff the op value differs across it; keep it oriented result-left.
+    if reverse_b:
+        op = lambda ia, ib: ia and not ib  # difference
+    elif keep_a_inside:
+        op = lambda ia, ib: ia and ib  # intersection
+    else:
+        op = lambda ia, ib: ia or ib  # union
+    eps = 1e-11
+    b_dir = {(tuple(c), tuple(d)) for c, d in raw_b}
+    shared_kept = []
+    a_rest, b_rest = [], []
+    for c, d in raw_a:
+        key, rkey = (tuple(c), tuple(d)), (tuple(d), tuple(c))
+        if key in b_dir or rkey in b_dir:
+            m = _slerp_mid(c, d)
+            t = d - c
+            t = t - m * float(m @ t)
+            t = t / np.linalg.norm(t)
+            left = np.cross(m, t)
+            p_l = m + eps * left
+            p_r = m - eps * left
+            probes = np.stack([p_l / np.linalg.norm(p_l), p_r / np.linalg.norm(p_r)])
+            ia = a.contains(probes)
+            ib = b.contains(probes)
+            r_left = op(bool(ia[0]), bool(ib[0]))
+            r_right = op(bool(ia[1]), bool(ib[1]))
+            if r_left != r_right:
+                shared_kept.append((c, d) if r_left else (d, c))
+        else:
+            a_rest.append((c, d))
+    a_dir = {(tuple(c), tuple(d)) for c, d in raw_a}
+    for c, d in raw_b:
+        key, rkey = (tuple(c), tuple(d)), (tuple(d), tuple(c))
+        if key not in a_dir and rkey not in a_dir:
+            b_rest.append((c, d))
+
+    ea = _split_edges(a_rest, b_rest)
+    eb = _split_edges(b_rest, a_rest)
     a_in_b = _classify(ea, b)
     b_in_a = _classify(eb, a)
     kept = [e for e, inside in zip(ea, a_in_b) if inside == keep_a_inside]
+    kept += shared_kept
     b_kept = [e for e, inside in zip(eb, b_in_a) if inside == keep_b_inside]
     if reverse_b:
         b_kept = [(d, c) for c, d in b_kept]

@@ -19,9 +19,19 @@ def _poly_area(p) -> float:
     depth via an interior representative (loop centroid, convex loops)."""
     if not p.loops:
         return 0.0
-    # depth probe: a loop VERTEX (on the loop's own boundary but, in
-    # general position, strictly inside/outside every other loop)
-    reps = [loop.vertices[0] for loop in p.loops]
+    # depth probe: a point just inside the loop (left of its first edge
+    # midpoint) — strictly off every other boundary even when rings touch
+    # at shared vertices
+    reps = []
+    for loop in p.loops:
+        c, d = loop.vertices[0], loop.vertices[1]
+        m = c + d
+        m = m / np.linalg.norm(m)
+        t = d - c
+        t = t - m * float(m @ t)
+        t = t / np.linalg.norm(t)
+        rep = m + 1e-9 * np.cross(m, t)
+        reps.append(rep / np.linalg.norm(rep))
     total = 0.0
     for i, loop in enumerate(p.loops):
         depth = sum(
@@ -113,7 +123,60 @@ def test_empty_full_cases():
     assert B.difference(SQ_A, full).is_empty
 
 
-def test_degenerate_raises():
+def test_shared_boundary_no_longer_raises():
     shared = parse_polygon("0:0, 0:4, 4:4, 4:0")  # identical boundary
-    with pytest.raises(ValueError):
-        B.intersection(SQ_A, shared)
+    out = B.intersection(SQ_A, shared)
+    assert abs(_poly_area(out) - _poly_area(SQ_A)) < 1e-12
+
+
+def test_shared_edge_adjacent_squares():
+    # two squares sharing the lat=2 edge exactly (opposite directions)
+    a = parse_polygon("0:0, 0:4, 2:4, 2:0")
+    b = parse_polygon("2:0, 2:4, 4:4, 4:0")
+    pts = _sample()
+    assert B.intersection(a, b).is_empty
+    uni = B.union(a, b)
+    _check_pip_semantics(a, b, uni, "uni", pts)
+    # the union should be (close to) the full 4x4 square
+    big = parse_polygon("0:0, 0:4, 4:4, 4:0")
+    assert abs(_poly_area(uni) - _poly_area(big)) / _poly_area(big) < 2e-3
+    diff = B.difference(a, b)
+    _check_pip_semantics(a, b, diff, "dif", pts)
+    assert abs(_poly_area(diff) - _poly_area(a)) < 1e-12
+
+
+def test_shared_corner_squares():
+    a = parse_polygon("0:0, 0:1, 1:1, 1:0")
+    b = parse_polygon("1:1, 1:2, 2:2, 2:1")
+    pts = _sample()
+    uni = B.union(a, b)
+    _check_pip_semantics(a, b, uni, "uni", pts)
+    assert abs(_poly_area(uni) - (_poly_area(a) + _poly_area(b))) < 1e-12
+    assert B.intersection(a, b).is_empty
+
+
+def test_identical_polygons():
+    assert abs(_poly_area(B.intersection(SQ_A, SQ_A)) - _poly_area(SQ_A)) < 1e-12
+    assert abs(_poly_area(B.union(SQ_A, SQ_A)) - _poly_area(SQ_A)) < 1e-12
+    assert B.difference(SQ_A, SQ_A).is_empty
+
+
+def test_shared_hole_annuli():
+    # near_10 ⊆ near_30 with a SHARED hole ring (kNear0)
+    kNear0 = "-1:0, 0:1, 1:0, 0:-1"
+    kNear1 = "-1:-1, -1:0, -1:1, 0:1, 1:1, 1:0, 1:-1, 0:-1"
+    kNear3 = "-2:-2, -3:6, 6:-3"
+    near_10 = parse_polygon(kNear0 + ";" + kNear1, normalize=True)
+    near_30 = parse_polygon(kNear3 + ";" + kNear0, normalize=True)
+    pts = _sample()
+    inter = B.intersection(near_10, near_30)
+    _check_pip_semantics(near_10, near_30, inter, "int", pts)
+    assert abs(_poly_area(inter) - _poly_area(near_10)) < 1e-9
+    uni = B.union(near_10, near_30)
+    _check_pip_semantics(near_10, near_30, uni, "uni", pts)
+    assert abs(_poly_area(uni) - _poly_area(near_30)) < 1e-9
+    diff = B.difference(near_30, near_10)
+    _check_pip_semantics(near_30, near_10, diff, "dif", pts)
+    assert abs(
+        _poly_area(diff) - (_poly_area(near_30) - _poly_area(near_10))
+    ) < 1e-9
