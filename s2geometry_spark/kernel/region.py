@@ -208,6 +208,15 @@ class LatLngRect:
     def empty() -> "LatLngRect":
         return LatLngRect(R1Interval.empty(), S1Interval.empty())
 
+    @staticmethod
+    def full() -> "LatLngRect":
+        return LatLngRect(R1Interval(-PI / 2, PI / 2), S1Interval.full())
+
+    def is_full(self) -> bool:
+        return (
+            self.lat.lo == -PI / 2 and self.lat.hi == PI / 2 and self.lng.is_full()
+        )
+
     def is_empty(self) -> bool:
         return self.lat.is_empty()
 
