@@ -243,3 +243,35 @@ def difference(a: Polygon, b: Polygon) -> Polygon:
     if b.is_empty:
         return a
     return _overlay(a, b, keep_a_inside=False, keep_b_inside=True, reverse_b=True)
+
+
+def cellunion_to_polygon(cells) -> Polygon:
+    """S2Polygon::InitToCellUnionBorder analog: the region of a normalized
+    cell union as an even-odd polygon.  Cells of a normalized union have
+    disjoint interiors, so the XOR of their 4-vertex cell loops IS the
+    union region (shared boundary segments cancel in crossing parity) —
+    no explicit border merging needed for containment semantics."""
+    from .cell import Cell
+
+    loops = []
+    for cid in cells:
+        cell = Cell(cid)
+        loops.append(Loop(np.stack([cell.get_vertex(k) for k in range(4)])))
+    return Polygon(loops)
+
+
+def buffer_polygon(poly: Polygon, radius_rad: float, max_cells: int = 64) -> Polygon:
+    """S2BufferOperation approximation (s2shape_index_buffered_region.h:61):
+    cover the polygon, expand the covering by the radius on the cell
+    algebra, and return the expanded region as an even-odd polygon.  The
+    result is conservative (⊇ exact buffer) within one covering-cell
+    granularity."""
+    from .cellunion import expand_radius, normalize
+    from .coverer import RegionCoverer
+    from .region import ShapeRegion
+
+    cov = RegionCoverer(max_cells=max_cells).get_covering(
+        ShapeRegion(polygon=poly)
+    )
+    grown = expand_radius(normalize(cov), radius_rad)
+    return cellunion_to_polygon(grown)

@@ -180,3 +180,61 @@ def test_shared_hole_annuli():
     assert abs(
         _poly_area(diff) - (_poly_area(near_30) - _poly_area(near_10))
     ) < 1e-9
+
+
+def test_cellunion_to_polygon_region():
+    from s2geometry_spark.kernel import cellunion as CU
+    from s2geometry_spark.kernel import cellid as K
+    from s2geometry_spark.kernel.booleans import cellunion_to_polygon
+    from s2geometry_spark.kernel.cid import CID
+
+    rng = np.random.RandomState(7)
+    lat = rng.uniform(-60, 60, 12)
+    lng = rng.uniform(-170, 170, 12)
+    cells = CU.normalize(
+        [CID(int(c)) for c in (
+            __import__("s2geometry_spark.kernel.cellid", fromlist=["parent"])
+            .parent(
+                __import__("s2geometry_spark.kernel.cellid", fromlist=["x"])
+                .from_latlng(lat, lng), 6,
+            )
+        )]
+    )
+    poly = cellunion_to_polygon(cells)
+    # containment through the polygon == containment through the union
+    qlat = rng.uniform(-80, 80, 800)
+    qlng = rng.uniform(-180, 180, 800)
+    pts = np.stack(
+        __import__("s2geometry_spark.kernel.coords", fromlist=["latlng_to_xyz"])
+        .latlng_to_xyz(qlat, qlng), -1,
+    )
+    leafs = __import__("s2geometry_spark.kernel.cellid", fromlist=["x"]).from_point(
+        pts[:, 0], pts[:, 1], pts[:, 2]
+    )
+    want = np.array([CU.contains_id(cells, CID(int(l))) for l in leafs])
+    got = poly.contains(pts)
+    assert (got == want).mean() > 0.999  # eps disagreement only on borders
+
+
+def test_buffer_polygon():
+    from s2geometry_spark.kernel.booleans import buffer_polygon
+    from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+    base = parse_polygon("10:10, 10:12, 12:12, 12:10")
+    buffered = buffer_polygon(base, math.radians(1.0))
+    pts = np.stack(
+        latlng_to_xyz(
+            10 + RNG.uniform(-3, 5, 600), 10 + RNG.uniform(-3, 5, 600)
+        ),
+        -1,
+    )
+    in_base = base.contains(pts)
+    in_buf = buffered.contains(pts)
+    # buffer is a superset of the original
+    assert not (in_base & ~in_buf).any()
+    # ...and contains points within the radius of the boundary
+    edge_pt = np.stack(latlng_to_xyz(np.array([10.5]), np.array([9.2]) ), -1)
+    assert buffered.contains(edge_pt)[0]
+    # ...but not points far beyond radius + cell slack
+    far_pt = np.stack(latlng_to_xyz(np.array([10.5]), np.array([2.0])), -1)
+    assert not buffered.contains(far_pt)[0]
