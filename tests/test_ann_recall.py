@@ -1,0 +1,33 @@
+"""ANN quality: sign-LSH finds planted near-duplicates; scores exact."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pdf = base.toPandas()
+    rng = np.random.default_rng(42)
+    planted = []
+    for i in range(10):
+        src = np.array(pdf.embedding.iloc[100 + i], dtype=np.float32)
+        noisy = src + rng.normal(0, 0.01, len(src)).astype(np.float32)
+        planted.append((int(i), [float(x) for x in noisy], -1))
+    q = spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    emb = q.unionByName(base.select("vec_id", "embedding", "label"))
+    out = ann_lsh_topk(emb, n_queries=10, k=1, bits=6).collect()
+    # the planted queries' nearest neighbor (cos ≈ 1) must land in the same
+    # LSH bucket virtually always — θ ≈ 0.01 rad → P(bit flip) ≈ θ/π per bit
+    hits = {r.query_id: r.cand_id for r in out}
+    found = sum(1 for i in range(10) if hits.get(i) == 100 + i)
+    assert found >= 9, hits
+    # and the LSH path's cosine scores equal the exact path's
+    exact = {(r.query_id, r.cand_id): r.cosine
+             for r in cosine_topk(emb, n_queries=10, k=3).collect()}
+    for r in out:
+        key = (r.query_id, r.cand_id)
+        if key in exact:
+            assert abs(r.cosine - exact[key]) < 1e-9
