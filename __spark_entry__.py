@@ -61,29 +61,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # --------------------------------------------------------------- queries
-def _q_geo_mentions_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from s2geometry_spark.functions import columns as CC
-    from s2geometry_spark.operators.indexing import cell_histogram
+_KNN_QUERIES = [
+    ("nyc", 40.71, -74.0),
+    ("london", 51.51, -0.13),
+    ("tokyo", 35.68, 139.69),
+    ("sparse_ocean", -40.0, -140.0),
+]
 
-    pts = _mentions(spark, 1000)
-    return (
-        cell_histogram(pts, 8)
-        .withColumn("token", CC.token("cell_id_s"))
-        .orderBy("cell_id_s")
+
+def _tile_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global scatter from the customer table — the same
+    formula the DuckDB oracles recompute (functions/oracles.py)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.selectExpr(
+        "c_custkey AS key", f"{_TILE_LAT} AS lat", f"{_TILE_LNG} AS lng"
     )
 
 
+def _q_geo_mentions_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaf-cell encode + decode roundtrip histogram: from_latlng →
+    ToFaceIJOrientation → (face, i8, j8) counts; the oracle recomputes
+    (face, i, j) Hilbert-free via the coordinate tower in SQL, so a
+    Hilbert/coords bug on either leg breaks the hash."""
+    from s2geometry_spark.functions.udfs import s2_cell_to_face_ij
+    from s2geometry_spark.operators.indexing import index_points
+
+    pts = index_points(_tile_points(spark, sf_dir), level=30)
+    fij = pts.withColumn("_f", s2_cell_to_face_ij(F.col("cell_id_s")))
+    return (
+        fij.groupBy(
+            F.col("_f.face").alias("face"),
+            F.shiftright(F.col("_f.i"), 22).alias("i8"),
+            F.shiftright(F.col("_f.j"), 22).alias("j8"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("face", "i8", "j8")
+    )
+
+
+def _continental_polygons():
+    """Continental-scale convex polygons (one with a hole) so the global
+    customer scatter yields meaningful per-polygon counts; all loops are
+    convex, which is what makes the side-test SQL oracle exact."""
+    from s2geometry_spark.kernel.contains import parse_polygon
+
+    return [
+        ("north_america", parse_polygon("20:-130, 20:-60, 55:-60, 55:-130")),
+        ("europe", parse_polygon("35:-10, 35:40, 65:40, 65:-10")),
+        ("asia_w_hole", parse_polygon(
+            "5:60, 5:140, 55:140, 55:60; 20:80, 20:110, 40:110, 40:80"
+        )),
+        ("south_ocean", parse_polygon("-60:-120, -60:-30, -20:-30, -20:-120")),
+        ("big_triangle", parse_polygon("-10:-30, -10:30, 45:0")),
+    ]
+
+
 def _q_geo_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s2geometry_spark.operators.indexing import index_points
     from s2geometry_spark.operators.spatial_join import point_in_polygon_join
 
-    pts = _mentions(spark, 1000)
-    out = point_in_polygon_join(pts, _fixture_polygons())
+    pts = index_points(_tile_points(spark, sf_dir), level=30)
+    out = point_in_polygon_join(pts, _continental_polygons())
     return (
         out.groupBy("polygon_id")
-        .agg(
-            F.count("*").alias("n_points"),
-            F.sum(F.col("is_interior_cell").cast("int")).alias("n_interior"),
-        )
+        .agg(F.count("*").alias("n_points"))
         .orderBy("polygon_id")
     )
 
@@ -93,21 +134,13 @@ def _q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from s2geometry_spark.operators.indexing import index_points
     from s2geometry_spark.operators.knn import knn_join
-    from s2geometry_spark.sources.pages import extract_mentions, synthesize_pages
 
-    pages = synthesize_pages(spark, 500, partitions=8)
-    pts = index_points(extract_mentions(pages), level=30, with_xyz=True)
-    queries = pd.DataFrame(
-        {
-            "query_id": ["nyc", "london", "tokyo", "sparse_ocean"],
-            "lat": [40.71, 51.51, 35.68, -40.0],
-            "lng": [-74.0, -0.13, 139.69, -140.0],
-        }
-    )
-    out = knn_join(queries, pts, k=5, level=8)
+    pts = index_points(_tile_points(spark, sf_dir), level=30, with_xyz=True)
+    queries = pd.DataFrame(_KNN_QUERIES, columns=["query_id", "lat", "lng"])
+    out = knn_join(queries, pts, k=5, level=8, point_cols=("key",))
     return out.select(
-        "query_id", "url", "mention_idx", F.round("dist_rad", 9).alias("dist_rad_r")
-    ).orderBy("query_id", "dist_rad_r", "url", "mention_idx")
+        "query_id", "key", F.round("dist_rad", 9).alias("dist_rad_r")
+    ).orderBy("query_id", "dist_rad_r", "key")
 
 
 def _q_geo_polygon_covering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,6 +548,7 @@ def _lang_score(lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from s2geometry_spark.functions import oracles as OR
     from s2geometry_spark.operators.cellops import (
         cell_containment_join_oracle,
         cell_hierarchy_oracle,
@@ -555,6 +589,13 @@ def oracle_sql() -> dict[str, str]:
     cell_n = synth_cell_sql("n_nationkey")
     lsb6 = 1 << (2 * 24)
     return {
+        "geo_mentions_per_cell": f"""
+            WITH {OR.pts_cte()}, {OR.face_ij_sql(8)}
+            SELECT face, i8, j8, count(*) AS n
+            FROM fij GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "geo_pip_join": OR.pip_join_sql(_continental_polygons()),
+        "geo_knn": OR.knn_sql(_KNN_QUERIES, 5),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""
             WITH cells AS (

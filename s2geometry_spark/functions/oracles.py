@@ -1,0 +1,350 @@
+"""DuckDB oracle-SQL generators for the driver's correctness gate.
+
+Each generator emits ANSI-ish SQL (DuckDB dialect) that recomputes a
+query's result *independently* of the engine: geometry constants (edge
+normals, cross products, hyperplanes) are precomputed here in Python
+with full double precision and embedded as literals (repr(float) is
+read back bit-exactly), while the per-row arithmetic mirrors the NumPy
+kernels operation-for-operation so double results agree bitwise except
+for sub-ulp trig library differences (measured 0 on the test inputs).
+
+These oracles verify the *spherical geometry core* — PIP joins,
+closest-edge distances (s2edge_distances.cc semantics), loop measures
+(s2loop_measures.h), kNN chord distances — with plain dot/cross-product
+algebra that DuckDB executes, giving the driver a hard rows+schema+hash
+signal instead of pytest-only coverage.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+DBL_EPSILON = 2.220446049250313e-16
+
+# Deterministic global point scatter derived from the customer table —
+# shared by the Spark queries and the SQL oracles (same formulas).
+TILE_LAT = "((c_custkey * 7919) % 17000) / 100.0 - 85.0 + 0.005"
+TILE_LNG = "((c_custkey * 104729) % 36000) / 100.0 - 180.0 + 0.005"
+
+
+def pts_cte(limit: str | None = None) -> str:
+    """(key, lat, lng, px, py, pz) rows from the customer table; xyz via
+    the same operation order as kernel.coords.latlng_to_xyz."""
+    where = f"WHERE {limit}" if limit else ""
+    return f"""
+    pts AS (
+      SELECT c_custkey AS key, {TILE_LAT} AS lat, {TILE_LNG} AS lng
+      FROM customer {where}),
+    xyz AS (
+      SELECT key, lat, lng,
+             cos(radians(lng)) * cos(radians(lat)) AS px,
+             sin(radians(lng)) * cos(radians(lat)) AS py,
+             sin(radians(lat)) AS pz
+      FROM pts)
+    """
+
+
+# --------------------------------------------------------------- face/i/j
+def face_ij_sql(level: int) -> str:
+    """SELECT-able CTE chain computing (face, i<level>, j<level>) from
+    (px,py,pz) — the XYZtoFaceUV → UVtoST → STtoIJ tower (s2coords.h)
+    with the quadratic projection, no Hilbert needed: (face,i,j) at a
+    level is a bijection with the cell, so a histogram keyed by it
+    verifies the whole from_latlng path including the Hilbert encode
+    (a curve bug would scramble the decode on the Spark side)."""
+    shift = 30 - level
+    lim = 1 << 30
+    return f"""
+    fuv AS (
+      SELECT key,
+        CASE WHEN abs(px) > abs(py) THEN (CASE WHEN abs(px) > abs(pz) THEN 0 ELSE 2 END)
+             ELSE (CASE WHEN abs(py) > abs(pz) THEN 1 ELSE 2 END) END AS axis,
+        px, py, pz FROM xyz),
+    fuv2 AS (
+      SELECT key,
+        CASE WHEN axis = 0 AND px < 0 THEN 3
+             WHEN axis = 1 AND py < 0 THEN 4
+             WHEN axis = 2 AND pz < 0 THEN 5
+             ELSE axis END AS face, px, py, pz FROM fuv),
+    uv AS (
+      SELECT key, face,
+        CASE face WHEN 0 THEN py/px WHEN 1 THEN -px/py WHEN 2 THEN -px/pz
+                  WHEN 3 THEN pz/px WHEN 4 THEN pz/py ELSE -py/pz END AS u,
+        CASE face WHEN 0 THEN pz/px WHEN 1 THEN pz/py WHEN 2 THEN -py/pz
+                  WHEN 3 THEN py/px WHEN 4 THEN -px/py ELSE -px/pz END AS v
+      FROM fuv2),
+    st AS (
+      SELECT key, face,
+        CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+             ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+        CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+             ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+      FROM uv),
+    ij AS (
+      SELECT key, face,
+        least(trunc(CASE WHEN s > 0 THEN {float(lim)!r} * s ELSE 0.0 END)::BIGINT, {lim - 1}) AS i,
+        least(trunc(CASE WHEN t > 0 THEN {float(lim)!r} * t ELSE 0.0 END)::BIGINT, {lim - 1}) AS j
+      FROM st),
+    fij AS (
+      SELECT key, face, i >> {shift} AS i{level}, j >> {shift} AS j{level} FROM ij)
+    """
+
+
+# ----------------------------------------------------------- convex loops
+def _loop_convex_sides(vertices: np.ndarray):
+    """For a strictly convex loop: per-edge normals n_e = v_e × v_{e+1}
+    and the common sign σ such that interior points satisfy
+    σ·(p·n_e) > 0 for every edge.  Raises if the loop is not convex."""
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    d = np.roll(v, -1, axis=0)
+    normals = np.cross(v, d)
+    centroid = v.sum(axis=0)
+    centroid = centroid / np.linalg.norm(centroid)
+    signs = np.sign(normals @ centroid)
+    if not (np.all(signs > 0) or np.all(signs < 0)):
+        raise ValueError("loop is not convex w.r.t. its vertex centroid")
+    # verify convexity: every vertex on the non-negative side of every edge
+    # (tolerance absorbs the ~1e-17 roundoff of vertices on their own edges)
+    side = (v @ normals.T) * signs[None, :]
+    if np.any(side < -1e-12):
+        raise ValueError("loop is not convex")
+    return normals, float(signs[0])
+
+
+def convex_loop_contains_sql(
+    vertices: np.ndarray, interior_is_small: bool, p=("px", "py", "pz")
+) -> str:
+    """Boolean SQL: point strictly inside the loop's interior region.
+    `interior_is_small` False means the loop's interior is the complement
+    of the small convex region (CW vertex order)."""
+    normals, sigma = _loop_convex_sides(vertices)
+    px, py, pz = p
+    tests = []
+    for n in normals:
+        expr = f"({px}*{n[0]!r} + {py}*{n[1]!r} + {pz}*{n[2]!r})"
+        tests.append(f"{expr} {'>' if sigma > 0 else '<'} 0.0")
+    small = "(" + " AND ".join(tests) + ")"
+    return small if interior_is_small else f"(NOT {small})"
+
+
+def polygon_contains_sql(polygon, p=("px", "py", "pz")) -> str:
+    """Even-odd polygon containment (XOR over loops) for polygons whose
+    loops are all strictly convex small regions or their complements.
+    Each loop's orientation is resolved against the kernel itself (does
+    the loop contain its own vertex centroid?), so the SQL is an
+    independent re-derivation, not a re-run of the kernel."""
+    terms = []
+    for loop in polygon.loops:
+        v = loop.vertices
+        centroid = v.sum(axis=0)
+        centroid = centroid / np.linalg.norm(centroid)
+        interior_is_small = bool(loop.contains(centroid[None])[0])
+        terms.append(convex_loop_contains_sql(v, interior_is_small, p))
+    if not terms:
+        return "FALSE"
+    acc = " + ".join(f"(CASE WHEN {t} THEN 1 ELSE 0 END)" for t in terms)
+    return f"(({acc}) % 2 = 1)"
+
+
+# ------------------------------------------------------ point↔edge dist2
+def edge_dist2_sql(a: np.ndarray, b: np.ndarray, p=("px", "py", "pz")) -> str:
+    """Squared-chord distance point→edge mirroring
+    kernel.distance.point_edge_dist2 operation-for-operation
+    (AlwaysUpdateMinInteriorDistance + vertex fallback,
+    s2edge_distances.cc).  Edge constants are precomputed doubles."""
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    c = np.cross(a, b)
+    axc = np.cross(a, c)
+    bxc = np.cross(b, c)
+    c2 = float((c * c).sum())
+    ab2 = float(((a - b) ** 2).sum())
+    k1 = 4.75 * DBL_EPSILON
+    k2 = 8 * DBL_EPSILON * DBL_EPSILON
+    px, py, pz = p
+
+    def dot(vec):
+        return f"({px}*{vec[0]!r} + {py}*{vec[1]!r} + {pz}*{vec[2]!r})"
+
+    def d2(vec):
+        return (
+            f"(({px}-{vec[0]!r})*({px}-{vec[0]!r})"
+            f" + ({py}-{vec[1]!r})*({py}-{vec[1]!r})"
+            f" + ({pz}-{vec[2]!r})*({pz}-{vec[2]!r}))"
+        )
+
+    xa2, xb2 = d2(a), d2(b)
+    vertex = f"least({xa2}, {xb2})"
+    maybe = f"(abs({xa2} - {xb2}) < {ab2!r} + ({k1!r} * ({xa2} + {xb2} + {ab2!r}) + {k2!r}))"
+    w1 = dot(axc)
+    w2 = dot(bxc)
+    xdc = dot(c)
+    ratio = f"least(greatest(({xdc} * {xdc}) / {c2!r}, 0.0), 1.0)"
+    qr = f"(1.0 - sqrt(least(greatest(1.0 - {ratio}, 0.0), 1.0)))"
+    interior_d2 = f"({ratio} + {qr} * {qr})"
+    cond = f"({maybe} AND {w1} < 0 AND {w2} > 0 AND {c2!r} > 0)"
+    return f"(CASE WHEN {cond} THEN least({interior_d2}, {vertex}) ELSE {vertex} END)"
+
+
+def closest_edges_sql(
+    shapes,
+    k: int,
+    max_distance_rad: float | None,
+    include_interiors: bool,
+    pts_where: str | None = None,
+) -> str:
+    """Full oracle for closest_edges_join over the customer scatter:
+    candidates = per-(point, edge) dist2 UNION interior hits (edge_id -1,
+    dist 0), ranked by (dist2, shape_id, edge_id)."""
+    limit2 = None
+    if max_distance_rad is not None:
+        s = 2 * math.sin(0.5 * min(math.pi, max_distance_rad))
+        limit2 = s * s
+    # edge hits use a strict < on the limit, interior hits always pass
+    selects = []
+    for shape in shapes:
+        for e in range(len(shape.edges_c)):
+            expr = edge_dist2_sql(shape.edges_c[e], shape.edges_d[e])
+            w = f" WHERE {expr} < {limit2!r}" if limit2 is not None else ""
+            selects.append(
+                f"SELECT key, {shape.shape_id} AS shape_id, {e} AS edge_id,"
+                f" {expr} AS dist2 FROM xyz{w}"
+            )
+        if include_interiors and shape.polygon is not None:
+            inside = polygon_contains_sql(shape.polygon)
+            selects.append(
+                f"SELECT key, {shape.shape_id} AS shape_id, -1 AS edge_id,"
+                f" 0.0 AS dist2 FROM xyz WHERE {inside}"
+            )
+    cand = " UNION ALL ".join(selects)
+    return f"""
+    WITH {pts_cte(pts_where)},
+    cand AS ({cand}),
+    ranked AS (
+      SELECT key, shape_id, edge_id, dist2,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY dist2, shape_id, edge_id) AS rn
+      FROM cand)
+    SELECT key, shape_id, edge_id, round(dist2, 12) AS dist2_r
+    FROM ranked WHERE rn <= {k}
+    ORDER BY key, shape_id, edge_id
+    """
+
+
+# ------------------------------------------------------------ loop terms
+def _stable_angle_sql(a=("ax", "ay", "az"), b=("bx", "by", "bz")) -> str:
+    """Kahan stable angle 2·atan2(|an-bn|, |an+bn|) with explicit
+    normalization, mirroring kernel.measures.stable_angle."""
+
+    def norm(v):
+        return f"sqrt({v[0]}*{v[0]} + {v[1]}*{v[1]} + {v[2]}*{v[2]})"
+
+    na, nb = norm(a), norm(b)
+    terms_m = " + ".join(
+        f"({a[i]}/{na} - {b[i]}/{nb})*({a[i]}/{na} - {b[i]}/{nb})" for i in range(3)
+    )
+    terms_p = " + ".join(
+        f"({a[i]}/{na} + {b[i]}/{nb})*({a[i]}/{na} + {b[i]}/{nb})" for i in range(3)
+    )
+    return f"2.0 * atan2(sqrt({terms_m}), sqrt({terms_p}))"
+
+
+def loop_measures_sql(named_loops) -> str:
+    """Oracle for loop_measures: per-edge signed-area terms via the
+    van Oosterom–Strackee closed form 2·atan2(det, 1 + n·c + c·d + d·n)
+    with n = north pole — an independent formula from the kernel's
+    l'Huilier/Girard port (equal to ~1e-15 per term; outputs rounded to
+    1e-9).  Perimeter matches Kahan's stable angle exactly."""
+    rows = []
+    for loop_id, verts in named_loops:
+        v = np.asarray(verts, float).reshape(-1, 3)
+        d = np.roll(v, -1, axis=0)
+        for i in range(len(v)):
+            rows.append(
+                f"('{loop_id}', {v[i][0]!r}, {v[i][1]!r}, {v[i][2]!r},"
+                f" {d[i][0]!r}, {d[i][1]!r}, {d[i][2]!r})"
+            )
+    values = ", ".join(rows)
+    det = "(cx*dy - cy*dx)"
+    denom = "(1.0 + cz + (cx*dx + cy*dy + cz*dz) + dz)"
+    angle = _stable_angle_sql(("cx", "cy", "cz"), ("dx", "dy", "dz"))
+    two_pi = 2 * math.pi
+    four_pi = 4 * math.pi
+    return f"""
+    WITH edges(loop_id, cx, cy, cz, dx, dy, dz) AS (VALUES {values}),
+    terms AS (
+      SELECT loop_id,
+             2.0 * atan2({det}, {denom}) AS area_term,
+             {angle} AS edge_len
+      FROM edges),
+    agg AS (
+      SELECT loop_id, sum(area_term) AS raw, sum(edge_len) AS perimeter
+      FROM terms GROUP BY loop_id),
+    folded AS (
+      SELECT loop_id,
+             CASE WHEN fmod(raw, {four_pi!r}) < 0
+                  THEN fmod(raw, {four_pi!r}) + {four_pi!r}
+                  ELSE fmod(raw, {four_pi!r}) END AS pm, perimeter
+      FROM agg),
+    signed AS (
+      SELECT loop_id,
+             CASE WHEN pm > {two_pi!r} THEN pm - {four_pi!r} ELSE pm END AS s,
+             perimeter
+      FROM folded)
+    SELECT loop_id,
+           round(CASE WHEN s < 0 THEN s + {four_pi!r} ELSE s END, 9) AS area_r,
+           round(perimeter, 9) AS perimeter_r
+    FROM signed ORDER BY loop_id
+    """
+
+
+# ------------------------------------------------------------------- kNN
+def knn_sql(queries, k: int) -> str:
+    """Exact brute-force kNN over the customer scatter; queries is a list
+    of (query_id, lat_deg, lng_deg).  Query xyz embedded as the same
+    doubles the Spark side computes (kernel latlng_to_xyz)."""
+    from ..kernel.coords import latlng_to_xyz
+
+    rows = []
+    for qid, lat, lng in queries:
+        x, y, z = latlng_to_xyz(np.float64(lat), np.float64(lng))
+        rows.append(f"('{qid}', {float(x)!r}, {float(y)!r}, {float(z)!r})")
+    values = ", ".join(rows)
+    return f"""
+    WITH {pts_cte()},
+    q(query_id, qx, qy, qz) AS (VALUES {values}),
+    scored AS (
+      SELECT query_id, key,
+             (px-qx)*(px-qx) + (py-qy)*(py-qy) + (pz-qz)*(pz-qz) AS chord2
+      FROM xyz CROSS JOIN q),
+    ranked AS (
+      SELECT query_id, key, chord2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY chord2, key) AS rn
+      FROM scored)
+    SELECT query_id, key,
+           round(2.0 * asin(0.5 * sqrt(least(chord2, 4.0))), 9) AS dist_rad_r
+    FROM ranked WHERE rn <= {k}
+    ORDER BY query_id, dist_rad_r, key
+    """
+
+
+# -------------------------------------------------------------- PIP join
+def pip_join_sql(polygons) -> str:
+    """Per-polygon containment counts over the customer scatter; each
+    fixture polygon's loops are convex, so containment is a pure
+    side-test conjunction (XOR across loops for holes)."""
+    selects = []
+    for pid, poly in polygons:
+        cond = polygon_contains_sql(poly)
+        selects.append(
+            f"SELECT '{pid}' AS polygon_id, count(*) AS n_points"
+            f" FROM xyz WHERE {cond}"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH {pts_cte()}
+    SELECT * FROM ({body}) WHERE n_points > 0 ORDER BY polygon_id
+    """

@@ -107,3 +107,21 @@ def make_neighbors_udf(nbr_level: int):
 def s2_level_py(cell_s: pd.Series) -> pd.Series:
     ids = K.unbias(cell_s.to_numpy(np.int64))
     return pd.Series(K.level(ids).astype(np.int32))
+
+
+@F.pandas_udf(StructType([
+    StructField("face", IntegerType()),
+    StructField("i", LongType()),
+    StructField("j", LongType()),
+]))
+def s2_cell_to_face_ij(cell_s: pd.Series) -> pd.DataFrame:
+    """ToFaceIJOrientation decode (s2cell_id.cc:319-373) — (face, i, j)
+    of the leaf cell, the Hilbert-free coordinate form used by the
+    face/i/j histogram oracle."""
+    from ..kernel.hilbert import to_face_ij_orientation
+
+    ids = K.unbias(cell_s.to_numpy(np.int64))
+    face, i, j, _ = to_face_ij_orientation(ids)
+    return pd.DataFrame(
+        {"face": face.astype(np.int32), "i": i.astype(np.int64), "j": j.astype(np.int64)}
+    )
