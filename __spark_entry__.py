@@ -246,9 +246,9 @@ def _q_ann_lsh_topk(spark, sf_dir):
 def _q_embedding_near_dup(spark, sf_dir):
     from s2geometry_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4).orderBy(
-        "vec_a", "vec_b"
-    )
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, bits=6
+    ).orderBy("vec_a", "vec_b")
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -299,16 +299,18 @@ def _q_tiling_web_tiles(spark, sf_dir):
     )
 
 
+def _named_loops():
+    return [
+        (f"{pid}_{i}", loop.vertices)
+        for pid, poly in _fixture_polygons()
+        for i, loop in enumerate(poly.loops)
+    ]
+
+
 def _q_geo_loop_measures(spark, sf_dir):
     from s2geometry_spark.operators.measures import edges_df, loop_measures
 
-    loops = [
-        (pid, loop.vertices)
-        for pid, poly in _fixture_polygons()
-        for loop in poly.loops
-    ]
-    named = [(f"{pid}_{i}", v) for i, (pid, v) in enumerate(loops)]
-    out = loop_measures(edges_df(spark, named))
+    out = loop_measures(edges_df(spark, _named_loops()))
     return out.select(
         "loop_id",
         F.round("area", 9).alias("area_r"),
@@ -316,57 +318,69 @@ def _q_geo_loop_measures(spark, sf_dir):
     ).orderBy("loop_id")
 
 
-def _q_geo_cellunion_ops(spark, sf_dir):
+def _cellunion_inputs(spark, sf_dir):
+    from s2geometry_spark.functions import columns as CC
     from s2geometry_spark.operators.cellops import synth_cell_expr
+    from s2geometry_spark.operators.unionops import normalize_unions
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def side(pred):
+        return normalize_unions(
+            cust.filter(pred).select(
+                F.lit("r").alias("region_id"),
+                CC.parent(synth_cell_expr("c_custkey"), 8).alias("cell_id_s"),
+            )
+        )
+
+    return side("c_custkey % 2 = 0"), side("c_custkey % 3 = 0")
+
+
+def _q_geo_cellunion_ops(spark, sf_dir):
+    """Union / intersection / difference of two normalized cell unions,
+    denormalized back to level 8 for output — the level-8 leaf set is the
+    exact region semantics, which the oracle recomputes as plain int64
+    set algebra (UNION / INTERSECT / EXCEPT)."""
     from s2geometry_spark.operators.unionops import (
+        denormalize_unions,
         intersect_unions,
-        normalize_unions,
         subtract_unions,
         union_unions,
     )
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    a = normalize_unions(
-        cust.filter("c_custkey % 2 = 0").select(
-            F.lit("r").alias("region_id"),
-            __import__(
-                "s2geometry_spark.functions.columns", fromlist=["parent"]
-            ).parent(synth_cell_expr("c_custkey"), 8).alias("cell_id_s"),
-        )
+    a, b = _cellunion_inputs(spark, sf_dir)
+    u = denormalize_unions(union_unions(a, b), 8).withColumn("op", F.lit("union"))
+    i = denormalize_unions(intersect_unions(a, b), 8).withColumn(
+        "op", F.lit("intersect")
     )
-    b = normalize_unions(
-        cust.filter("c_custkey % 3 = 0").select(
-            F.lit("r").alias("region_id"),
-            __import__(
-                "s2geometry_spark.functions.columns", fromlist=["parent"]
-            ).parent(synth_cell_expr("c_custkey"), 8).alias("cell_id_s"),
-        )
+    d = denormalize_unions(subtract_unions(a, b), 8).withColumn(
+        "op", F.lit("difference")
     )
-    u = union_unions(a, b).withColumn("op", F.lit("union"))
-    i = intersect_unions(a, b).withColumn("op", F.lit("intersect"))
-    d = subtract_unions(a, b).withColumn("op", F.lit("difference"))
-    return u.unionByName(i).unionByName(d).orderBy("op", "cell_id_s")
+    return (
+        u.unionByName(i).unionByName(d)
+        .select("op", "cell_id_s")
+        .orderBy("op", "cell_id_s")
+    )
+
+
+_CLOSEST_EDGE_INDEX = "1:1, 2:2 # 0:0, 0:5, 5:5, 5:0 # 0:10, 0:15, 5:15, 5:10"
 
 
 def _q_geo_closest_edge(spark, sf_dir):
-    import pandas as pd
+    """S2ClosestEdgeQuery over the customer scatter: top-3 hits within
+    0.3 rad against a multipoint + polyline + polygon index (interior
+    hits report edge_id -1 at distance 0)."""
+    from s2geometry_spark.kernel.closest_edge import parse_index
+    from s2geometry_spark.operators.closest_edges import closest_edges_join
 
-    from s2geometry_spark.kernel.closest_edge import find_closest_edges, parse_index
-    from s2geometry_spark.kernel.contains import parse_points
-
-    shapes = parse_index("# 0:0, 0:5, 5:5, 5:0 # 0:10, 0:15, 5:15, 5:10")
-    targets = parse_points("2:12, 2:2, 4:14, 0:7, -1:-1")
-    res = find_closest_edges(
-        shapes, targets, k=3, max_distance_rad=0.1, include_interiors=True
+    shapes = parse_index(_CLOSEST_EDGE_INDEX)
+    pts = _tile_points(spark, sf_dir)
+    out = closest_edges_join(
+        pts, shapes, k=3, max_distance_rad=0.3, include_interiors=True
     )
-    rows = [
-        (int(t), sid, eid, round(d, 12))
-        for t, hits in enumerate(res)
-        for sid, eid, d in hits
-    ]
-    return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["target_idx", "shape_id", "edge_id", "dist2"])
-    )
+    return out.select(
+        "key", "shape_id", "edge_id", F.round("dist2", 12).alias("dist2_r")
+    ).orderBy("key", "shape_id", "edge_id")
 
 
 def _q_cell_index_labels(spark, sf_dir):
@@ -444,21 +458,24 @@ def _q_geo_boolean_ops(spark, sf_dir):
 
 
 
+_CLOSEST_EDGES_JOIN_INDEX = "# 0:0, 0:5, 5:5, 5:0 # 0:10, 0:15, 5:15, 5:10"
+
+
 def _q_geo_closest_edges_join(spark, sf_dir):
+    """Nearest-edge join (k=1) for every scatter point within 45°."""
     import math
 
     from s2geometry_spark.kernel.closest_edge import parse_index
     from s2geometry_spark.operators.closest_edges import closest_edges_join
 
-    shapes = parse_index("# 0:0, 0:5, 5:5, 5:0 # 0:10, 0:15, 5:15, 5:10")
-    pts = _mentions(spark, 400)
+    shapes = parse_index(_CLOSEST_EDGES_JOIN_INDEX)
+    pts = _tile_points(spark, sf_dir)
     out = closest_edges_join(
         pts, shapes, k=1, max_distance_rad=math.radians(45), include_interiors=True
     )
     return out.select(
-        "url", "mention_idx", "shape_id", "edge_id",
-        F.round("dist_rad", 9).alias("dist_rad_r"),
-    ).orderBy("url", "mention_idx", "shape_id", "edge_id")
+        "key", "shape_id", "edge_id", F.round("dist2", 12).alias("dist2_r")
+    ).orderBy("key", "shape_id", "edge_id")
 
 
 def _q_geo_relation_matrix(spark, sf_dir):
@@ -547,6 +564,32 @@ def _lang_score(lang: str) -> str:
     )
 
 
+def _closest_edge_oracle(index_str: str, k: int, max_distance_rad: float) -> str:
+    from s2geometry_spark.functions import oracles as OR
+    from s2geometry_spark.kernel.closest_edge import parse_index
+
+    return OR.closest_edges_sql(
+        parse_index(index_str), k, max_distance_rad, include_interiors=True
+    )
+
+
+def _cellunion_ops_oracle() -> str:
+    from s2geometry_spark.operators.cellops import synth_cell_sql
+
+    lsb8 = 1 << (2 * 22)
+    cell8 = f"(({synth_cell_sql('c_custkey')}) & -({lsb8}::BIGINT)) | {lsb8}::BIGINT"
+    return f"""
+    WITH a8 AS (SELECT DISTINCT {cell8} AS cell_id_s FROM customer WHERE c_custkey % 2 = 0),
+    b8 AS (SELECT DISTINCT {cell8} AS cell_id_s FROM customer WHERE c_custkey % 3 = 0)
+    SELECT 'union' AS op, cell_id_s FROM (SELECT cell_id_s FROM a8 UNION SELECT cell_id_s FROM b8)
+    UNION ALL
+    SELECT 'intersect' AS op, cell_id_s FROM (SELECT cell_id_s FROM a8 INTERSECT SELECT cell_id_s FROM b8)
+    UNION ALL
+    SELECT 'difference' AS op, cell_id_s FROM (SELECT cell_id_s FROM a8 EXCEPT SELECT cell_id_s FROM b8)
+    ORDER BY op, cell_id_s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from s2geometry_spark.functions import oracles as OR
     from s2geometry_spark.operators.cellops import (
@@ -596,6 +639,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geo_pip_join": OR.pip_join_sql(_continental_polygons()),
         "geo_knn": OR.knn_sql(_KNN_QUERIES, 5),
+        "geo_loop_measures": OR.loop_measures_sql(_named_loops()),
+        "ann_lsh_topk": OR.ann_lsh_sql(n_queries=10, k=5, bits=6, dim=64),
+        "embedding_near_dup": OR.near_dup_sql(threshold=0.4, bits=6, dim=64),
+        "multimodal_features": OR.multimodal_sql(500),
+        "geo_cellunion_ops": _cellunion_ops_oracle(),
+        "geo_closest_edge": _closest_edge_oracle(_CLOSEST_EDGE_INDEX, 3, 0.3),
+        "geo_closest_edges_join": _closest_edge_oracle(
+            _CLOSEST_EDGES_JOIN_INDEX, 1, __import__("math").radians(45)
+        ),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""
             WITH cells AS (

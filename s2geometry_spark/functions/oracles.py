@@ -348,3 +348,113 @@ def pip_join_sql(polygons) -> str:
     WITH {pts_cte()}
     SELECT * FROM ({body}) WHERE n_points > 0 ORDER BY polygon_id
     """
+
+
+# --------------------------------------------------------------- sign-LSH
+def _dlist(row) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in row) + "]"
+
+
+_DDOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
+)
+
+
+def _cos_sql(a: str, b: str, round_digits: int = 6) -> str:
+    return (
+        f"round({_DDOT.format(a=a, b=b)} / "
+        f"(sqrt({_DDOT.format(a=a, b=a)}) * sqrt({_DDOT.format(a=b, b=b)})), {round_digits})"
+    )
+
+
+def lsh_bucket_sql(emb: str, planes: np.ndarray) -> str:
+    """Sign-LSH bucket id mirroring operators.similarity.lsh_bucket_expr:
+    per-bit sequential-fold dot against the ±1 hyperplane (embedded as
+    literals), sign → bit.  list_aggregate('sum') is a sequential left
+    fold in DuckDB, bit-identical to Spark's F.aggregate."""
+    terms = []
+    for j, row in enumerate(planes):
+        dot = (
+            f"list_aggregate(list_transform(list_zip({emb}, {_dlist(row)}),"
+            f" p -> p[1]::DOUBLE * p[2]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def ann_lsh_sql(
+    n_queries: int = 10, k: int = 5, bits: int = 6, dim: int = 64,
+    multiprobe: bool = True,
+) -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits)
+    bucket = lsh_bucket_sql("embedding", planes)
+    if multiprobe:
+        probes = (
+            "SELECT query_id, q_emb, "
+            "CASE WHEN f = 0 THEN q_bucket ELSE xor(q_bucket, (1::BIGINT << (f - 1))) END AS q_bucket "
+            f"FROM q, (SELECT unnest(generate_series(0, {bits})) AS f)"
+        )
+    else:
+        probes = "SELECT query_id, q_emb, q_bucket FROM q"
+    cos = _cos_sql("q_emb", "c_emb")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+          FROM b WHERE vec_id < {n_queries}),
+    probes AS ({probes}),
+    c AS (SELECT vec_id AS cand_id, embedding AS c_emb, bucket AS c_bucket FROM b),
+    scored AS (
+      SELECT query_id, cand_id, {cos} AS cosine
+      FROM c JOIN probes ON c_bucket = q_bucket AND cand_id <> query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank::INT AS rank
+    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def near_dup_sql(threshold: float, bits: int = 8, dim: int = 64) -> str:
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits)
+    bucket = lsh_bucket_sql("embedding", planes)
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    ORDER BY vec_a, vec_b
+    """
+
+
+# ------------------------------------------------------------- multimodal
+def multimodal_sql(n: int) -> str:
+    """Oracle for the deterministic fake-media feature pipeline: payload
+    'MEDIA<id>' → sha256 digest bytes / 255 as the feature vector, norm
+    formatted to 6 decimals (mirrors operators.multimodal._decode_stub)."""
+    return f"""
+    WITH m AS (SELECT unnest(generate_series(0, {n - 1})) AS media_id),
+    base AS (
+      SELECT media_id,
+        CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        'MEDIA' || media_id AS payload
+      FROM m),
+    h AS (
+      SELECT media_id, kind, length(payload)::BIGINT AS n_bytes,
+             sha256(payload) AS hx
+      FROM base),
+    feats AS (
+      SELECT media_id, kind, n_bytes,
+        list_transform(generate_series(0, 31),
+                       i -> (('0x' || substr(hx, i*2 + 1, 2))::INT)::DOUBLE / 255.0) AS f
+      FROM h)
+    SELECT media_id, kind, n_bytes, 32::INT AS feat_dim,
+           printf('%.6f', sqrt(list_aggregate(list_transform(f, v -> v*v), 'sum'))) AS feat_norm
+    FROM feats ORDER BY media_id
+    """

@@ -103,9 +103,17 @@ def ann_lsh_topk(
     bits: int = 6,
     dim: int = 64,
     round_digits: int = 6,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-LSH bucket, then
-    exact cosine re-rank inside the bucket."""
+    exact cosine re-rank inside the bucket.
+
+    With `multiprobe`, each query also probes every 1-bit-flip neighbor
+    bucket (bits+1 probes total) — vectors near a hyperplane land in the
+    adjacent bucket, so single-probe recall cliffs on boundary vectors;
+    probing the Hamming-1 shell recovers them at (bits+1)/2^bits of the
+    corpus instead of a full scan.  Probes are distinct buckets, so no
+    candidate dedup shuffle is needed."""
     planes = _hyperplanes(dim, bits)
     bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
     q = bucketed.filter(F.col("vec_id") < n_queries).select(
@@ -113,6 +121,12 @@ def ann_lsh_topk(
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
+    if multiprobe:
+        probe_arr = F.array(
+            F.col("q_bucket"),
+            *[F.col("q_bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+        )
+        q = q.withColumn("q_bucket", F.explode(probe_arr))
     c = bucketed.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
