@@ -431,29 +431,17 @@ def _q_geo_rect_filter(spark, sf_dir):
 
 
 def _q_geo_boolean_ops(spark, sf_dir):
-    """Polygon boolean ops (general-position overlay): areas of a∩b, a∪b,
-    a\\b for fixture polygon pairs, as a small result table."""
-    import pandas as pd
+    """Polygon boolean ops as a distributed pair table: areas/loop counts
+    of a∩b and a∪b per pair, computed by the executors (mapInPandas
+    overlay kernel, operators/overlay.py)."""
+    from s2geometry_spark.operators.overlay import boolean_ops_join, polygon_pairs_df
 
-    from s2geometry_spark.kernel import booleans as B
-    from s2geometry_spark.kernel import measures as M
-    from s2geometry_spark.kernel.contains import parse_polygon
-
-    a = parse_polygon("0:0, 0:4, 4:4, 4:0")
-    b = parse_polygon("2:2, 2:6, 6:6, 6:2")
-    c = parse_polygon("1:1, 1:3, 3:3, 3:1")
-
-    def area(p):
-        return round(sum(M.loop_signed_area(l.vertices) for l in p.loops), 12)
-
-    rows = []
-    for name, pa, pb in [("sq_overlap", a, b), ("nested", a, c)]:
-        rows.append((name, "intersection", area(B.intersection(pa, pb)),
-                     len(B.intersection(pa, pb).loops)))
-        rows.append((name, "union", area(B.union(pa, pb)), len(B.union(pa, pb).loops)))
-    return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["pair", "op", "signed_area", "n_loops"])
-    )
+    pairs = polygon_pairs_df(spark, [
+        ("sq_overlap", "0:0, 0:4, 4:4, 4:0", "2:2, 2:6, 6:6, 6:2"),
+        ("nested", "0:0, 0:4, 4:4, 4:0", "1:1, 1:3, 3:3, 3:1"),
+    ])
+    out = boolean_ops_join(pairs, ops=("intersection", "union"))
+    return out.orderBy("pair", "op")
 
 
 
@@ -479,12 +467,13 @@ def _q_geo_closest_edges_join(spark, sf_dir):
 
 
 def _q_geo_relation_matrix(spark, sf_dir):
-    """Polygon relation matrix sample (probe-based overlay relations),
-    covering shared-boundary and hemisphere rows of s2polygon_test."""
-    import pandas as pd
-
-    from s2geometry_spark.kernel.contains import parse_polygon
-    from s2geometry_spark.kernel.relations import polygon_relations_probed
+    """Polygon relation matrix (probe-based overlay relations) as a
+    distributed pair table, covering shared-boundary and hemisphere rows
+    of s2polygon_test — each pair's relations computed on an executor."""
+    from s2geometry_spark.operators.overlay import (
+        polygon_pairs_df,
+        relation_matrix_join,
+    )
 
     kNear0 = "-1:0, 0:1, 1:0, 0:-1;"
     kNear1 = "-1:-1, -1:0, -1:1, 0:1, 1:1, 1:0, 1:-1, 0:-1;"
@@ -492,23 +481,22 @@ def _q_geo_relation_matrix(spark, sf_dir):
     kNear3 = "-2:-2, -3:6, 6:-3;"
     kNearHemi = "0:-90, -90:0, 0:90, 90:0;"
     polys = {
-        "near_10": parse_polygon(kNear0 + kNear1, normalize=True),
-        "near_30": parse_polygon(kNear3 + kNear0, normalize=True),
-        "near_32": parse_polygon(kNear2 + kNear3, normalize=True),
-        "near_3210": parse_polygon(kNear0 + kNear2 + kNear3 + kNear1, normalize=True),
-        "near_H3210": parse_polygon(
-            kNear0 + kNear2 + kNear3 + kNearHemi + kNear1, normalize=True
-        ),
+        "near_10": kNear0 + kNear1,
+        "near_30": kNear3 + kNear0,
+        "near_32": kNear2 + kNear3,
+        "near_3210": kNear0 + kNear2 + kNear3 + kNear1,
+        "near_H3210": kNear0 + kNear2 + kNear3 + kNearHemi + kNear1,
     }
     names = sorted(polys)
-    rows = []
-    for i, na in enumerate(names):
-        for nb in names[i:]:
-            c_ab, c_ba, inter = polygon_relations_probed(polys[na], polys[nb])
-            rows.append((na, nb, int(c_ab), int(c_ba), int(inter)))
-    return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["a", "b", "contains", "contained", "intersects"])
-    )
+    rows = [
+        (f"{na}|{nb}", polys[na], polys[nb])
+        for i, na in enumerate(names)
+        for nb in names[i:]
+    ]
+    out = relation_matrix_join(polygon_pairs_df(spark, rows), normalize=True)
+    return out.select(
+        "a", "b", "contains", "contained", "intersects"
+    ).orderBy("a", "b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

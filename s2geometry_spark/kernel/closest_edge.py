@@ -155,15 +155,21 @@ def closest_to_shape_targets(
 def find_furthest_edges(
     shapes: list[Shape], targets: np.ndarray, k: int = 1
 ) -> list[list[tuple[int, int, float]]]:
-    """S2FurthestEdgeQuery analog: same machinery, max distance order."""
+    """S2FurthestEdgeQuery analog.
+
+    Uses the antipode-reflection identity of UpdateMaxDistance
+    (s2edge_distances.cc:236-249): the maximum angle from x to any point
+    of edge AB equals π minus the minimum angle from -x, so in squared
+    chord form max_d2 = 4 − min_d2(−x, AB).  On unit vectors
+    |x−v|² + |−x−v|² = 4 exactly, so the vertex-maximum case is covered
+    by the same identity, and an edge whose interior passes near the
+    target's antipode (angle > 90°) reports the true interior maximum
+    the old vertex-only formula missed."""
     targets = np.asarray(targets, dtype=np.float64).reshape(-1, 3)
     cand: list[list[tuple[float, int, int]]] = [[] for _ in range(len(targets))]
     for shape in shapes:
         if len(shape.edges_c):
-            # max distance to an edge is attained at a vertex
-            d2c = ((targets[:, None, :] - shape.edges_c[None]) ** 2).sum(-1)
-            d2d = ((targets[:, None, :] - shape.edges_d[None]) ** 2).sum(-1)
-            d2 = np.minimum(np.maximum(d2c, d2d), 4.0)
+            d2 = 4.0 - point_edge_dist2(-targets, shape.edges_c, shape.edges_d)
             for i in range(len(targets)):
                 for e in range(d2.shape[1]):
                     cand[i].append((float(d2[i, e]), shape.shape_id, e))

@@ -1,0 +1,95 @@
+"""Distributed polygon overlay & relations.
+
+Polygon pairs travel as DataFrame rows carrying the s2textformat
+geometry strings (s2text_format.h:63-92); each Arrow batch parses and
+runs the overlay / relation kernels (kernel/booleans.py,
+kernel/relations.py) on the executors via ``mapInPandas`` — the
+S2BooleanOperation / overlay-relations analog at fact-table scale
+(a pair table of millions of rows distributes evenly; each pair's
+overlay is independent, so there is no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAIR_SCHEMA = "pair string, poly_a string, poly_b string"
+
+BOOLEAN_OUT_SCHEMA = (
+    "pair string, op string, signed_area double, n_loops int"
+)
+
+RELATION_OUT_SCHEMA = (
+    "pair string, a string, b string, contains int, contained int, intersects int"
+)
+
+
+def polygon_pairs_df(
+    spark: SparkSession, rows: list[tuple[str, str, str]], partitions: int = 4
+) -> DataFrame:
+    """(pair_id, polygon_a_text, polygon_b_text) rows (lat:lng loops
+    separated by ';', the parse_polygon DSL)."""
+    return spark.createDataFrame(rows, PAIR_SCHEMA).repartition(partitions)
+
+
+def boolean_ops_join(
+    pairs: DataFrame,
+    ops: tuple[str, ...] = ("intersection", "union", "difference"),
+    normalize: bool = False,
+) -> DataFrame:
+    """Per pair and op: the overlay polygon's signed area and loop count
+    (S2BooleanOperation ∩/∪/\\ semantics, s2boolean_operation.h:37-90),
+    computed on executors from the broadcast-free pair rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import booleans as B
+        from ..kernel import measures as M
+        from ..kernel.contains import parse_polygon
+
+        fns = {"intersection": B.intersection, "union": B.union,
+               "difference": B.difference}
+        for pdf in batches:
+            out = []
+            for pair, sa, sb in zip(pdf["pair"], pdf["poly_a"], pdf["poly_b"]):
+                pa = parse_polygon(sa, normalize=normalize)
+                pb = parse_polygon(sb, normalize=normalize)
+                for op in ops:
+                    res = fns[op](pa, pb)
+                    area = round(
+                        sum(M.loop_signed_area(l.vertices) for l in res.loops), 12
+                    )
+                    out.append((pair, op, area, len(res.loops)))
+            yield pd.DataFrame(
+                out, columns=["pair", "op", "signed_area", "n_loops"]
+            )
+
+    return pairs.mapInPandas(run, BOOLEAN_OUT_SCHEMA)
+
+
+def relation_matrix_join(pairs: DataFrame, normalize: bool = True) -> DataFrame:
+    """Per pair: (contains, contained, intersects) overlay relations
+    (S2Polygon::Contains/Intersects semantics, s2polygon.cc) — the
+    distributed face of kernel.relations.polygon_relations_probed.
+    `pair` carries "a|b" names for readable output."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.contains import parse_polygon
+        from ..kernel.relations import polygon_relations_probed
+
+        for pdf in batches:
+            out = []
+            for pair, sa, sb in zip(pdf["pair"], pdf["poly_a"], pdf["poly_b"]):
+                na, _, nb = pair.partition("|")
+                pa = parse_polygon(sa, normalize=normalize)
+                pb = parse_polygon(sb, normalize=normalize)
+                c_ab, c_ba, inter = polygon_relations_probed(pa, pb)
+                out.append((pair, na, nb, int(c_ab), int(c_ba), int(inter)))
+            yield pd.DataFrame(
+                out,
+                columns=["pair", "a", "b", "contains", "contained", "intersects"],
+            )
+
+    return pairs.mapInPandas(run, RELATION_OUT_SCHEMA)

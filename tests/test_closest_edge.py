@@ -107,3 +107,34 @@ def test_furthest_edges():
     d_far = res[1][0][2]
     assert d_far > d_near
     assert abs(d_far - chord2(t[1], parse_points("0:10")[0])) < 1e-15
+
+
+def test_furthest_edge_interior_maximum():
+    """Edge passing near the target's antipode: the true maximum distance
+    is attained in the edge INTERIOR (s2edge_distances.cc:236-249
+    antipode-reflection branch), strictly greater than both vertex
+    distances — the case the vertex-only formula got wrong."""
+    import numpy as np
+
+    from s2geometry_spark.kernel.closest_edge import find_furthest_edges, parse_index
+
+    # target at 0:0; its antipode is 0:180.  Edge from 5:170 to -5:-170
+    # passes near the antipode but its vertices stay ~9° away from it.
+    shapes = parse_index("# 5:170, -5:-170 #")
+    t = parse_points("0:0")
+    res = find_furthest_edges(shapes, t, k=1)
+    d2 = res[0][0][2]
+    # brute force: sample the edge densely via slerp
+    a, b = shapes[0].edges_c[0], shapes[0].edges_d[0]
+    omega = math.acos(max(-1.0, min(1.0, float(a @ b))))
+    best = 0.0
+    for i in range(20001):
+        f = i / 20000
+        p = (math.sin((1 - f) * omega) * a + math.sin(f * omega) * b) / math.sin(omega)
+        p = p / np.linalg.norm(p)
+        best = max(best, float(((t[0] - p) ** 2).sum()))
+    assert abs(d2 - best) < 1e-7, (d2, best)
+    # strictly greater than both vertex distances
+    dva = float(((t[0] - a) ** 2).sum())
+    dvb = float(((t[0] - b) ** 2).sum())
+    assert d2 > max(dva, dvb) + 1e-4
