@@ -94,18 +94,21 @@ def knn_join(
         pts = pts.withColumn("_p", s2_latlng_to_xyz(F.col("lat"), F.col("lng"))).select(
             "*", "_p.x", "_p.y", "_p.z"
         ).drop("_p")
-    pts = pts.cache()
+    # NOTE: the points side is never cached — it is the 100 TB side; each
+    # schedule round is one broadcast-probe scan, and the schedule below
+    # has exactly one round per level (most queries converge on the first),
+    # so the fact table is scanned once per level, not once per (level, r).
 
-    # Round schedule: grow the ring at the chosen level, then escalate to
+    # Round schedule: one ring-3 pass at the chosen level, then escalate to
     # coarser levels (cells 8× wider each step) so sparse regions converge;
-    # at level 0, ring 2 covers the whole sphere → guaranteed termination.
-    schedule: list[tuple[int, int]] = [(level, 1), (level, 3)]
+    # the final (0, 4) pass covers the sphere → guaranteed termination
+    # (4·kMinWidth(0) ≥ π → no unseen cell).
+    schedule: list[tuple[int, int]] = [(level, 3)]
     lvl = max(level - 3, 0)
     while lvl > 0:
         schedule.append((lvl, 3))
         lvl = max(lvl - 3, 0)
-    # final entries guarantee termination: 4·kMinWidth(0) ≥ π → no unseen cell
-    schedule += [(0, 2), (0, 4)]
+    schedule += [(0, 4)]
 
     pending = np.ones(len(queries_pdf), dtype=bool)
     results: list[pd.DataFrame] = []

@@ -71,27 +71,36 @@ class CheckpointedPipeline:
 
         t0 = time.perf_counter()
         df = build()
-        # Per-partition lineage: spark_partition_id + row/byte metrics in
-        # one pass over the data (byte size approximated JVM-side from the
-        # to_json length — cheap, and exact enough for skew telemetry).
+        # ONE action computes the stage: the parquet write.  Lineage is
+        # then derived from the *written* files — a columnar scan of the
+        # retained _pid column — so the upstream plan never runs twice
+        # (at 100 TB a second action on the unpersisted plan would double
+        # every stage).  Bytes come from the on-disk file sizes
+        # apportioned by row share, not a to_json re-serialization.
         with_pid = df.withColumn("_pid", F.spark_partition_id())
         with_pid.write.mode("overwrite").parquet(data_dir)
         written = self.spark.read.parquet(data_dir)
-        lineage = (
-            with_pid.groupBy("_pid")
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum(F.length(F.to_json(F.struct("*")))).alias("bytes"),
-            )
-            .select(
-                F.lit(stage).alias("stage"),
-                F.col("_pid").alias("partition_id"),
-                "rows",
-                "bytes",
-            )
+        pid_rows = (
+            written.groupBy("_pid").agg(F.count("*").alias("rows")).collect()
         )
-        lineage.write.mode("overwrite").parquet(f"{self._stage_dir(stage)}/lineage")
-        n_rows = written.count()
+        n_rows = int(sum(r.rows for r in pid_rows))
+        total_bytes = sum(
+            os.path.getsize(os.path.join(data_dir, f))
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        lineage_rows = [
+            (
+                stage,
+                int(r["_pid"]),
+                int(r.rows),
+                int(round(total_bytes * r.rows / max(n_rows, 1))),
+            )
+            for r in pid_rows
+        ]
+        self.spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{self._stage_dir(stage)}/lineage")
         wall = round(time.perf_counter() - t0, 3)
         # marker last → atomic commit point
         with open(self._marker(stage), "w") as fh:
