@@ -446,6 +446,73 @@ def _q_geo_boolean_ops(spark, sf_dir):
 
 
 
+def _ring_polyline_shape():
+    """Deterministic 64-edge closed ring polyline around (10°, 10°) —
+    shared by the shape-index query and its SQL oracle."""
+    import numpy as np
+
+    from s2geometry_spark.kernel.closest_edge import Shape
+    from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+    t = np.arange(65) / 64.0
+    lat = 10 + 5 * np.cos(2 * np.pi * t)
+    lng = 10 + 5 * np.sin(2 * np.pi * t)
+    x, y, z = latlng_to_xyz(lat, lng)
+    v = np.stack([x, y, z], -1)
+    return Shape(0, 1, v[:-1], v[1:])
+
+
+def _q_geo_shape_index_join(spark, sf_dir):
+    """Distributed shape index (MutableS2ShapeIndex analog) routing a
+    radius-bounded closest-edge join: build the index from the edge
+    DataFrame, expand cells by the radius, ancestor-explode + equi-join
+    the scatter points, exact distance kernel, per-point top-1."""
+    from s2geometry_spark.operators.indexing import index_points
+    from s2geometry_spark.operators.shape_index import (
+        build_shape_index,
+        edges_to_df,
+        indexed_closest_edges_join,
+    )
+
+    shape = _ring_polyline_shape()
+    index = build_shape_index(
+        edges_to_df(spark, [shape]), max_edges_per_cell=4
+    )
+    pts = index_points(_tile_points(spark, sf_dir), level=30)
+    out = indexed_closest_edges_join(pts, index, k=1, max_distance_rad=0.2)
+    return out.select(
+        "key", "shape_id", "edge_id", F.round("dist2", 12).alias("dist2_r")
+    ).orderBy("key", "shape_id", "edge_id")
+
+
+def _project_polyline_vertices():
+    """Open 4-segment polyline shared by geo_polyline_project and its
+    SQL oracle."""
+    from s2geometry_spark.kernel.contains import parse_points
+
+    return parse_points("0:-60, 10:-30, 0:0, -10:30, 0:60")
+
+
+def _q_geo_polyline_project(spark, sf_dir):
+    """S2Polyline::Project + UnInterpolate over the scatter: every point
+    projects onto a broadcast polyline; output is the projected point and
+    the fraction along the line (one scan, zero shuffles)."""
+    from s2geometry_spark.operators.polyline_ops import (
+        project_points_onto_polyline,
+    )
+
+    out = project_points_onto_polyline(
+        _tile_points(spark, sf_dir), _project_polyline_vertices()
+    )
+    return out.select(
+        "key",
+        F.round("proj_x", 9).alias("proj_x_r"),
+        F.round("proj_y", 9).alias("proj_y_r"),
+        F.round("proj_z", 9).alias("proj_z_r"),
+        F.round("fraction", 9).alias("fraction_r"),
+    ).orderBy("key")
+
+
 _CLOSEST_EDGES_JOIN_INDEX = "# 0:0, 0:5, 5:5, 5:0 # 0:10, 0:15, 5:15, 5:10"
 
 
@@ -530,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_boolean_ops": _q_geo_boolean_ops,
         "geo_relation_matrix": _q_geo_relation_matrix,
         "geo_closest_edges_join": _q_geo_closest_edges_join,
+        "geo_shape_index_join": _q_geo_shape_index_join,
+        "geo_polyline_project": _q_geo_polyline_project,
     }
 
 
@@ -635,6 +704,12 @@ def oracle_sql() -> dict[str, str]:
         "geo_closest_edge": _closest_edge_oracle(_CLOSEST_EDGE_INDEX, 3, 0.3),
         "geo_closest_edges_join": _closest_edge_oracle(
             _CLOSEST_EDGES_JOIN_INDEX, 1, __import__("math").radians(45)
+        ),
+        "geo_shape_index_join": OR.closest_edges_sql(
+            [_ring_polyline_shape()], 1, 0.2, include_interiors=False
+        ),
+        "geo_polyline_project": OR.polyline_project_sql(
+            _project_polyline_vertices()
         ),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""

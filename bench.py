@@ -101,6 +101,37 @@ def bench_queries(spark):
     )
     run("q_knn", lambda: knn_join(queries, points, k=10, level=8).count())
 
+    # 100k-edge polyline through the shape index: build once (timed),
+    # then the radius-bounded closest-edge join over the full point table
+    import numpy as np
+
+    from s2geometry_spark.kernel.closest_edge import Shape
+    from s2geometry_spark.kernel.coords import latlng_to_xyz
+    from s2geometry_spark.operators.shape_index import (
+        build_shape_index,
+        edges_to_df,
+        indexed_closest_edges_join,
+    )
+
+    t = np.arange(100_001) / 100_000
+    slat = 20 + 8 * t * np.cos(14 * np.pi * t)
+    slng = 30 + 8 * t * np.sin(14 * np.pi * t)
+    sx, sy, sz = latlng_to_xyz(slat, slng)
+    sv = np.stack([sx, sy, sz], -1)
+    spiral = Shape(0, 1, sv[:-1], sv[1:])
+    index = build_shape_index(
+        edges_to_df(spark, [spiral], partitions=int(CPUS)), max_edges_per_cell=10
+    ).persist()
+    run("q_shape_index_build", lambda: index.count())
+    pts_keyed = points.withColumn("key", F.xxhash64("url", "mention_idx"))
+    run(
+        "q_shape_index_join",
+        lambda: indexed_closest_edges_join(
+            pts_keyed, index, k=1, max_distance_rad=0.005
+        ).count(),
+    )
+    index.unpersist()
+
     # small parquet reads land in one partition — spread the hash work
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(int(CPUS))
     run("q_dedup_minhash", lambda: minhash_lsh_pairs(docs).count())

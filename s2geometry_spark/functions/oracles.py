@@ -169,10 +169,11 @@ def edge_dist2_sql(a: np.ndarray, b: np.ndarray, p=("px", "py", "pz")) -> str:
         return f"({px}*{vec[0]!r} + {py}*{vec[1]!r} + {pz}*{vec[2]!r})"
 
     def d2(vec):
+        # parenthesize literals: "pz--0.17" would parse as a SQL comment
         return (
-            f"(({px}-{vec[0]!r})*({px}-{vec[0]!r})"
-            f" + ({py}-{vec[1]!r})*({py}-{vec[1]!r})"
-            f" + ({pz}-{vec[2]!r})*({pz}-{vec[2]!r}))"
+            f"(({px}-({vec[0]!r}))*({px}-({vec[0]!r}))"
+            f" + ({py}-({vec[1]!r}))*({py}-({vec[1]!r}))"
+            f" + ({pz}-({vec[2]!r}))*({pz}-({vec[2]!r})))"
         )
 
     xa2, xb2 = d2(a), d2(b)
@@ -457,4 +458,94 @@ def multimodal_sql(n: int) -> str:
     SELECT media_id, kind, n_bytes, 32::INT AS feat_dim,
            printf('%.6f', sqrt(list_aggregate(list_transform(f, v -> v*v), 'sum'))) AS feat_norm
     FROM feats ORDER BY media_id
+    """
+
+
+# ------------------------------------------------------- polyline project
+def polyline_project_sql(vertices: np.ndarray, round_digits: int = 9) -> str:
+    """Oracle for project_points_onto_polyline: per scatter point the
+    fraction along the polyline of its projection
+    (S2Polyline::Project + UnInterpolate, s2polyline.cc:278-325),
+    mirrored as per-segment closed forms: n = (a×b)/|a×b| precomputed,
+    p = ((n×x)×n)/|…|, interior wedge test with a×n / b×n literals,
+    vertex fallback, then argmin over segments by the exact point-edge
+    distance."""
+    from ..kernel.measures import stable_angle
+
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    seg = stable_angle(v[:-1], v[1:])
+    total = float(seg.sum())
+    cums = [0.0]
+    for s in seg[:-1]:
+        cums.append(cums[-1] + float(s))
+
+    selects = []
+    for i in range(len(v) - 1):
+        a, b = v[i], v[i + 1]
+        n = np.cross(a, b)
+        n = n / np.linalg.norm(n)
+        axn = np.cross(a, n)
+        bxn = np.cross(b, n)
+        d2 = edge_dist2_sql(a, b)
+        # p = ((n×x)×n) normalized
+        cx = f"({n[1]!r}*pz - {n[2]!r}*py)"
+        cy = f"({n[2]!r}*px - {n[0]!r}*pz)"
+        cz = f"({n[0]!r}*py - {n[1]!r}*px)"
+        qx = f"({cy}*{n[2]!r} - {cz}*{n[1]!r})"
+        qy = f"({cz}*{n[0]!r} - {cx}*{n[2]!r})"
+        qz = f"({cx}*{n[1]!r} - {cy}*{n[0]!r})"
+        qn = f"sqrt({qx}*{qx} + {qy}*{qy} + {qz}*{qz})"
+        ix, iy, iz = f"({qx}/{qn})", f"({qy}/{qn})", f"({qz}/{qn})"
+        interior = (
+            f"(({ix}*{axn[0]!r} + {iy}*{axn[1]!r} + {iz}*{axn[2]!r}) < 0"
+            f" AND ({ix}*{bxn[0]!r} + {iy}*{bxn[1]!r} + {iz}*{bxn[2]!r}) > 0)"
+        )
+        xa2 = (
+            f"((px-({a[0]!r}))*(px-({a[0]!r})) + (py-({a[1]!r}))*(py-({a[1]!r}))"
+            f" + (pz-({a[2]!r}))*(pz-({a[2]!r})))"
+        )
+        xb2 = (
+            f"((px-({b[0]!r}))*(px-({b[0]!r})) + (py-({b[1]!r}))*(py-({b[1]!r}))"
+            f" + (pz-({b[2]!r}))*(pz-({b[2]!r})))"
+        )
+        def pick(ii, va, vb):
+            return (
+                f"CASE WHEN {interior} THEN {ii}"
+                f" WHEN {xa2} <= {xb2} THEN {va!r} ELSE {vb!r} END"
+            )
+        selects.append(
+            f"SELECT key, {i} AS seg, {d2} AS d2,"
+            f" {pick(ix, a[0], b[0])} AS gx,"
+            f" {pick(iy, a[1], b[1])} AS gy,"
+            f" {pick(iz, a[2], b[2])} AS gz"
+            f" FROM xyz"
+        )
+    cand = " UNION ALL ".join(selects)
+    cum_case = " ".join(
+        f"WHEN seg = {i} THEN {cums[i]!r}" for i in range(len(v) - 1)
+    )
+    va_x = " ".join(f"WHEN seg = {i} THEN {v[i][0]!r}" for i in range(len(v) - 1))
+    va_y = " ".join(f"WHEN seg = {i} THEN {v[i][1]!r}" for i in range(len(v) - 1))
+    va_z = " ".join(f"WHEN seg = {i} THEN {v[i][2]!r}" for i in range(len(v) - 1))
+    angle = _stable_angle_sql(("vax", "vay", "vaz"), ("gx", "gy", "gz"))
+    return f"""
+    WITH {pts_cte()},
+    cand AS ({cand}),
+    best AS (
+      SELECT key, seg, gx, gy, gz,
+             row_number() OVER (PARTITION BY key ORDER BY d2, seg) AS rn
+      FROM cand),
+    sel AS (
+      SELECT key, seg, gx, gy, gz,
+             CASE {cum_case} END AS cum,
+             CASE {va_x} END AS vax,
+             CASE {va_y} END AS vay,
+             CASE {va_z} END AS vaz
+      FROM best WHERE rn = 1)
+    SELECT key,
+           round(gx, {round_digits}) AS proj_x_r,
+           round(gy, {round_digits}) AS proj_y_r,
+           round(gz, {round_digits}) AS proj_z_r,
+           round(least(1.0, (cum + {angle}) / {total!r}), {round_digits}) AS fraction_r
+    FROM sel ORDER BY key
     """

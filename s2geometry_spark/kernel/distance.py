@@ -103,3 +103,31 @@ def directed_hausdorff2(A_vertices: np.ndarray, B_edges_c: np.ndarray, B_edges_d
     semantics over vertex samples, s2hausdorff_distance_query.h)."""
     d2 = point_edge_dist2(A_vertices, B_edges_c, B_edges_d)
     return float(d2.min(axis=1).max())
+
+
+def point_edge_dist2_rowwise(X: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-paired variant of point_edge_dist2: X[i] against edge
+    (A[i], B[i]) → (N,) squared-chord distances.  Same formula, element-
+    wise instead of the (N,M) cross product — the shape for candidate
+    tables where each row carries its own edge."""
+    X = np.asarray(X, float).reshape(-1, 3)
+    A = np.asarray(A, float).reshape(-1, 3)
+    B = np.asarray(B, float).reshape(-1, 3)
+    xa2 = ((X - A) ** 2).sum(-1)
+    xb2 = ((X - B) ** 2).sum(-1)
+    vertex_d2 = np.minimum(xa2, xb2)
+    ab2 = ((A - B) ** 2).sum(-1)
+    max_error = 4.75 * DBL_EPSILON * (xa2 + xb2 + ab2) + 8 * DBL_EPSILON**2
+    maybe_interior = np.abs(xa2 - xb2) < ab2 + max_error
+    C = np.cross(A, B)
+    c2 = (C * C).sum(-1)
+    x_dot_c = (X * C).sum(-1)
+    x_dot_c2 = x_dot_c * x_dot_c
+    w1 = (X * np.cross(A, C)).sum(-1)
+    w2 = (X * np.cross(B, C)).sum(-1)
+    interior = maybe_interior & (w1 < 0) & (w2 > 0) & (c2 > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.clip(x_dot_c2 / c2, 0.0, 1.0)
+        qr = 1.0 - np.sqrt(np.clip(1.0 - ratio, 0.0, 1.0))
+        interior_d2 = ratio + qr * qr
+    return np.where(interior, np.minimum(interior_d2, vertex_d2), vertex_d2)

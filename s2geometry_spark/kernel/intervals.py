@@ -193,6 +193,24 @@ class S1Interval:
             lo = PI
         return S1Interval(lo, hi, checked=True)
 
+    def intersection(self, y: "S1Interval") -> "S1Interval":
+        """S1Interval::Intersection (s1interval.cc:257-281)."""
+        if y.is_empty():
+            return S1Interval.empty()
+        if self._fast_contains(y.lo):
+            if self._fast_contains(y.hi):
+                # either self ⊇ y, or the intersection is two disjoint
+                # subintervals — return the shorter original interval
+                if y.get_length() < self.get_length():
+                    return y
+                return self
+            return S1Interval(y.lo, self.hi, checked=True)
+        if self._fast_contains(y.hi):
+            return S1Interval(self.lo, y.hi, checked=True)
+        if y._fast_contains(self.lo):
+            return self
+        return S1Interval.empty()
+
     def union(self, y: "S1Interval") -> "S1Interval":
         if y.is_empty():
             return S1Interval(self.lo, self.hi, checked=True)
