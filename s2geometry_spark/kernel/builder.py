@@ -1,0 +1,231 @@
+"""Minimal S2Builder: snap functions + vertex-level snap rounding.
+
+Ports the snap-function layer of the reference verbatim
+(s2builderutil_snap_functions.cc):
+  - IdentitySnapFunction            (:46-80)
+  - S2CellIdSnapFunction            (:85-210: cell-center snapping with
+    MinSnapRadiusForLevel / LevelForMaxSnapRadius / min_vertex_separation)
+  - IntLatLngSnapFunction           (:212-350: E<exponent> grid snapping)
+
+and the *vertex* phase of S2Builder::Build (s2builder.cc:598-790):
+  - input vertices sorted by leaf S2CellId (ties: lexicographic point),
+    the order that makes site selection deterministic (SortInputVertices,
+    s2builder.cc:615-680);
+  - greedy Voronoi site selection: snap each vertex, add a site unless an
+    existing site is within min_vertex_separation (ChooseInitialSites,
+    s2builder.cc:727-790, "snap first" semantics);
+  - each input vertex maps to its closest site within snap_radius.
+
+Scope (documented limitation): the edge phase — adding Voronoi sites
+along input edges to maintain min_edge_vertex_separation and splitting
+snapped edges that pass through other sites' cells (s2builder.cc
+SnapEdge/AddExtraSites) — is NOT implemented; geometry whose edges pass
+within snap_radius of non-incident vertices can violate the separation
+guarantee.  The snapped outputs here cover vertex merging, grid/cell
+snapping, and degeneracy removal (the InitToSnapped use cases)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import cellid as K
+from . import metrics
+from .contains import Loop, Polygon
+from .coords import latlng_to_xyz, xyz_to_latlng
+
+DBL_EPSILON = 2.220446049250313e-16
+
+
+class SnapFunction:
+    snap_radius: float  # radians
+
+    def min_vertex_separation(self) -> float:
+        raise NotImplementedError
+
+    def snap(self, points: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class IdentitySnapFunction(SnapFunction):
+    """s2builderutil_snap_functions.cc:46-80."""
+
+    def __init__(self, snap_radius_rad: float = 0.0):
+        self.snap_radius = float(snap_radius_rad)
+
+    def min_vertex_separation(self) -> float:
+        return self.snap_radius
+
+    def min_edge_vertex_separation(self) -> float:
+        return 0.5 * self.snap_radius
+
+    def snap(self, points: np.ndarray) -> np.ndarray:
+        return np.asarray(points, float).reshape(-1, 3)
+
+
+class S2CellIdSnapFunction(SnapFunction):
+    """Snap to cell centers at a fixed level
+    (s2builderutil_snap_functions.cc:85-210)."""
+
+    def __init__(self, level: int, snap_radius_rad: float | None = None):
+        self.level = int(level)
+        self.snap_radius = (
+            float(snap_radius_rad)
+            if snap_radius_rad is not None
+            else self.min_snap_radius_for_level(level)
+        )
+
+    @staticmethod
+    def min_snap_radius_for_level(level: int) -> float:
+        return 0.5 * metrics.MAX_DIAG.get_value(level) + 4 * DBL_EPSILON
+
+    @staticmethod
+    def level_for_max_snap_radius(snap_radius_rad: float) -> int:
+        return metrics.MAX_DIAG.get_level_for_max_value(
+            2 * (snap_radius_rad - 4 * DBL_EPSILON)
+        )
+
+    def min_vertex_separation(self) -> float:
+        min_edge = metrics.MIN_EDGE.get_value(self.level)
+        max_diag = metrics.MAX_DIAG.get_value(self.level)
+        return max(
+            min_edge,
+            0.548 * self.snap_radius,  # 2/sqrt(13) in the plane
+            self.snap_radius - 0.5 * max_diag,
+        )
+
+    def snap(self, points: np.ndarray) -> np.ndarray:
+        p = np.asarray(points, float).reshape(-1, 3)
+        ids = K.parent(K.from_point(p[:, 0], p[:, 1], p[:, 2]), self.level)
+        x, y, z = K.to_point(ids)
+        return np.stack([x, y, z], -1)
+
+
+class IntLatLngSnapFunction(SnapFunction):
+    """Snap to integer (lat,lng) at 10^exponent per degree
+    (s2builderutil_snap_functions.cc:212-350)."""
+
+    def __init__(self, exponent: int, snap_radius_rad: float | None = None):
+        self.exponent = int(exponent)
+        power = 1.0
+        for _ in range(exponent):
+            power *= 10
+        self._from_degrees = power
+        self._to_degrees = 1 / power
+        self.snap_radius = (
+            float(snap_radius_rad)
+            if snap_radius_rad is not None
+            else self.min_snap_radius_for_exponent(exponent)
+        )
+
+    @staticmethod
+    def min_snap_radius_for_exponent(exponent: int) -> float:
+        power = 1.0
+        for _ in range(exponent):
+            power *= 10
+        return math.radians(math.sqrt(0.5) / power) + (
+            9 * math.sqrt(2) + 1.5
+        ) * DBL_EPSILON
+
+    def min_vertex_separation(self) -> float:
+        return max(
+            0.471 * self.snap_radius,  # sqrt(2)/3 in the plane
+            self.snap_radius - math.radians(math.sqrt(0.5) * self._to_degrees),
+        )
+
+    def snap(self, points: np.ndarray) -> np.ndarray:
+        p = np.asarray(points, float).reshape(-1, 3)
+        lat, lng = xyz_to_latlng(p[:, 0], p[:, 1], p[:, 2])
+        # MathUtil::Round<int64> = rint (round half to even)
+        ilat = np.rint(lat * self._from_degrees)
+        ilng = np.rint(lng * self._from_degrees)
+        x, y, z = latlng_to_xyz(ilat * self._to_degrees, ilng * self._to_degrees)
+        return np.stack([x, y, z], -1)
+
+
+def _chord2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return ((a - b) ** 2).sum(-1)
+
+
+def _angle2chord2(rad: float) -> float:
+    s = 2 * math.sin(0.5 * min(math.pi, rad))
+    return s * s
+
+
+def choose_sites(vertices: np.ndarray, snap: SnapFunction) -> tuple[np.ndarray, np.ndarray]:
+    """(sites, vertex→site map): SortInputVertices + ChooseInitialSites +
+    closest-site assignment within snap_radius."""
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    if len(v) == 0:
+        return np.zeros((0, 3)), np.zeros(0, dtype=np.int64)
+    # sort by leaf cell id, ties by lexicographic point (s2builder.cc:615)
+    leafs = K.from_point(v[:, 0], v[:, 1], v[:, 2])
+    order = sorted(
+        range(len(v)), key=lambda i: (int(leafs[i]), v[i, 0], v[i, 1], v[i, 2])
+    )
+    min_sep2 = _angle2chord2(snap.min_vertex_separation())
+    sites: list[np.ndarray] = []
+    for i in order:
+        site = snap.snap(v[i][None])[0]
+        if snap.snap_radius == 0.0:
+            add = not sites or not np.all(sites[-1] == site)
+        else:
+            add = all(_chord2(site, s) > min_sep2 for s in sites)
+        if add:
+            sites.append(site)
+    S = np.asarray(sites).reshape(-1, 3)
+    # map each vertex to the closest site within snap_radius
+    d2 = ((v[:, None, :] - S[None, :, :]) ** 2).sum(-1)
+    vmap = d2.argmin(axis=1)
+    return S, vmap
+
+
+def snap_chain(vertices: np.ndarray, snap: SnapFunction, closed: bool) -> np.ndarray:
+    """Snap one vertex chain: sites + dedupe of consecutive duplicates
+    (and the wrap-around duplicate for closed chains)."""
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    if len(v) == 0:
+        return v
+    sites, vmap = choose_sites(v, snap)
+    out = []
+    for i in range(len(v)):
+        s = sites[vmap[i]]
+        if out and np.all(out[-1] == s):
+            continue
+        out.append(s)
+    if closed and len(out) > 1 and np.all(out[0] == out[-1]):
+        out.pop()
+    return np.asarray(out).reshape(-1, 3)
+
+
+def snap_polyline(vertices: np.ndarray, snap: SnapFunction) -> np.ndarray:
+    """S2Polyline::InitToSnapped semantics (s2polyline.cc:131-150):
+    snapped chain with duplicates removed."""
+    return snap_chain(vertices, snap, closed=False)
+
+
+def snap_polygon(polygon: Polygon, snap: SnapFunction) -> Polygon:
+    """S2Polygon::InitToSnapped semantics (s2polygon.cc:427-494, vertex
+    phase): snap each loop's vertices jointly (shared site set, so shared
+    boundaries stay shared), drop loops that collapse below 3 vertices."""
+    all_v = np.concatenate([l.vertices for l in polygon.loops]) if polygon.loops else np.zeros((0, 3))
+    if len(all_v) == 0:
+        return Polygon([])
+    sites, vmap = choose_sites(all_v, snap)
+    loops = []
+    base = 0
+    for loop in polygon.loops:
+        n = len(loop.vertices)
+        chain = []
+        for i in range(n):
+            s = sites[vmap[base + i]]
+            if chain and np.all(chain[-1] == s):
+                continue
+            chain.append(s)
+        base += n
+        if len(chain) > 1 and np.all(chain[0] == chain[-1]):
+            chain.pop()
+        if len(chain) >= 3:
+            loops.append(Loop(np.asarray(chain)))
+    return Polygon(loops)

@@ -1,0 +1,139 @@
+"""Minimal S2Builder snap layer — fixtures ported from
+s2builder_test.cc:154-231 plus snapped-boolean robustness."""
+
+import math
+
+import numpy as np
+
+from s2geometry_spark.kernel import cellid as K
+from s2geometry_spark.kernel.builder import (
+    IdentitySnapFunction,
+    IntLatLngSnapFunction,
+    S2CellIdSnapFunction,
+    snap_polygon,
+    snap_polyline,
+)
+from s2geometry_spark.kernel.contains import parse_points, parse_polygon
+from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+
+def _pt(lat, lng):
+    x, y, z = latlng_to_xyz(np.float64(lat), np.float64(lng))
+    return np.array([float(x), float(y), float(z)])
+
+
+def _approx_equal_cyclic(got: np.ndarray, expected: np.ndarray, tol_rad: float):
+    """Loops equal up to rotation, each vertex within tol."""
+    assert len(got) == len(expected), (len(got), len(expected))
+    n = len(got)
+    chord_tol = (2 * math.sin(tol_rad / 2)) ** 2
+    for off in range(n):
+        rolled = np.roll(got, -off, axis=0)
+        if all(((rolled[i] - expected[i]) ** 2).sum() <= chord_tol for i in range(n)):
+            return
+    raise AssertionError(f"no cyclic match within {tol_rad}")
+
+
+def test_simple_vertex_merging():
+    # s2builder_test.cc:154-170
+    snap_radius = math.radians(0.5)
+    inp = parse_polygon(
+        "0:0, 0.2:0.2, 0.1:0.2, 0.1:0.9, 0:1, 0.1:1.1, 0.9:1, 1:1, 1:0.9"
+    )
+    out = snap_polygon(inp, IdentitySnapFunction(snap_radius))
+    expected = parse_polygon("0:0, 0:1, 1:0.9")
+    assert len(out.loops) == 1
+    _approx_equal_cyclic(
+        out.loops[0].vertices, expected.loops[0].vertices, 2 * snap_radius
+    )
+
+
+def test_simple_s2cellid_snapping():
+    # s2builder_test.cc:172-193
+    level = S2CellIdSnapFunction.level_for_max_snap_radius(math.radians(1))
+    snap = S2CellIdSnapFunction(level)
+    inp = parse_polygon("2:2, 3:4, 2:6, 4:5, 6:6, 5:4, 6:2, 4:3")
+    out = snap_polygon(inp, snap)
+    assert len(out.loops) == 1
+    v = out.loops[0].vertices
+    # every output vertex is the center of a level-`level` cell
+    ids = K.parent(K.from_point(v[:, 0], v[:, 1], v[:, 2]), level)
+    cx, cy, cz = K.to_point(ids)
+    assert np.all(cx == v[:, 0]) and np.all(cy == v[:, 1]) and np.all(cz == v[:, 2])
+    # and each input vertex has an output vertex within the snap radius
+    for p in inp.loops[0].vertices:
+        d2 = ((v - p) ** 2).sum(-1).min()
+        assert d2 <= (2 * math.sin(snap.snap_radius / 2)) ** 2 + 1e-30
+
+
+def test_simple_intlatlng_snapping():
+    # s2builder_test.cc:195-209 (E0 coordinates)
+    inp = parse_polygon(
+        "2.01:2.09, 3.24:4.49, 1.78:6.25, 3.51:5.49, 6.11:6.11, "
+        "5.22:3.88, 5.55:2.49, 4.49:2.51"
+    )
+    out = snap_polygon(inp, IntLatLngSnapFunction(0))
+    expected = parse_polygon("2:2, 3:4, 2:6, 4:5, 6:6, 5:4, 6:2, 4:3")
+    assert len(out.loops) == 1
+    _approx_equal_cyclic(out.loops[0].vertices, expected.loops[0].vertices, 1e-14)
+
+
+def test_vertices_move_less_than_snap_radius():
+    # s2builder_test.cc:211-231: a 1000-vertex regular loop of radius 20°
+    # with 1° snap radius keeps 90-100 vertices (none collapse together).
+    from s2geometry_spark.kernel.polyline import _get_frame
+
+    center = np.array([1.0, 0.0, 0.0])
+    frame = _get_frame(center)
+    radius = math.radians(20)
+    n = 1000
+    verts = []
+    for k in range(n):
+        theta = 2 * math.pi * k / n
+        d = np.array(
+            [math.sin(radius) * math.cos(theta),
+             math.sin(radius) * math.sin(theta),
+             math.cos(radius)]
+        )
+        p = frame @ d
+        verts.append(p / np.linalg.norm(p))
+    from s2geometry_spark.kernel.contains import Loop, Polygon
+
+    inp = Polygon([Loop(np.asarray(verts))])
+    out = snap_polygon(inp, IdentitySnapFunction(math.radians(1)))
+    assert len(out.loops) == 1
+    nv = len(out.loops[0].vertices)
+    assert 90 <= nv <= 100, nv
+
+
+def test_snap_polyline_dedupes():
+    # S2Polyline::InitToSnapped at a coarse level dedupes vertices
+    # (s2polyline_test.cc:510-524)
+    v = parse_points("10:10, 10:20, 10:30, 10:15, 10:40")
+    snapped = snap_polyline(v, S2CellIdSnapFunction(30))
+    assert len(snapped) == 5  # leaf-level snap keeps all
+    coarse = snap_polyline(v, S2CellIdSnapFunction(2))
+    assert len(coarse) < 5
+
+
+def test_snapped_boolean_ops_stay_valid():
+    # Near-degenerate shared boundary: the right edge of A and left edge
+    # of B differ by ~1e-7 degrees.  After snapping both to E5 they share
+    # the boundary exactly, and boolean ops produce valid polygons.
+    from s2geometry_spark.kernel import booleans as B
+    from s2geometry_spark.kernel.validation import find_polygon_validation_error
+
+    a = parse_polygon("0:0, 0:1.0000001, 1:1, 1:0")
+    b = parse_polygon("0:1.00000004, 0:2, 1:2, 1:0.99999998")
+    snap = IntLatLngSnapFunction(5)
+    sa = snap_polygon(a, snap)
+    sb = snap_polygon(b, snap)
+    # the shared boundary is now bit-identical
+    u = B.union(sa, sb)
+    i = B.intersection(sa, sb)
+    assert find_polygon_validation_error(u) is None
+    for loop in u.loops:
+        assert len(loop.vertices) >= 3
+    # disjoint-interior squares sharing an edge: union is one loop
+    assert len(u.loops) == 1
+    assert i.is_empty or all(len(l.vertices) >= 3 for l in i.loops)
