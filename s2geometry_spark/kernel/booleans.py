@@ -275,3 +275,49 @@ def buffer_polygon(poly: Polygon, radius_rad: float, max_cells: int = 64) -> Pol
     )
     grown = expand_radius(normalize(cov), radius_rad)
     return cellunion_to_polygon(grown)
+
+
+def clip_polyline_to_polygon(
+    vertices: np.ndarray, poly: Polygon, keep_inside: bool = True
+) -> list[np.ndarray]:
+    """Polyline operand for boolean ops (s2boolean_operation.h:37-90,
+    polyline × polygon INTERSECTION / DIFFERENCE, general position):
+    split each polyline edge at polygon-boundary crossings, keep the
+    sub-edges whose midpoints are inside (resp. outside), and reassemble
+    maximal chains in input order.  Sub-edges lying exactly on the
+    boundary are snap-rounding territory (same caveat as _split_edges).
+    """
+    pv = np.asarray(vertices, float).reshape(-1, 3)
+    if len(pv) < 2:
+        return []
+    pedges = _edges_of(poly)
+    chains: list[list[np.ndarray]] = []
+    current: list[np.ndarray] = []
+    for i in range(len(pv) - 1):
+        subs = _split_edges([(pv[i], pv[i + 1])], pedges)
+        kept = _classify(subs, poly)
+        for (a, b), inside in zip(subs, kept):
+            if bool(inside) != keep_inside:
+                if current:
+                    chains.append(current)
+                    current = []
+                continue
+            if current and np.all(current[-1] == a):
+                current.append(b)
+            else:
+                if current:
+                    chains.append(current)
+                current = [a, b]
+    if current:
+        chains.append(current)
+    return [np.asarray(c) for c in chains]
+
+
+def polyline_intersection(vertices: np.ndarray, poly: Polygon) -> list[np.ndarray]:
+    """S2BooleanOperation INTERSECTION with a polyline A operand."""
+    return clip_polyline_to_polygon(vertices, poly, keep_inside=True)
+
+
+def polyline_difference(vertices: np.ndarray, poly: Polygon) -> list[np.ndarray]:
+    """S2BooleanOperation DIFFERENCE (polyline minus polygon)."""
+    return clip_polyline_to_polygon(vertices, poly, keep_inside=False)

@@ -238,3 +238,63 @@ def test_buffer_polygon():
     # ...but not points far beyond radius + cell slack
     far_pt = np.stack(latlng_to_xyz(np.array([10.5]), np.array([2.0])), -1)
     assert not buffered.contains(far_pt)[0]
+
+
+class TestPolylineOperands:
+    """Polyline × polygon boolean ops (general position)."""
+
+    def _square(self):
+        return parse_polygon("0:0, 0:4, 4:4, 4:0")
+
+    def test_crossing_polyline_splits(self):
+        from s2geometry_spark.kernel.booleans import (
+            polyline_difference,
+            polyline_intersection,
+        )
+        from s2geometry_spark.kernel.contains import parse_points
+        from s2geometry_spark.kernel.measures import polyline_length
+
+        line = parse_points("2:-2, 2:6")  # crosses the square west→east
+        poly = self._square()
+        inside = polyline_intersection(line, poly)
+        outside = polyline_difference(line, poly)
+        assert len(inside) == 1
+        assert len(outside) == 2
+        total = polyline_length(line)
+        got = sum(polyline_length(c) for c in inside) + sum(
+            polyline_length(c) for c in outside
+        )
+        assert abs(got - total) < 1e-12
+        # the inside piece spans boundary to boundary (lng 0 → lng 4)
+        from s2geometry_spark.kernel.coords import xyz_to_latlng
+
+        piece = inside[0]
+        _, lng0 = xyz_to_latlng(*piece[0])
+        _, lng1 = xyz_to_latlng(*piece[-1])
+        assert abs(float(lng0) - 0) < 1e-9
+        assert abs(float(lng1) - 4) < 1e-9
+
+    def test_polyline_fully_inside_or_outside(self):
+        from s2geometry_spark.kernel.booleans import (
+            polyline_difference,
+            polyline_intersection,
+        )
+        from s2geometry_spark.kernel.contains import parse_points
+
+        poly = self._square()
+        inner = parse_points("1:1, 2:2, 3:3")
+        outer = parse_points("10:10, 11:11")
+        assert len(polyline_intersection(inner, poly)) == 1
+        assert polyline_difference(inner, poly) == []
+        assert polyline_intersection(outer, poly) == []
+        assert len(polyline_difference(outer, poly)) == 1
+
+    def test_polyline_through_hole(self):
+        from s2geometry_spark.kernel.booleans import polyline_intersection
+        from s2geometry_spark.kernel.contains import parse_points
+
+        poly = parse_polygon("0:0, 0:6, 6:6, 6:0; 2:2, 2:4, 4:4, 4:2")
+        line = parse_points("3:-1, 3:7")  # crosses shell and hole
+        pieces = polyline_intersection(line, poly)
+        # inside pieces: (0..2) and (4..6) in lng — two chains
+        assert len(pieces) == 2
