@@ -94,95 +94,216 @@ def _edge_intersects_cell(a: np.ndarray, b: np.ndarray, cid: CID) -> bool:
     return intersects_rect(clipped[0], clipped[1], rect)
 
 
-def _descend(a: np.ndarray, b: np.ndarray, cid: CID, target_level: int, out: list):
-    if not _edge_intersects_cell(a, b, cid):
-        return
-    if cid.level() >= target_level:
-        out.append(cid.id)
-        return
-    for k in range(4):
-        _descend(a, b, cid.child(k), target_level, out)
+# Long edges are pre-split into geodesic pieces so the straight UV chord
+# of each piece deviates from the projected great-circle curve by at most
+# ~θ²/4 (added below as extra rect padding); this is what lets all
+# refinement tests run as exact 2D segment-vs-rect algebra (vectorized)
+# instead of per-cell 3D clipping — the reference gets the same effect
+# from hierarchical interpolated clipping (s2edge_clipping.h).
+MAX_PIECE_RAD = 0.02
+UV_PAD = CELL_PADDING + 0.25 * MAX_PIECE_RAD * MAX_PIECE_RAD
+
+_ST_TO_UV = None  # bound lazily to avoid importing coords at module import
+
+
+def _uv_bounds(i_lo: int, j_lo: int, level: int):
+    from ..kernel import coords as C
+
+    size = 1 << (30 - level)
+    u0 = float(C.st_to_uv(C.ij_to_st_min(i_lo)))
+    u1 = float(C.st_to_uv(C.ij_to_st_min(i_lo + size)))
+    v0 = float(C.st_to_uv(C.ij_to_st_min(j_lo)))
+    v1 = float(C.st_to_uv(C.ij_to_st_min(j_lo + size)))
+    return (u0 - UV_PAD, u1 + UV_PAD, v0 - UV_PAD, v1 + UV_PAD)
+
+
+def _segs_intersect_rect(A: np.ndarray, B: np.ndarray, rect) -> np.ndarray:
+    """Vectorized IntersectsRect: segments (A[i], B[i]) vs one padded UV
+    rect (the 2D corner-side test of s2edge_clipping.cc)."""
+    u_lo, u_hi, v_lo, v_hi = rect
+    ok = ~(
+        (np.maximum(A[:, 0], B[:, 0]) < u_lo)
+        | (np.minimum(A[:, 0], B[:, 0]) > u_hi)
+        | (np.maximum(A[:, 1], B[:, 1]) < v_lo)
+        | (np.minimum(A[:, 1], B[:, 1]) > v_hi)
+    )
+    nx = -(B[:, 1] - A[:, 1])
+    ny = B[:, 0] - A[:, 0]
+    ui = np.where(nx >= 0, u_hi, u_lo)
+    vj = np.where(ny >= 0, v_hi, v_lo)
+    ui2 = np.where(nx >= 0, u_lo, u_hi)
+    vj2 = np.where(ny >= 0, v_lo, v_hi)
+    mx = nx * (ui - A[:, 0]) + ny * (vj - A[:, 1])
+    mn = nx * (ui2 - A[:, 0]) + ny * (vj2 - A[:, 1])
+    return ok & (mx >= 0) & (mn <= 0)
+
+
+def _split_geodesic(a: np.ndarray, b: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+    d = a - b
+    chord = math.sqrt(float((d * d).sum()))
+    ang = 2 * math.asin(min(1.0, 0.5 * chord))
+    n = max(1, int(math.ceil(ang / MAX_PIECE_RAD)))
+    if n == 1:
+        return [(a, b)]
+    omega = ang
+    so = math.sin(omega)
+    pts = [a]
+    for k in range(1, n):
+        t = k / n
+        p = (math.sin((1 - t) * omega) * a + math.sin(t * omega) * b) / so
+        pts.append(p / np.linalg.norm(p))
+    pts.append(b)
+    return [(pts[k], pts[k + 1]) for k in range(n)]
+
+
+def _piece_faces_uv(a: np.ndarray, b: np.ndarray):
+    """(face, a_uv, b_uv) tuples for one short geodesic piece."""
+    from ..kernel import coords as C
+
+    fa = int(C.get_face(a[0], a[1], a[2]))
+    fb = int(C.get_face(b[0], b[1], b[2]))
+    if fa == fb:
+        ua, va = (float(x) for x in C.valid_face_xyz_to_uv(fa, a[0], a[1], a[2]))
+        ub, vb = (float(x) for x in C.valid_face_xyz_to_uv(fa, b[0], b[1], b[2]))
+        return [(fa, (ua, va), (ub, vb))]
+    out = []
+    for f in range(6):
+        clipped = clip_to_padded_face(a, b, f, CELL_PADDING)
+        if clipped is not None:
+            out.append((f, tuple(clipped[0]), tuple(clipped[1])))
+    return out
+
+
+def _seed_cells_2d(face: int, auv, buv, seed_level: int) -> list[tuple[int, int]]:
+    """All (i_lo, j_lo) seed-level cells the padded UV chord touches."""
+    out: list[tuple[int, int]] = []
+    A = np.array([auv])
+    B = np.array([buv])
+
+    def rec(i_lo: int, j_lo: int, level: int):
+        if not bool(_segs_intersect_rect(A, B, _uv_bounds(i_lo, j_lo, level))[0]):
+            return
+        if level >= seed_level:
+            out.append((i_lo, j_lo))
+            return
+        half = 1 << (30 - level - 1)
+        rec(i_lo, j_lo, level + 1)
+        rec(i_lo + half, j_lo, level + 1)
+        rec(i_lo, j_lo + half, level + 1)
+        rec(i_lo + half, j_lo + half, level + 1)
+
+    rec(0, 0, 0)
+    return out
 
 
 def build_shape_index(
     edges: DataFrame,
     max_edges_per_cell: int = 10,
     max_level: int = 20,
-    seed_level: int = 0,
+    seed_level: int = 6,
 ) -> DataFrame:
     """edges(EDGE_SCHEMA) → index rows (INDEX_SCHEMA): each cell holds at
-    most `max_edges_per_cell` edges unless already at `max_level`."""
+    most `max_edges_per_cell` distinct edges unless already at
+    `max_level`.  The cell set is a conservative superset of the exact
+    MayIntersect cells (padded UV chords), which is what distance and
+    containment queries require; `seed_level` (default 6, ~1.3° cells)
+    bounds the size of any one refine group — the skew knob."""
+    from ..kernel.hilbert import from_face_ij
+
+    seed_schema = (
+        "cell_id_s long, shape_id int, edge_id int,"
+        " au double, av double, bu double, bv double,"
+        " ax double, ay double, az double, bx double, by double, bz double"
+    )
 
     def seed(batches):
         for pdf in batches:
             out = []
             A = pdf[["ax", "ay", "az"]].to_numpy(np.float64)
             B = pdf[["bx", "by", "bz"]].to_numpy(np.float64)
+            sid = pdf["shape_id"].to_numpy(np.int64)
+            eid = pdf["edge_id"].to_numpy(np.int64)
             for r in range(len(pdf)):
-                cells: list[int] = []
-                for f in range(6):
-                    _descend(
-                        A[r], B[r], CID.from_face(f), seed_level, cells
-                    )
-                row = pdf.iloc[r]
-                for c in cells:
-                    out.append(
-                        (
-                            int(c) - (1 << 63),
-                            int(row.shape_id), int(row.edge_id),
-                            row.ax, row.ay, row.az, row.bx, row.by, row.bz,
-                        )
-                    )
+                for pa, pb in _split_geodesic(A[r], B[r]):
+                    for f, auv, buv in _piece_faces_uv(pa, pb):
+                        for i_lo, j_lo in _seed_cells_2d(f, auv, buv, seed_level):
+                            leaf = from_face_ij(
+                                np.array([f]), np.array([i_lo]), np.array([j_lo])
+                            )
+                            cell = int(K.parent(leaf, seed_level)[0])
+                            out.append(
+                                (
+                                    cell - (1 << 63), int(sid[r]), int(eid[r]),
+                                    auv[0], auv[1], buv[0], buv[1],
+                                    A[r][0], A[r][1], A[r][2],
+                                    B[r][0], B[r][1], B[r][2],
+                                )
+                            )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "cell_id_s", "shape_id", "edge_id",
+                    "au", "av", "bu", "bv",
                     "ax", "ay", "az", "bx", "by", "bz",
                 ],
             )
 
-    seeded = edges.mapInPandas(
-        seed,
-        "cell_id_s long, shape_id int, edge_id int, ax double, ay double,"
-        " az double, bx double, by double, bz double",
-    )
+    seeded = edges.mapInPandas(seed, seed_schema)
 
     def refine(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        root = CID(int(key[0]) + (1 << 63))
-        A = pdf[["ax", "ay", "az"]].to_numpy(np.float64)
-        B = pdf[["bx", "by", "bz"]].to_numpy(np.float64)
-        sid = pdf["shape_id"].to_numpy(np.int64)
-        eid = pdf["edge_id"].to_numpy(np.int64)
+        from ..kernel.hilbert import to_face_ij_orientation
+
+        root_raw = np.array([int(key[0]) + (1 << 63)], dtype=np.uint64)
+        root_level = int(K.level(root_raw)[0])
+        face, i, j, _ = to_face_ij_orientation(root_raw)
+        face = int(face[0])
+        size = 1 << (30 - root_level)
+        i0, j0 = int(i[0]) & -size, int(j[0]) & -size
+
+        A2 = pdf[["au", "av"]].to_numpy(np.float64)
+        B2 = pdf[["bu", "bv"]].to_numpy(np.float64)
+        A3 = pdf[["ax", "ay", "az"]].to_numpy(np.float64)
+        B3 = pdf[["bx", "by", "bz"]].to_numpy(np.float64)
+        ekey = (
+            pdf["shape_id"].to_numpy(np.int64) << 32
+        ) | pdf["edge_id"].to_numpy(np.int64)
         out_rows = []
 
-        def rec(cid: CID, idxs: np.ndarray):
-            if len(idxs) <= max_edges_per_cell or cid.level() >= max_level:
-                lvl = cid.level()
-                for i in idxs:
-                    i = int(i)
-                    out_rows.append(
-                        (
-                            cid.id - (1 << 63), lvl,
-                            int(sid[i]), int(eid[i]),
-                            A[i][0], A[i][1], A[i][2],
-                            B[i][0], B[i][1], B[i][2],
-                        )
+        def emit(i_lo: int, j_lo: int, level: int, idxs: np.ndarray):
+            leaf = from_face_ij(
+                np.array([face]), np.array([i_lo]), np.array([j_lo])
+            )
+            cell_s = int(K.parent(leaf, level)[0]) - (1 << 63)
+            _, first = np.unique(ekey[idxs], return_index=True)
+            for fi in first:
+                r = int(idxs[fi])
+                out_rows.append(
+                    (
+                        cell_s, level,
+                        int(ekey[r] >> 32), int(ekey[r] & 0xFFFFFFFF),
+                        A3[r][0], A3[r][1], A3[r][2],
+                        B3[r][0], B3[r][1], B3[r][2],
                     )
-                return
-            for k in range(4):
-                child = cid.child(k)
-                sub = np.array(
-                    [
-                        i
-                        for i in idxs
-                        if _edge_intersects_cell(A[int(i)], B[int(i)], child)
-                    ],
-                    dtype=np.int64,
                 )
-                if len(sub):
-                    rec(child, sub)
 
-        rec(root, np.arange(len(pdf)))
+        def rec(i_lo: int, j_lo: int, level: int, idxs: np.ndarray):
+            n_edges = len(np.unique(ekey[idxs]))
+            if n_edges <= max_edges_per_cell or level >= max_level:
+                emit(i_lo, j_lo, level, idxs)
+                return
+            half = 1 << (30 - level - 1)
+            for ci, cj in (
+                (i_lo, j_lo), (i_lo + half, j_lo),
+                (i_lo, j_lo + half), (i_lo + half, j_lo + half),
+            ):
+                mask = _segs_intersect_rect(
+                    A2[idxs], B2[idxs], _uv_bounds(ci, cj, level + 1)
+                )
+                sub = idxs[mask]
+                if len(sub):
+                    rec(ci, cj, level + 1, sub)
+
+        rec(i0, j0, root_level, np.arange(len(pdf)))
         return pd.DataFrame(
             out_rows,
             columns=[

@@ -27,23 +27,34 @@ def _spiral_polyline(n_edges: int, shape_id: int = 0) -> Shape:
 
 
 def test_index_invariants(spark):
+    from s2geometry_spark.kernel import cellid as K
+
     shape = _spiral_polyline(500)
     edges = edges_to_df(spark, [shape])
     idx = build_shape_index(edges, max_edges_per_cell=10, max_level=20).toPandas()
     # every edge appears at least once
     assert set(idx.edge_id) == set(range(500))
-    # cell occupancy invariant: ≤ 10 edges unless at max_level
-    occ = idx.groupby("cell_id_s").agg(n=("edge_id", "size"), lvl=("level", "max"))
+    # cell occupancy invariant: ≤ 10 distinct edges unless at max_level
+    occ = idx.groupby("cell_id_s").agg(
+        n=("edge_id", "nunique"), lvl=("level", "max")
+    )
     assert ((occ.n <= 10) | (occ.lvl >= 20)).all()
-    # index rows reference cells that the edge actually intersects
-    from s2geometry_spark.kernel.cid import CID
-    from s2geometry_spark.operators.shape_index import _edge_intersects_cell
-
-    sample = idx.sample(n=min(50, len(idx)), random_state=7)
-    for r in sample.itertuples():
-        a = np.array([r.ax, r.ay, r.az])
-        b = np.array([r.bx, r.by, r.bz])
-        assert _edge_intersects_cell(a, b, CID(int(r.cell_id_s) + (1 << 63)))
+    # SUPERSET guarantee (what distance queries rely on): every point of
+    # every edge lies inside one of that edge's indexed cells
+    raw = idx.cell_id_s.to_numpy(np.int64).astype(np.uint64) + (1 << 63)
+    rmin = K.range_min(raw).astype(np.uint64)
+    rmax = K.range_max(raw).astype(np.uint64)
+    by_edge = {}
+    for k, (e, lo, hi) in enumerate(zip(idx.edge_id, rmin, rmax)):
+        by_edge.setdefault(int(e), []).append((int(lo), int(hi)))
+    rng = np.random.default_rng(11)
+    for e in rng.choice(500, 60, replace=False):
+        a, b = shape.edges_c[e], shape.edges_d[e]
+        for t in np.linspace(0, 1, 9):
+            p = (1 - t) * a + t * b
+            p = p / np.linalg.norm(p)
+            leaf = int(K.from_point(p[0:1], p[1:2], p[2:3])[0])
+            assert any(lo <= leaf <= hi for lo, hi in by_edge[int(e)]), (e, t)
 
 
 def test_indexed_join_matches_brute(spark):
