@@ -213,6 +213,16 @@ def _q_dedup_ngram(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_dedup_jaccard_prefix(spark, sf_dir):
+    """Exact GLOBAL Jaccard pairs via prefix filtering (AllPairs/PPJoin)
+    — the scale path that replaces the O(block²) blocked join."""
+    from s2geometry_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), threshold=0.2).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     from s2geometry_spark.operators.dedup import minhash_lsh_pairs
 
@@ -581,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -790,6 +801,16 @@ def oracle_sql() -> dict[str, str]:
                    round(length(list_intersect(a.sh, b.sh))::DOUBLE
                          / length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_r
             FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE length(list_intersect(a.sh, b.sh))::DOUBLE
+                  / length(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_jaccard_prefix": f"""
+            WITH sh AS (SELECT doc_id, {sh} AS sh FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(length(list_intersect(a.sh, b.sh))::DOUBLE
+                         / length(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_r
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE length(list_intersect(a.sh, b.sh))::DOUBLE
                   / length(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
             ORDER BY doc_a, doc_b

@@ -174,3 +174,55 @@ def simhash(df: DataFrame, bits: int = 32) -> DataFrame:
     for c in bit_cols[1:]:
         sim = sim + c
     return df.select("doc_id", sim.alias("simhash32"))
+
+
+def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact global Jaccard pairs via PREFIX FILTERING (the AllPairs /
+    PPJoin family): two sets with Jaccard ≥ t must share a token among
+    the first ``len - ceil(t*len) + 1`` of each set under a global
+    token order (rarest first).  Candidates come from an equi self-join
+    on prefix tokens — linear-ish in corpus size for any fixed
+    threshold — then an exact intersect/union verify.  Replaces the
+    O(block²) blocked join as the scale path for exact dedup.
+
+    Plan: one groupBy (doc-frequency) shuffled by token, one explode +
+    equi join keyed by (rare) token, one distinct, one verify join.
+    Rare-first ordering makes the hottest join keys the *least* frequent
+    tokens — the skew profile is inverted by construction.
+    """
+    sh = df.select("doc_id", shingles().alias("sh"))
+    tok = sh.select("doc_id", F.explode("sh").alias("t"))
+    # global order: doc frequency ascending, ties by token (deterministic)
+    freq = tok.groupBy("t").agg(F.count("*").alias("df"))
+    ranked = tok.join(freq, "t")
+    # prefix length per doc: n - ceil(t*n) + 1
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "doc_id"
+    ).orderBy(F.col("df").asc(), F.col("t").asc())
+    pos = ranked.withColumn("_rn", F.row_number().over(w))
+    n_tok = sh.select("doc_id", F.size("sh").alias("n"))
+    prefix = (
+        pos.join(n_tok, "doc_id")
+        .filter(
+            F.col("_rn")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("doc_id", "t")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "t")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    av = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    bv = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(av, "doc_a").join(bv, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return verified.select(
+        "doc_a", "doc_b", (inter / uni).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,41 @@
+"""Prefix-filtering exact Jaccard join == brute-force global pairs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s2geometry_spark.operators.dedup import (
+    ngram_jaccard_pairs_prefix,
+    shingles,
+)
+
+
+@pytest.mark.parametrize("threshold", [0.15, 0.5])
+def test_prefix_filter_equals_brute(spark, threshold):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").limit(300)
+    got = (
+        ngram_jaccard_pairs_prefix(docs, threshold=threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 9).alias("j"))
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    # brute force: full cross self-join (test scale only)
+    sh = docs.select("doc_id", shingles().alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    exp = (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / uni).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 9).alias("j"))
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got.equals(exp)
