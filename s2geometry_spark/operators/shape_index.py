@@ -96,31 +96,42 @@ def _edge_intersects_cell(a: np.ndarray, b: np.ndarray, cid: CID) -> bool:
 
 # Long edges are pre-split into geodesic pieces so the straight UV chord
 # of each piece deviates from the projected great-circle curve by at most
-# ~θ²/4 (added below as extra rect padding); this is what lets all
-# refinement tests run as exact 2D segment-vs-rect algebra (vectorized)
-# instead of per-cell 3D clipping — the reference gets the same effect
-# from hierarchical interpolated clipping (s2edge_clipping.h).
+# ~θ²/4; that deviation is applied as a PER-PIECE padding (a constant pad
+# sized for the worst piece would dwarf deep cells and blow up the
+# refinement fan-out).  The reference gets the same effect from
+# hierarchical interpolated clipping (s2edge_clipping.h).
 MAX_PIECE_RAD = 0.02
-UV_PAD = CELL_PADDING + 0.25 * MAX_PIECE_RAD * MAX_PIECE_RAD
-
-_ST_TO_UV = None  # bound lazily to avoid importing coords at module import
 
 
-def _uv_bounds(i_lo: int, j_lo: int, level: int):
+def _piece_pad(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-piece UV padding: kCellPadding + θ²/4 chord-deviation bound."""
+    d2 = ((np.asarray(a) - np.asarray(b)) ** 2).sum(-1)
+    return CELL_PADDING + 0.25 * d2  # chord² ≥ θ² bound is conservative
+
+
+def _uv_bounds(i_lo, j_lo, level: int):
+    """Unpadded UV rect of the cell(s) at (i_lo, j_lo) — scalars or
+    arrays."""
     from ..kernel import coords as C
 
     size = 1 << (30 - level)
-    u0 = float(C.st_to_uv(C.ij_to_st_min(i_lo)))
-    u1 = float(C.st_to_uv(C.ij_to_st_min(i_lo + size)))
-    v0 = float(C.st_to_uv(C.ij_to_st_min(j_lo)))
-    v1 = float(C.st_to_uv(C.ij_to_st_min(j_lo + size)))
-    return (u0 - UV_PAD, u1 + UV_PAD, v0 - UV_PAD, v1 + UV_PAD)
+    u0 = C.st_to_uv(C.ij_to_st_min(i_lo))
+    u1 = C.st_to_uv(C.ij_to_st_min(np.asarray(i_lo) + size))
+    v0 = C.st_to_uv(C.ij_to_st_min(j_lo))
+    v1 = C.st_to_uv(C.ij_to_st_min(np.asarray(j_lo) + size))
+    return (u0, u1, v0, v1)
 
 
-def _segs_intersect_rect(A: np.ndarray, B: np.ndarray, rect) -> np.ndarray:
-    """Vectorized IntersectsRect: segments (A[i], B[i]) vs one padded UV
-    rect (the 2D corner-side test of s2edge_clipping.cc)."""
-    u_lo, u_hi, v_lo, v_hi = rect
+def _segs_intersect_rect(
+    A: np.ndarray, B: np.ndarray, rect, pad: np.ndarray
+) -> np.ndarray:
+    """Vectorized IntersectsRect: segments (A[i], B[i]) with per-row
+    padding pad[i] vs a UV rect (the 2D corner-side test of
+    s2edge_clipping.cc); rect entries may be scalars or per-row arrays."""
+    u_lo = rect[0] - pad
+    u_hi = rect[1] + pad
+    v_lo = rect[2] - pad
+    v_hi = rect[3] + pad
     ok = ~(
         (np.maximum(A[:, 0], B[:, 0]) < u_lo)
         | (np.minimum(A[:, 0], B[:, 0]) > u_hi)
@@ -174,26 +185,29 @@ def _piece_faces_uv(a: np.ndarray, b: np.ndarray):
     return out
 
 
-def _seed_cells_2d(face: int, auv, buv, seed_level: int) -> list[tuple[int, int]]:
-    """All (i_lo, j_lo) seed-level cells the padded UV chord touches."""
-    out: list[tuple[int, int]] = []
-    A = np.array([auv])
-    B = np.array([buv])
-
-    def rec(i_lo: int, j_lo: int, level: int):
-        if not bool(_segs_intersect_rect(A, B, _uv_bounds(i_lo, j_lo, level))[0]):
-            return
-        if level >= seed_level:
-            out.append((i_lo, j_lo))
-            return
+def _seed_assignments(
+    A2: np.ndarray, B2: np.ndarray, pad: np.ndarray, seed_level: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized frontier expansion: all (piece_idx, i_lo, j_lo) pairs
+    at seed_level whose padded chord touches the cell — one face at a
+    time (inputs are all on one face)."""
+    pi = np.arange(len(A2), dtype=np.int64)
+    il = np.zeros(len(A2), dtype=np.int64)
+    jl = np.zeros(len(A2), dtype=np.int64)
+    for level in range(seed_level):
         half = 1 << (30 - level - 1)
-        rec(i_lo, j_lo, level + 1)
-        rec(i_lo + half, j_lo, level + 1)
-        rec(i_lo, j_lo + half, level + 1)
-        rec(i_lo + half, j_lo + half, level + 1)
-
-    rec(0, 0, 0)
-    return out
+        keep_pi, keep_i, keep_j = [], [], []
+        for di, dj in ((0, 0), (half, 0), (0, half), (half, half)):
+            ci, cj = il + di, jl + dj
+            rect = _uv_bounds(ci, cj, level + 1)
+            m = _segs_intersect_rect(A2[pi], B2[pi], rect, pad[pi])
+            keep_pi.append(pi[m])
+            keep_i.append(ci[m])
+            keep_j.append(cj[m])
+        pi = np.concatenate(keep_pi)
+        il = np.concatenate(keep_i)
+        jl = np.concatenate(keep_j)
+    return pi, il, jl
 
 
 def build_shape_index(
@@ -212,40 +226,96 @@ def build_shape_index(
 
     seed_schema = (
         "cell_id_s long, shape_id int, edge_id int,"
-        " au double, av double, bu double, bv double,"
+        " au double, av double, bu double, bv double, pad double,"
         " ax double, ay double, az double, bx double, by double, bz double"
     )
+    seed_cols = [
+        "cell_id_s", "shape_id", "edge_id",
+        "au", "av", "bu", "bv", "pad",
+        "ax", "ay", "az", "bx", "by", "bz",
+    ]
 
     def seed(batches):
+        from ..kernel import coords as C
+
         for pdf in batches:
-            out = []
             A = pdf[["ax", "ay", "az"]].to_numpy(np.float64)
             B = pdf[["bx", "by", "bz"]].to_numpy(np.float64)
             sid = pdf["shape_id"].to_numpy(np.int64)
             eid = pdf["edge_id"].to_numpy(np.int64)
+            # pieces: (orig_row, pa, pb); most edges are one piece
+            rows, PA, PB = [], [], []
             for r in range(len(pdf)):
                 for pa, pb in _split_geodesic(A[r], B[r]):
-                    for f, auv, buv in _piece_faces_uv(pa, pb):
-                        for i_lo, j_lo in _seed_cells_2d(f, auv, buv, seed_level):
-                            leaf = from_face_ij(
-                                np.array([f]), np.array([i_lo]), np.array([j_lo])
+                    rows.append(r)
+                    PA.append(pa)
+                    PB.append(pb)
+            rows = np.asarray(rows, dtype=np.int64)
+            PA = np.asarray(PA).reshape(-1, 3)
+            PB = np.asarray(PB).reshape(-1, 3)
+            pad = _piece_pad(PA, PB)
+            fa = C.get_face(PA[:, 0], PA[:, 1], PA[:, 2])
+            fb = C.get_face(PB[:, 0], PB[:, 1], PB[:, 2])
+            same = fa == fb
+            frames = []
+            # fast path: same-face pieces, vectorized per face
+            for f in np.unique(fa[same]):
+                m = same & (fa == f)
+                ua, va = C.valid_face_xyz_to_uv(f, PA[m, 0], PA[m, 1], PA[m, 2])
+                ub, vb = C.valid_face_xyz_to_uv(f, PB[m, 0], PB[m, 1], PB[m, 2])
+                A2 = np.stack([ua, va], -1)
+                B2 = np.stack([ub, vb], -1)
+                sub = np.nonzero(m)[0]
+                pi, il, jl = _seed_assignments(A2, B2, pad[m], seed_level)
+                if not len(pi):
+                    continue
+                leafs = from_face_ij(np.full(len(pi), f), il, jl)
+                cells = K.parent(leafs, seed_level).astype(np.int64) - (1 << 63)
+                src = rows[sub[pi]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cell_id_s": cells,
+                            "shape_id": sid[src].astype(np.int32),
+                            "edge_id": eid[src].astype(np.int32),
+                            "au": A2[pi, 0], "av": A2[pi, 1],
+                            "bu": B2[pi, 0], "bv": B2[pi, 1],
+                            "pad": pad[sub[pi]],
+                            "ax": A[src, 0], "ay": A[src, 1], "az": A[src, 2],
+                            "bx": B[src, 0], "by": B[src, 1], "bz": B[src, 2],
+                        }
+                    )
+                )
+            # slow path: face-crossing pieces (rare), scalar clipping
+            cross = np.nonzero(~same)[0]
+            out = []
+            for p in cross:
+                r = int(rows[p])
+                for f, auv, buv in _piece_faces_uv(PA[p], PB[p]):
+                    A2 = np.array([auv])
+                    B2 = np.array([buv])
+                    pi, il, jl = _seed_assignments(
+                        A2, B2, pad[p : p + 1], seed_level
+                    )
+                    for k in range(len(pi)):
+                        leaf = from_face_ij(
+                            np.array([f]), il[k : k + 1], jl[k : k + 1]
+                        )
+                        cell = int(K.parent(leaf, seed_level)[0]) - (1 << 63)
+                        out.append(
+                            (
+                                cell, int(sid[r]), int(eid[r]),
+                                auv[0], auv[1], buv[0], buv[1], float(pad[p]),
+                                A[r][0], A[r][1], A[r][2],
+                                B[r][0], B[r][1], B[r][2],
                             )
-                            cell = int(K.parent(leaf, seed_level)[0])
-                            out.append(
-                                (
-                                    cell - (1 << 63), int(sid[r]), int(eid[r]),
-                                    auv[0], auv[1], buv[0], buv[1],
-                                    A[r][0], A[r][1], A[r][2],
-                                    B[r][0], B[r][1], B[r][2],
-                                )
-                            )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "cell_id_s", "shape_id", "edge_id",
-                    "au", "av", "bu", "bv",
-                    "ax", "ay", "az", "bx", "by", "bz",
-                ],
+                        )
+            if out:
+                frames.append(pd.DataFrame(out, columns=seed_cols))
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=seed_cols)
             )
 
     seeded = edges.mapInPandas(seed, seed_schema)
@@ -262,6 +332,7 @@ def build_shape_index(
 
         A2 = pdf[["au", "av"]].to_numpy(np.float64)
         B2 = pdf[["bu", "bv"]].to_numpy(np.float64)
+        pad = pdf["pad"].to_numpy(np.float64)
         A3 = pdf[["ax", "ay", "az"]].to_numpy(np.float64)
         B3 = pdf[["bx", "by", "bz"]].to_numpy(np.float64)
         ekey = (
@@ -297,7 +368,7 @@ def build_shape_index(
                 (i_lo, j_lo + half), (i_lo + half, j_lo + half),
             ):
                 mask = _segs_intersect_rect(
-                    A2[idxs], B2[idxs], _uv_bounds(ci, cj, level + 1)
+                    A2[idxs], B2[idxs], _uv_bounds(ci, cj, level + 1), pad[idxs]
                 )
                 sub = idxs[mask]
                 if len(sub):
