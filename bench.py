@@ -127,7 +127,7 @@ def bench_queries(spark):
     run(
         "q_shape_index_join",
         lambda: indexed_closest_edges_join(
-            pts_keyed, index, k=1, max_distance_rad=0.005
+            pts_keyed, index, k=1, max_distance_rad=0.001
         ).count(),
     )
     index.unpersist()

@@ -397,30 +397,37 @@ def _probe_level_for(max_distance_rad: float, deepest: int = 30) -> int:
 
 def probe_cells_df(index: DataFrame, max_distance_rad: float) -> DataFrame:
     """Expand each index cell by the radius: lift deep cells to the probe
-    level, ring-1 all-neighbors + self, one probe row per (cell, edge)."""
+    level, ring-1 all-neighbors + self, one probe row per (cell, edge).
+    Rings are computed once per *unique* lifted cell (many index rows
+    share one), then broadcast back over the rows."""
     l_d = _probe_level_for(max_distance_rad)
 
     @F.pandas_udf("array<long>")
     def probes(cell_s: pd.Series, level: pd.Series) -> pd.Series:
         ids = K.unbias(cell_s.to_numpy(np.int64))
-        lvls = level.to_numpy(np.int64)
-        out = []
-        for cid, lvl in zip(ids.tolist(), lvls.tolist()):
-            pl = min(int(lvl), l_d)
-            lifted = K.parent(np.array([cid], dtype=np.uint64), pl)
-            ring = K.all_neighbors(lifted, pl)[0]
-            cells = {int(lifted[0])} | {int(v) for v in ring.tolist()}
-            out.append([c - (1 << 63) for c in sorted(cells)])
+        lvls = np.minimum(level.to_numpy(np.int64), l_d)
+        out = [None] * len(ids)
+        for pl in np.unique(lvls):
+            sel = np.nonzero(lvls == pl)[0]
+            lifted = K.parent(ids[sel], int(pl))
+            uniq, inv = np.unique(lifted, return_inverse=True)
+            rings = K.all_neighbors(uniq, int(pl))
+            cell_lists = [
+                sorted({int(u) - (1 << 63)} | {int(v) - (1 << 63) for v in r.tolist()})
+                for u, r in zip(uniq.tolist(), rings)
+            ]
+            for k, row in enumerate(sel.tolist()):
+                out[row] = cell_lists[inv[k]]
         return pd.Series(out)
 
-    return (
+    probe = (
         index.withColumn("probe_cell_s", F.explode(probes("cell_id_s", "level")))
         .select(
             "probe_cell_s", "shape_id", "edge_id",
             "ax", "ay", "az", "bx", "by", "bz",
         )
-        .dropDuplicates(["probe_cell_s", "shape_id", "edge_id"])
     )
+    return probe.dropDuplicates(["probe_cell_s", "shape_id", "edge_id"])
 
 
 def indexed_closest_edges_join(
@@ -453,9 +460,13 @@ def indexed_closest_edges_join(
     cand = terms.join(
         probe_side, terms["_term"] == probe["probe_cell_s"], "inner"
     ).drop("_term", "probe_cell_s")
-    # a (point, edge) pair can arrive via several probe cells at different
-    # levels → dedupe before the exact kernel
-    cand = cand.dropDuplicates([*point_key, "shape_id", "edge_id"])
+    # With a single probe level, a point has exactly one ancestor term and
+    # probe rows are distinct on (cell, edge) → each (point, edge) pair
+    # appears at most once, so no dedup shuffle is needed.  Mixed probe
+    # levels (index cells coarser than the radius level) can duplicate a
+    # pair across levels → dedupe only then.
+    if len(levels) > 1:
+        cand = cand.dropDuplicates([*point_key, "shape_id", "edge_id"])
 
     @F.pandas_udf("double")
     def dist2(
