@@ -57,3 +57,81 @@ def windowed_cell_counts(
         .agg(F.count("*").alias("n_mentions"))
         .select(F.col("w.start").alias("w_start"), "cell_id_s", "n_mentions")
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "cell_id_s long, session_start timestamp, session_end timestamp,"
+    " n_mentions long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def sessionize_cells(
+    indexed_stream: DataFrame,
+    gap_minutes: float = 30.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-cell
+    activity sessions — consecutive mentions in one cell separated by
+    less than `gap_minutes` form a session; a session is emitted when a
+    later event (or the event-time timeout) closes it.  This is the
+    session-window pattern the reference has no analog for; state is one
+    (start, last, n) triple per cell, so memory is O(active cells)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def fn(key, pdf_iter, state: GroupState):
+        cell = key[0]
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                closed.append((cell, s, last, n))
+                state.remove()
+        else:
+            ts = []
+            for pdf in pdf_iter:
+                ts.extend(
+                    int(v.value) // 1000  # ns → µs
+                    for v in pd.to_datetime(pdf["warc_ts"])
+                )
+            ts.sort()
+            if state.exists:
+                s, last, n = state.get
+            else:
+                s = last = None
+                n = 0
+            for t in ts:
+                if s is None:
+                    s, last, n = t, t, 1
+                elif t - last <= gap_us:  # session_window merges touching windows
+                    last, n = max(last, t), n + 1
+                else:
+                    closed.append((cell, s, last, n))
+                    s, last, n = t, t, 1
+            if s is not None:
+                state.update((s, last, n))
+                state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "cell_id_s": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_mentions": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        indexed_stream.withWatermark("warc_ts", watermark)
+        .groupBy("cell_id_s")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
