@@ -442,18 +442,23 @@ def indexed_closest_edges_join(
     dist2, dist_rad).  The fact table is scanned once, never shuffled
     (broadcast probe join); candidates are O(edges within radius)."""
     spark = points.sparkSession
-    probe = probe_cells_df(index, max_distance_rad).persist()
-    levels = sorted(
-        r[0]
-        for r in probe.select(
-            CC.level("probe_cell_s").alias("l")
-        ).distinct().collect()
-    )
+    # probe derives from the (small, usually cached) index; it is NOT
+    # persisted — holding it pins executor memory long after the join and
+    # degrades later queries' GC profile.  Probe levels and the broadcast
+    # decision come from the index itself, so the probe table is
+    # evaluated exactly once (inside the join).
+    probe = probe_cells_df(index, max_distance_rad)
+    l_d = _probe_level_for(max_distance_rad)
+    stats = index.select(
+        F.least(F.col("level"), F.lit(l_d)).alias("l")
+    ).groupBy("l").count().collect()
+    levels = sorted(int(r.l) for r in stats)
+    # ring-1 expansion ⇒ ≤ 9 probe rows per index row (before dedupe)
+    n_probe_bound = 9 * sum(int(r["count"]) for r in stats)
     # broadcast the probe side while it is broadcast-able; a huge edge set
     # (hundreds of millions of edges) falls back to a shuffled hash join —
     # the fact table shuffles on the probe cell, which AQE skew-splits
-    n_probe = probe.count()
-    probe_side = F.broadcast(probe) if n_probe <= 2_000_000 else probe
+    probe_side = F.broadcast(probe) if n_probe_bound <= 2_000_000 else probe
     terms = points.withColumn(
         "_term", F.explode(F.array(*[CC.parent("cell_id_s", l) for l in levels]))
     )
