@@ -321,3 +321,100 @@ def polyline_intersection(vertices: np.ndarray, poly: Polygon) -> list[np.ndarra
 def polyline_difference(vertices: np.ndarray, poly: Polygon) -> list[np.ndarray]:
     """S2BooleanOperation DIFFERENCE (polyline minus polygon)."""
     return clip_polyline_to_polygon(vertices, poly, keep_inside=False)
+
+
+def buffer_convex_loop(
+    vertices: np.ndarray, radius_rad: float, circle_segments: float = 16.0
+) -> np.ndarray:
+    """Exact polygonized buffer of a CONVEX CCW loop (the offset-curve
+    subset of S2BufferOperation, s2buffer_operation.cc): each edge shifts
+    outward along the great circle offset (the offset curve of a
+    great-circle edge at distance r is a small-circle arc, polygonized
+    here), and consecutive edges are joined by a circular arc around the
+    shared vertex.  The polygonization density follows the reference's
+    circle_segments option (max angular step π/circle_segments,
+    s2buffer_operation.h:109-135); the result is within
+    (1-cos(θ))/(1+cos(θ))·r of the exact buffer boundary.
+
+    REQUIRES: the loop is convex with interior on the left (CCW),
+    radius > 0, and buffered region smaller than a hemisphere.
+    """
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    n_v = len(v)
+    step = math.pi / circle_segments
+    out: list[np.ndarray] = []
+
+    def rotate_about(p: np.ndarray, axis: np.ndarray, angle: float) -> np.ndarray:
+        axis = axis / np.linalg.norm(axis)
+        c, s = math.cos(angle), math.sin(angle)
+        return (
+            p * c + np.cross(axis, p) * s + axis * float(axis @ p) * (1 - c)
+        )
+
+    for i in range(n_v):
+        a = v[i]
+        b = v[(i + 1) % n_v]
+        # outward normal of edge (interior on left ⇒ outward = (a×b)
+        # negated... for CCW small loop, interior is left of a→b and the
+        # normal n = a×b points INTO the interior side? p·(a×b) > 0 for
+        # interior ⇒ outward direction at the edge midpoint is -normalize(a×b)
+        n = np.cross(a, b)
+        n = n / np.linalg.norm(n)
+        out_dir = -n
+        # offset endpoints: move each endpoint along the great circle
+        # toward out_dir by r: p' = p·cos r + t̂·sin r (t̂ = out_dir since
+        # the edge pole n is orthogonal to both endpoints)
+        ta = out_dir - a * float(a @ out_dir)
+        ta = ta / np.linalg.norm(ta)
+        tb = out_dir - b * float(b @ out_dir)
+        tb = tb / np.linalg.norm(tb)
+        a_off = a * math.cos(radius_rad) + ta * math.sin(radius_rad)
+        b_off = b * math.cos(radius_rad) + tb * math.sin(radius_rad)
+        # the offset curve from a_off to b_off is the small circle at
+        # distance r from the edge's great circle: rotating a_off about
+        # the pole n by the edge angle sweeps it onto b_off
+        edge_angle = math.acos(max(-1.0, min(1.0, float(a @ b))))
+        k = max(1, int(math.ceil(edge_angle / step)))
+        for s_i in range(k):
+            out.append(rotate_about(a_off, n, edge_angle * s_i / k))
+        out.append(b_off)
+        # vertex arc at b: from b_off (end of this edge's offset) to the
+        # start of the next edge's offset, rotating about b
+        c = v[(i + 2) % n_v]
+        n2 = np.cross(b, c)
+        n2 = n2 / np.linalg.norm(n2)
+        out2_dir = -n2
+        tb2 = out2_dir - b * float(b @ out2_dir)
+        tb2 = tb2 / np.linalg.norm(tb2)
+        b_off_next = b * math.cos(radius_rad) + tb2 * math.sin(radius_rad)
+        # exterior turn angle at b (convex ⇒ in (0, π)); sweep about b
+        cosang = max(-1.0, min(1.0, float(tb @ tb2)))
+        turn = math.acos(cosang)
+        k = max(1, int(math.ceil(turn / step)))
+        for s_i in range(1, k):
+            out.append(rotate_about(b_off, b, turn * s_i / k))
+    arr = np.asarray(out).reshape(-1, 3)
+    # drop near-duplicate consecutive vertices
+    keep = [0]
+    for i in range(1, len(arr)):
+        if ((arr[i] - arr[keep[-1]]) ** 2).sum() > 1e-24:
+            keep.append(i)
+    if ((arr[keep[-1]] - arr[keep[0]]) ** 2).sum() <= 1e-24 and len(keep) > 1:
+        keep.pop()
+    return arr[keep]
+
+
+def buffer_convex_polygon(
+    poly: Polygon, radius_rad: float, circle_segments: float = 16.0
+) -> Polygon:
+    """Exact polygonized buffer of a single-loop convex polygon
+    (S2BufferOperation subset; general polygons use buffer_polygon's
+    covering-expand approximation)."""
+    if len(poly.loops) != 1:
+        raise ValueError("buffer_convex_polygon requires a single convex loop")
+    from .contains import Loop
+
+    ring = buffer_convex_loop(
+        poly.loops[0].vertices, radius_rad, circle_segments
+    )
+    return Polygon([Loop(ring)])

@@ -298,3 +298,67 @@ class TestPolylineOperands:
         pieces = polyline_intersection(line, poly)
         # inside pieces: (0..2) and (4..6) in lng — two chains
         assert len(pieces) == 2
+
+
+class TestConvexBuffer:
+    def test_buffered_square_matches_distance_semantics(self):
+        """Exact convex buffer: a point is inside the buffered polygon
+        iff its distance to the original polygon is ≤ r, up to the
+        polygonization tolerance (1-cosθ)/(1+cosθ)·r of circle_segments
+        (s2buffer_operation.h:109-135)."""
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernel.booleans import buffer_convex_polygon
+        from s2geometry_spark.kernel.contains import parse_polygon
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+        from s2geometry_spark.kernel.distance import point_edge_dist2
+
+        poly = parse_polygon("0:0, 0:4, 4:4, 4:0")
+        r = math.radians(1.0)
+        segs = 16.0
+        buf = buffer_convex_polygon(poly, r, circle_segments=segs)
+        assert len(buf.loops) == 1
+        v = poly.loops[0].vertices
+        C, D = v, np.roll(v, -1, axis=0)
+
+        rng = np.random.default_rng(2)
+        lat = rng.uniform(-3, 7, 4000)
+        lng = rng.uniform(-3, 7, 4000)
+        x, y, z = latlng_to_xyz(lat, lng)
+        P = np.stack([x, y, z], -1)
+        inside_orig = poly.contains(P)
+        d2 = point_edge_dist2(P, C, D).min(axis=1)
+        dist = np.where(inside_orig, 0.0, 2 * np.arcsin(0.5 * np.sqrt(d2)))
+        got = buf.contains(P)
+        # tolerance band: polygonization error + a hair of numeric slack
+        theta = math.pi / segs
+        tol = (1 - math.cos(theta)) / (1 + math.cos(theta)) * r + 1e-9
+        clear_in = dist <= r - tol
+        clear_out = dist >= r + tol
+        assert np.all(got[clear_in]), "point within r-tol not in buffer"
+        assert not np.any(got[clear_out]), "point beyond r+tol in buffer"
+        # the buffer is strictly larger than the original polygon
+        assert np.all(got[inside_orig])
+
+    def test_buffered_triangle_vertex_arcs(self):
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernel.booleans import buffer_convex_polygon
+        from s2geometry_spark.kernel.contains import parse_polygon
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+        poly = parse_polygon("0:0, 0:3, 3:0")
+        r = math.radians(0.5)
+        buf = buffer_convex_polygon(poly, r, circle_segments=32.0)
+        # a point diagonally off the right-angle corner, within r
+        x, y, z = latlng_to_xyz(np.array([-0.3]), np.array([-0.3]))
+        p = np.stack([x, y, z], -1)
+        assert bool(buf.contains(p)[0])
+        # and one clearly beyond r of the corner
+        x, y, z = latlng_to_xyz(np.array([-0.6]), np.array([-0.6]))
+        p = np.stack([x, y, z], -1)
+        assert not bool(buf.contains(p)[0])
