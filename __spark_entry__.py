@@ -271,6 +271,25 @@ def _q_multimodal_features(spark, sf_dir):
     return extract_features(media).orderBy("media_id")
 
 
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic keyed sampling (uniform + per-language stratified):
+    reproducible across engines — the oracle recomputes the exact same
+    md5-threshold decisions."""
+    from s2geometry_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    uni = deterministic_sample(docs, "doc_id", 0.25).select(
+        F.lit("uniform").alias("mode"), "doc_id", "lang"
+    )
+    strat = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "de": 0.6, "fr": 0.4}
+    ).select(F.lit("stratified").alias("mode"), "doc_id", "lang")
+    return uni.unionByName(strat).orderBy("mode", "doc_id")
+
+
 def _q_events_window(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -391,6 +410,18 @@ def _q_geo_closest_edge(spark, sf_dir):
     return out.select(
         "key", "shape_id", "edge_id", F.round("dist2", 12).alias("dist2_r")
     ).orderBy("key", "shape_id", "edge_id")
+
+
+def _q_cell_density_rollup(spark, sf_dir):
+    """S2DensityTree cell→weight rollup at levels 4/6/8 over synthetic
+    cells — the partitioning-planner input (plans/density.py), with a
+    pure int64 bit-algebra oracle."""
+    from s2geometry_spark.operators.cellops import synth_cell_expr
+    from s2geometry_spark.plans.density import density_rollup
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(synth_cell_expr("c_custkey").alias("cell_id_s"))
+    return density_rollup(pts, [4, 6, 8]).orderBy("level", "cell_id_s")
 
 
 def _q_cell_index_labels(spark, sf_dir):
@@ -598,9 +629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
+        "sample_stratified": _q_sample_stratified,
         "events_window": _q_events_window,
         "tiling_web_tiles": _q_tiling_web_tiles,
         "cell_index_labels": _q_cell_index_labels,
+        "cell_density_rollup": _q_cell_density_rollup,
         "geo_rect_filter": _q_geo_rect_filter,
         "geo_loop_measures": _q_geo_loop_measures,
         "geo_cellunion_ops": _q_geo_cellunion_ops,
@@ -749,6 +782,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY target_id ORDER BY target_id
         """,
         "cell_containment_join": cell_containment_join_oracle(),
+        "cell_density_rollup": f"""
+            WITH pts AS (SELECT {synth_cell_sql('c_custkey')} AS cell_id_s FROM customer),
+            lv(level) AS (VALUES (4), (6), (8)),
+            rolled AS (
+              SELECT level,
+                     (cell_id_s & -((1::BIGINT << (2 * (30 - level)))))
+                       | (1::BIGINT << (2 * (30 - level))) AS cell_id_s
+              FROM pts CROSS JOIN lv)
+            SELECT level, cell_id_s, count(*) AS weight
+            FROM rolled GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "cell_histogram": cell_histogram_oracle(),
         "text_token_stats": f"""
             SELECT doc_id,
@@ -853,6 +897,19 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, cand_id, cosine, rank::INT AS rank FROM ranked
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "sample_stratified": f"""
+            SELECT 'uniform' AS mode, doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  < {int(0.25 * (1 << 32))}
+            UNION ALL
+            SELECT 'stratified' AS mode, doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(lang || '|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                  < CASE lang WHEN 'en' THEN {int(0.1 * (1 << 32))}
+                              WHEN 'de' THEN {int(0.6 * (1 << 32))}
+                              WHEN 'fr' THEN {int(0.4 * (1 << 32))}
+                              ELSE 0 END
+            ORDER BY mode, doc_id
         """,
         "events_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,

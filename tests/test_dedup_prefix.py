@@ -39,3 +39,28 @@ def test_prefix_filter_equals_brute(spark, threshold):
     )
     assert len(got) == len(exp)
     assert got.equals(exp)
+
+
+def test_deterministic_sampling_stable_under_repartition(spark):
+    from s2geometry_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = set(
+        r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3).collect()
+    )
+    b = set(
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(17), "doc_id", 0.3).collect()
+    )
+    assert a == b and 0.2 < len(a) / docs.count() < 0.4
+    # stratified rates land near their quotas per stratum
+    s = stratified_sample(docs, "doc_id", "lang", {"en": 0.1, "de": 0.6}).groupBy(
+        "lang"
+    ).count().collect()
+    rates = {r.lang: r["count"] for r in s}
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert set(rates) <= {"en", "de"}
+    assert rates.get("de", 0) / totals["de"] > rates.get("en", 1) / totals["en"]
