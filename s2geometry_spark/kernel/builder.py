@@ -16,13 +16,16 @@ and the *vertex* phase of S2Builder::Build (s2builder.cc:598-790):
     s2builder.cc:727-790, "snap first" semantics);
   - each input vertex maps to its closest site within snap_radius.
 
-Scope (documented limitation): the edge phase — adding Voronoi sites
-along input edges to maintain min_edge_vertex_separation and splitting
-snapped edges that pass through other sites' cells (s2builder.cc
-SnapEdge/AddExtraSites) — is NOT implemented; geometry whose edges pass
-within snap_radius of non-incident vertices can violate the separation
-guarantee.  The snapped outputs here cover vertex merging, grid/cell
-snapping, and degeneracy removal (the InitToSnapped use cases)."""
+Edge phase (snap_edge_chain / snap_polylines_with_edges): each edge
+snaps to the ordered chain of sites whose Voronoi regions it crosses —
+coverage-interval exclusion per s2pred::GetVoronoiSiteExclusion
+semantics (s2builder.cc:1162-1240), computed in double precision with
+bisection instead of exact arithmetic.  NOT implemented (documented
+scope): AddExtraSites (new separation sites to guarantee
+min_edge_vertex_separation for edges that pass *just outside* the snap
+radius of a site) and the exact-predicate tie-breaking — inputs within
+~1e-12 of a Voronoi boundary may resolve differently than the
+reference."""
 
 from __future__ import annotations
 
@@ -229,3 +232,125 @@ def snap_polygon(polygon: Polygon, snap: SnapFunction) -> Polygon:
         if len(chain) >= 3:
             loops.append(Loop(np.asarray(chain)))
     return Polygon(loops)
+
+
+# ------------------------------------------------------------ edge phase
+def _slerp(x: np.ndarray, y: np.ndarray, t: float) -> np.ndarray:
+    omega = math.acos(max(-1.0, min(1.0, float(x @ y))))
+    if omega == 0:
+        return x
+    so = math.sin(omega)
+    p = (math.sin((1 - t) * omega) * x + math.sin(t * omega) * y) / so
+    return p / np.linalg.norm(p)
+
+
+def _edge_param_dist2(x: np.ndarray, y: np.ndarray, s: np.ndarray, t: float) -> float:
+    p = _slerp(x, y, t)
+    return float(((p - s) ** 2).sum())
+
+
+def coverage_interval(
+    x: np.ndarray, y: np.ndarray, site: np.ndarray, radius_rad: float
+) -> tuple[float, float] | None:
+    """The interval of edge parameters t ∈ [0,1] whose points lie within
+    `radius_rad` of `site` — the "coverage interval" of
+    s2predicates GetVoronoiSiteExclusion (s2builder.cc:1203-1215),
+    computed in double precision by bisection (the chord distance along
+    the edge is unimodal)."""
+    r2 = (2 * math.sin(0.5 * min(math.pi, radius_rad))) ** 2
+
+    # ternary search for the parameter of minimum distance
+    lo, hi = 0.0, 1.0
+    for _ in range(80):
+        m1 = lo + (hi - lo) / 3
+        m2 = hi - (hi - lo) / 3
+        if _edge_param_dist2(x, y, site, m1) <= _edge_param_dist2(x, y, site, m2):
+            hi = m2
+        else:
+            lo = m1
+    t_min = 0.5 * (lo + hi)
+    if _edge_param_dist2(x, y, site, t_min) > r2:
+        return None
+
+    def solve(a: float, b: float) -> float:
+        """dist2(a) ≤ r2 < dist2(b) (or both ≤ → endpoint): bisect the
+        boundary crossing."""
+        if _edge_param_dist2(x, y, site, b) <= r2:
+            return b
+        for _ in range(60):
+            m = 0.5 * (a + b)
+            if _edge_param_dist2(x, y, site, m) <= r2:
+                a = m
+            else:
+                b = m
+        return a
+
+    return (solve(t_min, 0.0), solve(t_min, 1.0))
+
+
+def snap_edge_chain(
+    x: np.ndarray,
+    y: np.ndarray,
+    sites: np.ndarray,
+    snap_radius_rad: float,
+    eps: float = 1e-12,
+) -> list[int]:
+    """SnapEdge (s2builder.cc:1162-1240, general position, double
+    precision): the snapped edge visits, in order along XY, every site
+    whose Voronoi region intersects XY.  Sites whose coverage interval is
+    contained in another's are excluded (the exclusion semantics of
+    s2pred::GetVoronoiSiteExclusion, without the exact-arithmetic
+    tie-breaking — documented scope)."""
+    from .distance import point_edge_dist2
+
+    r = max(snap_radius_rad, 1e-15)
+    limit2 = (2 * math.sin(0.5 * min(math.pi, r))) ** 2
+    d2 = point_edge_dist2(sites, x[None], y[None])[:, 0]
+    cand = np.nonzero(d2 <= limit2 * (1 + 1e-9) + 1e-30)[0]
+    infos = []
+    for si in cand.tolist():
+        iv = coverage_interval(x, y, sites[si], r)
+        if iv is None:
+            continue
+        infos.append((iv[0], iv[1], si))
+    # order along the edge by interval start (ties: interval end)
+    infos.sort(key=lambda v: (v[0], v[1]))
+    chain: list[tuple[float, float, int]] = []
+    for t0, t1, si in infos:
+        add = True
+        while chain:
+            b0, b1, bi = chain[-1]
+            if b0 <= t0 + eps and t1 <= b1 + eps:
+                add = False  # C's coverage contained in B's → C excluded
+                break
+            if t0 <= b0 + eps and b1 <= t1 + eps:
+                chain.pop()  # B's coverage contained in C's → B excluded
+                continue
+            break
+        if add:
+            chain.append((t0, t1, si))
+    return [si for _, _, si in chain]
+
+
+def snap_polylines_with_edges(
+    polylines: list[np.ndarray], snap: SnapFunction
+) -> list[np.ndarray]:
+    """Vertex + edge phases over a set of polylines sharing one site set:
+    every edge snaps to the ordered site chain its Voronoi walk visits,
+    so vertices of other polylines lying on (or within the radius of) an
+    edge split it — the split_crossing_edges-adjacent behavior the
+    vertex-only phase lacks."""
+    all_v = np.concatenate([np.asarray(p, float).reshape(-1, 3) for p in polylines])
+    sites, _vmap = choose_sites(all_v, snap)
+    out = []
+    for p in polylines:
+        v = np.asarray(p, float).reshape(-1, 3)
+        chain_pts: list[np.ndarray] = []
+        for i in range(len(v) - 1):
+            for si in snap_edge_chain(v[i], v[i + 1], sites, snap.snap_radius):
+                s = sites[si]
+                if chain_pts and np.all(chain_pts[-1] == s):
+                    continue
+                chain_pts.append(s)
+        out.append(np.asarray(chain_pts).reshape(-1, 3))
+    return out

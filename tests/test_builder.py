@@ -137,3 +137,79 @@ def test_snapped_boolean_ops_stay_valid():
     # disjoint-interior squares sharing an edge: union is one loop
     assert len(u.loops) == 1
     assert i.is_empty or all(len(l.vertices) >= 3 for l in i.loops)
+
+
+class TestEdgePhase:
+    """SnapEdge semantics: edges split at the sites whose Voronoi
+    regions they cross (s2builder.cc:1162-1240, general position)."""
+
+    def test_edge_splits_at_on_edge_vertex(self):
+        from s2geometry_spark.kernel.builder import snap_polylines_with_edges
+        from s2geometry_spark.kernel.contains import parse_points
+
+        long_line = parse_points("0:0, 0:10")
+        crossing = parse_points("-1:5, 0:5, 1:5")  # vertex exactly on the edge
+        snap = IdentitySnapFunction(math.radians(0.01))
+        out = snap_polylines_with_edges([long_line, crossing], snap)
+        # the long edge now passes through the 0:5 site, in order
+        chain = out[0]
+        assert len(chain) == 3
+        mid = _pt(0, 5)
+        assert float(((chain[1] - mid) ** 2).sum()) < 1e-20
+        # order along the edge preserved (lng increasing)
+        from s2geometry_spark.kernel.coords import xyz_to_latlng
+
+        lngs = [float(xyz_to_latlng(*p)[1]) for p in chain]
+        assert lngs == sorted(lngs)
+
+    def test_multiple_on_edge_sites_in_order(self):
+        from s2geometry_spark.kernel.builder import snap_polylines_with_edges
+        from s2geometry_spark.kernel.contains import parse_points
+        from s2geometry_spark.kernel.coords import xyz_to_latlng
+
+        line = parse_points("0:0, 0:20")
+        marks = parse_points("0:15, 0:5, 0:10")  # unsorted along the line
+        snap = IdentitySnapFunction(math.radians(0.01))
+        out = snap_polylines_with_edges([line, marks], snap)
+        lngs = [round(float(xyz_to_latlng(*p)[1]), 6) for p in out[0]]
+        assert lngs == [0.0, 5.0, 10.0, 15.0, 20.0]
+
+    def test_far_vertices_do_not_split(self):
+        from s2geometry_spark.kernel.builder import snap_polylines_with_edges
+        from s2geometry_spark.kernel.contains import parse_points
+
+        line = parse_points("0:0, 0:10")
+        far = parse_points("2:5, 3:5")  # 2° away, snap radius 0.01°
+        snap = IdentitySnapFunction(math.radians(0.01))
+        out = snap_polylines_with_edges([line, far], snap)
+        assert len(out[0]) == 2
+
+    def test_chain_sites_within_edge_radius(self):
+        """Every chain site lies within the snap radius of its edge and
+        consecutive coverage intervals overlap (continuity)."""
+        import numpy as np
+
+        from s2geometry_spark.kernel.builder import (
+            coverage_interval,
+            snap_edge_chain,
+        )
+        from s2geometry_spark.kernel.contains import parse_points
+        from s2geometry_spark.kernel.distance import point_edge_dist2
+
+        rng = np.random.default_rng(9)
+        x, y = parse_points("0:0, 0:8")
+        # scatter sites near the edge
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+        lat = rng.uniform(-0.2, 0.2, 40)
+        lng = rng.uniform(-1, 9, 40)
+        sx, sy, sz = latlng_to_xyz(lat, lng)
+        sites = np.stack([sx, sy, sz], -1)
+        r = math.radians(0.3)
+        chain = snap_edge_chain(x, y, sites, r)
+        assert chain, "no chain despite nearby sites"
+        d2 = point_edge_dist2(sites[chain], x[None], y[None])[:, 0]
+        assert (d2 <= (2 * math.sin(r / 2)) ** 2 * (1 + 1e-6)).all()
+        ivs = [coverage_interval(x, y, sites[c], r) for c in chain]
+        starts = [iv[0] for iv in ivs]
+        assert starts == sorted(starts)
