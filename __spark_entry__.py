@@ -534,6 +534,24 @@ def _project_polyline_vertices():
     return parse_points("0:-60, 10:-30, 0:0, -10:30, 0:60")
 
 
+def _q_geo_raster_roundtrip(spark, sf_dir):
+    """Raster ↔ vector round trip (north-rule item): rasterize a polygon
+    at level 7 (center sampling over the full 6·4^7 grid), vectorize the
+    raster back to its boundary polygon, re-rasterize the vector — the
+    result must be the fixed point, which the oracle computes as one
+    direct rasterization of the original polygon."""
+    from s2geometry_spark.operators.raster import (
+        rasterize_polygon,
+        vectorize_cells,
+    )
+
+    poly = dict(_continental_polygons())["europe"]
+    r1 = rasterize_polygon(spark, poly, level=7)
+    vec = vectorize_cells(r1, level=7)
+    r2 = rasterize_polygon(spark, vec, level=7)
+    return r2.orderBy("face", "i", "j")
+
+
 def _q_geo_polyline_project(spark, sf_dir):
     """S2Polyline::Project + UnInterpolate over the scatter: every point
     projects onto a broadcast polyline; output is the projected point and
@@ -643,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_closest_edges_join": _q_geo_closest_edges_join,
         "geo_shape_index_join": _q_geo_shape_index_join,
         "geo_polyline_project": _q_geo_polyline_project,
+        "geo_raster_roundtrip": _q_geo_raster_roundtrip,
     }
 
 
@@ -754,6 +773,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geo_polyline_project": OR.polyline_project_sql(
             _project_polyline_vertices()
+        ),
+        "geo_raster_roundtrip": OR.rasterize_sql(
+            dict(_continental_polygons())["europe"], level=7
         ),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""

@@ -549,3 +549,52 @@ def polyline_project_sql(vertices: np.ndarray, round_digits: int = 9) -> str:
            round(least(1.0, (cum + {angle}) / {total!r}), {round_digits}) AS fraction_r
     FROM sel ORDER BY key
     """
+
+
+# -------------------------------------------------------------- rasterize
+def rasterize_sql(polygon, level: int) -> str:
+    """Center-sampling rasterization oracle: enumerate the (face, i, j)
+    grid, compute cell centers with the trig-free tower (st→uv→xyz,
+    mirrored operation-for-operation), keep centers inside the convex
+    polygon (side tests)."""
+    n_side = 1 << level
+    total = 6 * n_side * n_side
+    st_uv = (
+        "CASE WHEN {s} >= 0.5 THEN (1.0/3.0) * (4.0*{s}*{s} - 1.0)"
+        " ELSE (1.0/3.0) * (1.0 - 4.0*(1.0-{s})*(1.0-{s})) END"
+    )
+    inside = polygon_contains_sql(polygon, p=("cx", "cy", "cz"))
+    return f"""
+    WITH g AS (
+      SELECT (t.id // {n_side * n_side})::INT AS face,
+             ((t.id // {n_side}) % {n_side})::BIGINT AS i,
+             (t.id % {n_side})::BIGINT AS j
+      FROM range({total}) AS t(id)),
+    st AS (
+      SELECT face, i, j,
+             (i + 0.5) / {float(n_side)!r} AS s,
+             (j + 0.5) / {float(n_side)!r} AS t
+      FROM g),
+    uv AS (
+      SELECT face, i, j,
+             {st_uv.format(s='s')} AS u,
+             {st_uv.format(s='t')} AS v
+      FROM st),
+    xyz0 AS (
+      SELECT face, i, j,
+        CASE face WHEN 0 THEN 1.0 WHEN 1 THEN -u WHEN 2 THEN -u
+                  WHEN 3 THEN -1.0 WHEN 4 THEN v ELSE v END AS x,
+        CASE face WHEN 0 THEN u WHEN 1 THEN 1.0 WHEN 2 THEN -v
+                  WHEN 3 THEN -v WHEN 4 THEN -1.0 ELSE u END AS y,
+        CASE face WHEN 0 THEN v WHEN 1 THEN v WHEN 2 THEN 1.0
+                  WHEN 3 THEN -u WHEN 4 THEN -u ELSE -1.0 END AS z
+      FROM uv),
+    c AS (
+      SELECT face, i, j,
+             x / sqrt(x*x + y*y + z*z) AS cx,
+             y / sqrt(x*x + y*y + z*z) AS cy,
+             z / sqrt(x*x + y*y + z*z) AS cz
+      FROM xyz0)
+    SELECT face, i, j FROM c WHERE {inside}
+    ORDER BY face, i, j
+    """

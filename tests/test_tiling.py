@@ -91,3 +91,22 @@ def test_tile_histogram_spark(spark):
     rows = hist.collect()
     n = 1 << 4
     assert all(0 <= r.tile_x < n and 0 <= r.tile_y < n for r in rows)
+
+
+def test_raster_vector_roundtrip_fixed_point(spark):
+    """raster(vectorize(raster(P))) == raster(P) at level 6."""
+    from s2geometry_spark.kernel.contains import parse_polygon
+    from s2geometry_spark.operators.raster import (
+        rasterize_polygon,
+        vectorize_cells,
+    )
+
+    poly = parse_polygon("35:-10, 35:40, 65:40, 65:-10")
+    r1 = rasterize_polygon(spark, poly, level=6)
+    pdf1 = r1.toPandas().sort_values(["face", "i", "j"]).reset_index(drop=True)
+    assert len(pdf1) > 100
+    vec = vectorize_cells(r1, level=6)
+    assert vec.loops and all(len(l.vertices) >= 4 for l in vec.loops)
+    r2 = rasterize_polygon(spark, vec, level=6)
+    pdf2 = r2.toPandas().sort_values(["face", "i", "j"]).reset_index(drop=True)
+    assert pdf1.equals(pdf2)
