@@ -534,6 +534,29 @@ def _project_polyline_vertices():
     return parse_points("0:-60, 10:-30, 0:0, -10:30, 0:60")
 
 
+def _q_geo_winding_ops(spark, sf_dir):
+    """Distributed S2WindingOperation job table: rectangle, bow tie, and
+    the 5-square staircase union at three winding thresholds."""
+    from s2geometry_spark.operators.overlay import winding_ops_join
+
+    squares = (
+        "0:0, 0:4, 4:4, 4:0; 1:1, 1:5, 5:5, 5:1; 2:2, 2:6, 6:6, 6:2;"
+        " 3:3, 3:7, 7:7, 7:3; 4:4, 4:8, 8:8, 8:4"
+    )
+    jobs = spark.createDataFrame(
+        [
+            ("rect_pos", "0:0, 0:10, 10:10, 10:0", "5:5", 1, "POSITIVE"),
+            ("rect_neg", "0:0, 0:10, 10:10, 10:0", "5:5", 1, "NEGATIVE"),
+            ("bowtie_odd", "5:-5, -5:5, 5:5, -5:-5", "10:0", 0, "ODD"),
+            ("stairs_union", squares, "0.5:0.5", 1, "POSITIVE"),
+            ("stairs_ge2", squares, "0.5:0.5", 0, "POSITIVE"),
+            ("stairs_ge3", squares, "0.5:0.5", -1, "POSITIVE"),
+        ],
+        "job string, loops string, ref string, ref_winding int, rule string",
+    ).repartition(3)
+    return winding_ops_join(jobs).orderBy("job")
+
+
 def _q_geo_raster_roundtrip(spark, sf_dir):
     """Raster ↔ vector round trip (north-rule item): rasterize a polygon
     at level 7 (center sampling over the full 6·4^7 grid), vectorize the
@@ -662,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_shape_index_join": _q_geo_shape_index_join,
         "geo_polyline_project": _q_geo_polyline_project,
         "geo_raster_roundtrip": _q_geo_raster_roundtrip,
+        "geo_winding_ops": _q_geo_winding_ops,
     }
 
 

@@ -93,3 +93,41 @@ def relation_matrix_join(pairs: DataFrame, normalize: bool = True) -> DataFrame:
             )
 
     return pairs.mapInPandas(run, RELATION_OUT_SCHEMA)
+
+
+WINDING_OUT_SCHEMA = (
+    "job string, n_loops int, is_full boolean, signed_area double"
+)
+
+
+def winding_ops_join(jobs: DataFrame) -> DataFrame:
+    """Distributed S2WindingOperation: rows (job, loops ';'-separated
+    lat:lng rings, ref 'lat:lng', ref_winding, rule name) → per job the
+    output boundary's loop count and total signed area.  Each row's
+    winding op runs on an executor (mapInPandas), so a table of millions
+    of jobs distributes with no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import measures as M
+        from ..kernel.contains import parse_points
+        from ..kernel.winding import WindingRule, winding_operation
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                loops = [
+                    parse_points(s) for s in r.loops.split(";") if s.strip()
+                ]
+                rule = getattr(WindingRule, r.rule)
+                res, full = winding_operation(
+                    loops, parse_points(r.ref)[0], int(r.ref_winding), rule
+                )
+                area = float(
+                    sum(M.loop_signed_area(l) for l in res)
+                ) if res else 0.0
+                out.append((r.job, len(res), bool(full), round(area, 9)))
+            yield pd.DataFrame(
+                out, columns=["job", "n_loops", "is_full", "signed_area"]
+            )
+
+    return jobs.mapInPandas(run, WINDING_OUT_SCHEMA)
