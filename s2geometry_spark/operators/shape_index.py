@@ -442,6 +442,15 @@ def indexed_closest_edges_join(
     dist2, dist_rad).  The fact table is scanned once, never shuffled
     (broadcast probe join); candidates are O(edges within radius)."""
     spark = points.sparkSession
+    # ring-1 at level 0 covers 5 of 6 faces (the opposite face is not
+    # adjacent), so the ring-1 construction is only valid while a level
+    # exists whose cells are at least as wide as the radius
+    if max_distance_rad > metrics.MIN_WIDTH.get_value(0):
+        raise ValueError(
+            "indexed_closest_edges_join supports radii up to kMinWidth(0) "
+            f"({metrics.MIN_WIDTH.get_value(0):.3f} rad); use "
+            "closest_edges_join for near-global radii"
+        )
     # probe derives from the (small, usually cached) index; it is NOT
     # persisted — holding it pins executor memory long after the join and
     # degrades later queries' GC profile.  Probe levels and the broadcast
