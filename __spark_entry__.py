@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -534,6 +535,118 @@ def _project_polyline_vertices():
     return parse_points("0:-60, 10:-30, 0:0, -10:30, 0:60")
 
 
+_CAP_FIXTURES = [
+    ("nyc", 40.71, -74.0, 15.0),
+    ("sydney", -33.87, 151.21, 20.0),
+    ("ocean", -40.0, -140.0, 8.0),
+]
+
+
+def _caps():
+    import math as _math
+
+    import numpy as np
+
+    from s2geometry_spark.kernel.coords import latlng_to_xyz
+    from s2geometry_spark.kernel.region import Cap
+
+    out = []
+    for name, lat, lng, deg in _CAP_FIXTURES:
+        x, y, z = latlng_to_xyz(np.float64(lat), np.float64(lng))
+        out.append(
+            (name, Cap.from_center_angle(
+                np.array([float(x), float(y), float(z)]), _math.radians(deg)
+            ))
+        )
+    return out
+
+
+def _q_geo_cap_filter(spark, sf_dir):
+    """S2Cap membership over the scatter via the kernel Cap region
+    (Arrow batch), one flag column per cap; the oracle recomputes the
+    squared-chord comparisons from the same center/length2 doubles."""
+    import pandas as pd
+
+    caps = _caps()
+
+    @F.pandas_udf("array<int>")
+    def flags(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+        x, y, z = latlng_to_xyz(lat.to_numpy(), lng.to_numpy())
+        P = np.stack([x, y, z], -1)
+        cols = []
+        for _name, cap in caps:
+            d2 = ((P - cap.center) ** 2).sum(-1)
+            cols.append((d2 <= cap.length2).astype(np.int32))
+        return pd.Series([list(v) for v in np.stack(cols, -1)])
+
+    pts = _tile_points(spark, sf_dir)
+    out = pts.withColumn("_f", flags("lat", "lng"))
+    for k, (name, _cap) in enumerate(caps):
+        out = out.withColumn(f"in_{name}", F.col("_f").getItem(k))
+    cond = None
+    for name, _cap in caps:
+        c = F.col(f"in_{name}") == 1
+        cond = c if cond is None else (cond | c)
+    return out.filter(cond).select(
+        "key", *[f"in_{name}" for name, _ in caps]
+    ).orderBy("key")
+
+
+def _cap_filter_oracle() -> str:
+    from s2geometry_spark.functions import oracles as OR
+
+    cols, conds = [], []
+    for name, cap in _caps():
+        c = cap.center
+        d2 = (
+            f"((px-({c[0]!r}))*(px-({c[0]!r})) + (py-({c[1]!r}))*(py-({c[1]!r}))"
+            f" + (pz-({c[2]!r}))*(pz-({c[2]!r})))"
+        )
+        cols.append(
+            f"CASE WHEN {d2} <= {cap.length2!r} THEN 1 ELSE 0 END AS in_{name}"
+        )
+        conds.append(f"{d2} <= {cap.length2!r}")
+    return f"""
+    WITH {OR.pts_cte()}
+    SELECT key, {', '.join(cols)}
+    FROM xyz WHERE {' OR '.join(conds)} ORDER BY key
+    """
+
+
+def _q_geo_polyline_interpolate(spark, sf_dir):
+    """S2ChainInterpolationQuery semantics over the scatter: each key
+    interpolates the fixture polyline at fraction (key%1000)/1000."""
+    verts = _project_polyline_vertices()
+
+    @F.pandas_udf("px double, py double, pz double")
+    def interp(key: pd.Series) -> pd.DataFrame:
+        from s2geometry_spark.kernel.measures import polyline_interpolate
+
+        rows = [
+            polyline_interpolate(verts, (int(k) % 1000) / 1000.0)
+            for k in key
+        ]
+        return pd.DataFrame(
+            {"px": [r[0] for r in rows], "py": [r[1] for r in rows],
+             "pz": [r[2] for r in rows]}
+        )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = cust.select(F.col("c_custkey").alias("key")).withColumn(
+        "_p", interp("key")
+    )
+    return out.select(
+        "key",
+        F.round("_p.px", 9).alias("px_r"),
+        F.round("_p.py", 9).alias("py_r"),
+        F.round("_p.pz", 9).alias("pz_r"),
+    ).orderBy("key")
+
+
 def _q_geo_winding_ops(spark, sf_dir):
     """Distributed S2WindingOperation job table: rectangle, bow tie, and
     the 5-square staircase union at three winding thresholds."""
@@ -686,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polyline_project": _q_geo_polyline_project,
         "geo_raster_roundtrip": _q_geo_raster_roundtrip,
         "geo_winding_ops": _q_geo_winding_ops,
+        "geo_cap_filter": _q_geo_cap_filter,
+        "geo_polyline_interpolate": _q_geo_polyline_interpolate,
     }
 
 
@@ -800,6 +915,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geo_raster_roundtrip": OR.rasterize_sql(
             dict(_continental_polygons())["europe"], level=7
+        ),
+        "geo_cap_filter": _cap_filter_oracle(),
+        "geo_polyline_interpolate": OR.polyline_interpolate_sql(
+            _project_polyline_vertices()
         ),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""

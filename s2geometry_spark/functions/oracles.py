@@ -598,3 +598,62 @@ def rasterize_sql(polygon, level: int) -> str:
     SELECT face, i, j FROM c WHERE {inside}
     ORDER BY face, i, j
     """
+
+
+# ----------------------------------------------------- chain interpolate
+def polyline_interpolate_sql(
+    vertices: np.ndarray, frac_expr: str = "((key % 1000)) / 1000.0",
+    round_digits: int = 9,
+) -> str:
+    """Oracle for S2ChainInterpolationQuery semantics
+    (kernel.measures.polyline_interpolate, s2polyline.h:158-236): per
+    scatter key, the point at fraction f along the fixed polyline —
+    segment selection by the kernel's cumulative-length walk, then slerp
+    with per-segment angle literals (sin() parity with NumPy verified)."""
+    from ..kernel.measures import stable_angle
+
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    seg = stable_angle(v[:-1], v[1:])
+    # mirror the kernel's sequential accumulation exactly
+    cums_after = []
+    acc = 0.0
+    for d in seg:
+        cums_after.append(acc + float(d))
+        acc = acc + float(d)
+    total = float(seg.sum())  # kernel uses seg.sum() for the total
+    n = len(seg)
+
+    seg_case = "CASE " + " ".join(
+        f"WHEN {cums_after[i]!r} >= target THEN {i}" for i in range(n - 1)
+    ) + f" ELSE {n - 1} END"
+
+    def comp_case(coord: int) -> str:
+        whens = []
+        for i in range(n):
+            a, b = v[i], v[i + 1]
+            omega = float(seg[i])
+            acc_before = cums_after[i] - float(seg[i])
+            t = f"CASE WHEN {omega!r} = 0 THEN 0.0 ELSE (target - ({acc_before!r})) / {omega!r} END"
+            sa = f"(sin((1.0 - ({t})) * {omega!r}) / sin({omega!r}))"
+            sb = f"(sin(({t}) * {omega!r}) / sin({omega!r}))"
+            whens.append(
+                f"WHEN seg = {i} THEN {sa} * ({a[coord]!r}) + {sb} * ({b[coord]!r})"
+            )
+        return "CASE " + " ".join(whens) + " END"
+
+    ox, oy, oz = comp_case(0), comp_case(1), comp_case(2)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey AS key FROM customer),
+    f AS (
+      SELECT key,
+             least(greatest({frac_expr}, 0.0), 1.0) * {total!r} AS target
+      FROM pts),
+    s AS (SELECT key, target, {seg_case} AS seg FROM f),
+    o AS (SELECT key, {ox} AS ox, {oy} AS oy, {oz} AS oz FROM s)
+    SELECT key,
+           round(ox / sqrt(ox*ox + oy*oy + oz*oz), {round_digits}) AS px_r,
+           round(oy / sqrt(ox*ox + oy*oy + oz*oz), {round_digits}) AS py_r,
+           round(oz / sqrt(ox*ox + oy*oy + oz*oz), {round_digits}) AS pz_r
+    FROM o ORDER BY key
+    """
