@@ -418,3 +418,63 @@ def buffer_convex_polygon(
         poly.loops[0].vertices, radius_rad, circle_segments
     )
     return Polygon([Loop(ring)])
+
+
+def intersection_with_degeneracies(
+    a: Polygon, b: Polygon, eps: float = 1e-11
+) -> tuple[Polygon, list[tuple[np.ndarray, np.ndarray]], list[np.ndarray]]:
+    """S2BooleanOperation INTERSECTION with degenerate outputs
+    (s2boolean_operation.h:60-90 degeneracy model, general position):
+    → (polygon part, degenerate edges, degenerate points).
+
+    - a shared boundary edge whose two sides are never both-inside is a
+      degenerate EDGE of the intersection (polygons touching along it);
+    - a shared vertex with no incident shared edge and no neighborhood
+      overlap is a degenerate POINT (polygons touching at it)."""
+    poly = intersection(a, b)
+
+    raw_a = _edges_of(a)
+    raw_b = _edges_of(b)
+    b_dir = {(tuple(c), tuple(d)) for c, d in raw_b}
+    deg_edges = []
+    shared_keys = set()
+    for c, d in raw_a:
+        key, rkey = (tuple(c), tuple(d)), (tuple(d), tuple(c))
+        if key in b_dir or rkey in b_dir:
+            shared_keys.add(key)
+            shared_keys.add(rkey)
+            m = _slerp_mid(c, d)
+            t = d - c
+            t = t - m * float(m @ t)
+            t = t / np.linalg.norm(t)
+            left = np.cross(m, t)
+            probes = np.stack(
+                [
+                    (m + eps * left) / np.linalg.norm(m + eps * left),
+                    (m - eps * left) / np.linalg.norm(m - eps * left),
+                ]
+            )
+            both = a.contains(probes) & b.contains(probes)
+            if not both.any():
+                deg_edges.append((c, d))
+
+    verts_a = {tuple(v) for loop in a.loops for v in loop.vertices}
+    verts_b = {tuple(v) for loop in b.loops for v in loop.vertices}
+    deg_points = []
+    for tv in sorted(verts_a & verts_b):
+        v = np.array(tv)
+        # skip vertices on a shared edge (they belong to the edge output)
+        if any(tv == k[0] or tv == k[1] for k in shared_keys):
+            continue
+        # neighborhood probe: any overlap near v → not a degenerate point
+        t1 = P.ortho(v)
+        t2 = np.cross(v, t1)
+        ring = []
+        for k in range(8):
+            d = math.cos(k * math.pi / 4) * t1 + math.sin(k * math.pi / 4) * t2
+            p = v + eps * d
+            ring.append(p / np.linalg.norm(p))
+        ring = np.asarray(ring)
+        if not (a.contains(ring) & b.contains(ring)).any():
+            deg_points.append(v)
+    return poly, deg_edges, deg_points

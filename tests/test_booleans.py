@@ -362,3 +362,35 @@ class TestConvexBuffer:
         x, y, z = latlng_to_xyz(np.array([-0.6]), np.array([-0.6]))
         p = np.stack([x, y, z], -1)
         assert not bool(buf.contains(p)[0])
+
+
+class TestDegenerateOutputs:
+    def test_touching_triangles_share_edge(self):
+        from s2geometry_spark.kernel.booleans import intersection_with_degeneracies
+
+        a = parse_polygon("0:0, 0:8, 8:8")
+        b = parse_polygon("0:0, 8:8, 8:0")
+        poly, deg_edges, deg_points = intersection_with_degeneracies(a, b)
+        assert poly.is_empty
+        # a contributes its single shared diagonal edge (8:8 → 0:0)
+        assert len(deg_edges) == 1
+        assert not deg_points
+
+    def test_vertex_touching_squares(self):
+        from s2geometry_spark.kernel.booleans import intersection_with_degeneracies
+
+        a = parse_polygon("0:0, 0:2, 2:2, 2:0")
+        b = parse_polygon("2:2, 2:4, 4:4, 4:2")
+        poly, deg_edges, deg_points = intersection_with_degeneracies(a, b)
+        assert poly.is_empty
+        assert not deg_edges
+        assert len(deg_points) == 1
+
+    def test_overlapping_squares_no_degeneracies(self):
+        from s2geometry_spark.kernel.booleans import intersection_with_degeneracies
+
+        a = parse_polygon("0:0, 0:4, 4:4, 4:0")
+        b = parse_polygon("2:2, 2:6, 6:6, 6:2")
+        poly, deg_edges, deg_points = intersection_with_degeneracies(a, b)
+        assert not poly.is_empty
+        assert not deg_edges and not deg_points
