@@ -18,8 +18,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# repo root on sys.path so `__spark_entry__` / `s2geometry_spark` import
+# when launched as `python scripts/run_pipeline.py` (sys.path[0] is
+# scripts/); under spark-submit --py-files the zip provides the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
