@@ -647,6 +647,35 @@ def _q_geo_polyline_interpolate(spark, sf_dir):
     ).orderBy("key")
 
 
+def _q_geo_hausdorff(spark, sf_dir):
+    """Directed Hausdorff per point group (key % 8) to the ring
+    polyline — max-of-min squared-chord distances, exact SQL oracle."""
+    from s2geometry_spark.operators.closest_edges import directed_hausdorff_join
+
+    pts = _tile_points(spark, sf_dir).withColumn("grp", F.col("key") % 8)
+    out = directed_hausdorff_join(pts, [_ring_polyline_shape()], "grp")
+    return out.select(
+        "grp", F.round("hausdorff_d2", 12).alias("hausdorff_d2_r")
+    ).orderBy("grp")
+
+
+def _hausdorff_oracle() -> str:
+    from s2geometry_spark.functions import oracles as OR
+
+    shape = _ring_polyline_shape()
+    exprs = [
+        OR.edge_dist2_sql(shape.edges_c[e], shape.edges_d[e])
+        for e in range(len(shape.edges_c))
+    ]
+    min_d2 = "least(" + ", ".join(exprs) + ")"
+    return f"""
+    WITH {OR.pts_cte()},
+    d AS (SELECT key % 8 AS grp, {min_d2} AS d2 FROM xyz)
+    SELECT grp, round(max(d2), 12) AS hausdorff_d2_r
+    FROM d GROUP BY grp ORDER BY grp
+    """
+
+
 def _q_geo_winding_ops(spark, sf_dir):
     """Distributed S2WindingOperation job table: rectangle, bow tie, and
     the 5-square staircase union at three winding thresholds."""
@@ -801,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_winding_ops": _q_geo_winding_ops,
         "geo_cap_filter": _q_geo_cap_filter,
         "geo_polyline_interpolate": _q_geo_polyline_interpolate,
+        "geo_hausdorff": _q_geo_hausdorff,
     }
 
 
@@ -920,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_polyline_interpolate": OR.polyline_interpolate_sql(
             _project_polyline_vertices()
         ),
+        "geo_hausdorff": _hausdorff_oracle(),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""
             WITH cells AS (

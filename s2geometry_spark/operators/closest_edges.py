@@ -77,3 +77,32 @@ def closest_edges_join(
         "dist_rad",
         2 * F.asin(0.5 * F.sqrt(F.least(F.col("dist2"), F.lit(4.0)))),
     )
+
+
+def directed_hausdorff_join(
+    points: DataFrame,
+    shapes: list[Shape],
+    group_col: str,
+) -> DataFrame:
+    """Distributed directed Hausdorff distance (S2HausdorffDistanceQuery
+    semantics, s2hausdorff_distance_query.h): per group of points, the
+    max over points of the min squared-chord distance to the shapes'
+    edges — one Arrow batch kernel + one partial+final max aggregation.
+    """
+    C = np.concatenate([s.edges_c for s in shapes if len(s.edges_c)])
+    D = np.concatenate([s.edges_d for s in shapes if len(s.edges_d)])
+
+    @F.pandas_udf("double")
+    def min_d2(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernel.coords import latlng_to_xyz
+        from ..kernel.distance import point_edge_dist2
+
+        x, y, z = latlng_to_xyz(lat.to_numpy(np.float64), lng.to_numpy(np.float64))
+        X = np.stack([x, y, z], -1)
+        return pd.Series(point_edge_dist2(X, C, D).min(axis=1))
+
+    return (
+        points.withColumn("_d2", min_d2(F.col("lat"), F.col("lng")))
+        .groupBy(group_col)
+        .agg(F.max("_d2").alias("hausdorff_d2"))
+    )
