@@ -20,12 +20,19 @@ Edge phase (snap_edge_chain / snap_polylines_with_edges): each edge
 snaps to the ordered chain of sites whose Voronoi regions it crosses —
 coverage-interval exclusion per s2pred::GetVoronoiSiteExclusion
 semantics (s2builder.cc:1162-1240), computed in double precision with
-bisection instead of exact arithmetic.  NOT implemented (documented
-scope): AddExtraSites (new separation sites to guarantee
-min_edge_vertex_separation for edges that pass *just outside* the snap
-radius of a site) and the exact-predicate tie-breaking — inputs within
-~1e-12 of a Voronoi boundary may resolve differently than the
-reference."""
+bisection instead of exact arithmetic.
+
+AddExtraSites separation pass (snap_polylines_with_separation,
+s2builder.cc:888-1010 + GetSeparationSite:1090-1158): non-chain sites
+closer than min_edge_vertex_separation() to a snapped chain edge get a
+new site in the corresponding coverage gap, iterated to a fixed point —
+the MinEdgeVertexSeparation fixture reproduces the reference's
+separation site (4.00021862252687:0) to 1e-9 degrees.
+
+NOT implemented (documented scope): the long-edge deviation split
+(min_edge_length_to_split, edges beyond ~30°) and exact-predicate
+tie-breaking — inputs within ~1e-12 of a Voronoi boundary may resolve
+differently than the reference."""
 
 from __future__ import annotations
 
@@ -349,6 +356,130 @@ def snap_polylines_with_edges(
         for i in range(len(v) - 1):
             for si in snap_edge_chain(v[i], v[i + 1], sites, snap.snap_radius):
                 s = sites[si]
+                if chain_pts and np.all(chain_pts[-1] == s):
+                    continue
+                chain_pts.append(s)
+        out.append(np.asarray(chain_pts).reshape(-1, 3))
+    return out
+
+
+# ---------------------------------------------------- separation sites
+def _project_to_edge(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    from .polyline import _project_to_edge as proj
+
+    return proj(x, a, b)
+
+
+def _coverage_endpoint(p: np.ndarray, n: np.ndarray, snap_radius_rad: float) -> np.ndarray:
+    """GetCoverageEndpoint (s2builder.cc:1131-1158): the endpoint of P's
+    coverage interval on the edge whose pole is N, further along +N×P."""
+    sin2 = math.sin(snap_radius_rad) ** 2
+    n2 = float(n @ n)
+    n_dp = float(n @ p)
+    n_x_p = np.cross(n, p)
+    n_x_p_x_n = n2 * p - n_dp * n
+    om = math.sqrt(max(0.0, 1 - sin2)) * n_x_p_x_n
+    mr2 = sin2 * n2 - n_dp * n_dp
+    mr = math.sqrt(max(0.0, mr2)) * n_x_p
+    out = om + mr
+    return out / np.linalg.norm(out)
+
+
+def _separation_site(
+    site_to_avoid: np.ndarray,
+    v0: np.ndarray,
+    v1: np.ndarray,
+    x: np.ndarray,
+    y: np.ndarray,
+    snap: SnapFunction,
+) -> np.ndarray:
+    """GetSeparationSite (s2builder.cc:1090-1129): a new site in the
+    coverage gap of edge XY between the coverage intervals of v0 and v1,
+    as close as possible to the site to avoid."""
+    xy_dir = y - x
+    n = np.cross(x, y)
+    new_site = _project_to_edge(site_to_avoid, x, y)
+    gap_min = _coverage_endpoint(v0, n, snap.snap_radius)
+    gap_max = _coverage_endpoint(v1, -n, snap.snap_radius)
+    if float((new_site - gap_min) @ xy_dir) < 0:
+        new_site = gap_min
+    elif float((gap_max - new_site) @ xy_dir) < 0:
+        new_site = gap_max
+    return snap.snap(new_site[None])[0]
+
+
+def min_edge_vertex_separation(snap: SnapFunction) -> float:
+    fn = getattr(snap, "min_edge_vertex_separation", None)
+    if fn is not None:
+        return fn()
+    return 0.5 * snap.snap_radius  # IdentitySnapFunction bound
+
+
+def snap_polylines_with_separation(
+    polylines: list[np.ndarray], snap: SnapFunction, max_passes: int = 10
+) -> list[np.ndarray]:
+    """Edge phase + AddExtraSites (s2builder.cc:888-1010, separation-site
+    case): after snapping, any non-chain site closer than
+    min_edge_vertex_separation() to a snapped chain edge gets a new
+    "separation site" placed in the corresponding coverage gap, and the
+    affected edges re-snap — iterated to a fixed point.  The long-edge
+    deviation split (min_edge_length_to_split, edges > ~30°) is not
+    implemented (inputs here are pre-split by construction)."""
+    from .distance import point_edge_dist2
+
+    all_v = np.concatenate([np.asarray(p, float).reshape(-1, 3) for p in polylines])
+    sites, _ = choose_sites(all_v, snap)
+    sites = [s for s in sites]
+    min_sep = min_edge_vertex_separation(snap)
+    min_sep2 = _angle2chord2(min_sep)
+
+    edges = []
+    for p in polylines:
+        v = np.asarray(p, float).reshape(-1, 3)
+        for i in range(len(v) - 1):
+            edges.append((v[i], v[i + 1]))
+
+    for _pass in range(max_passes):
+        S = np.asarray(sites).reshape(-1, 3)
+        added = False
+        for x, y in edges:
+            chain = snap_edge_chain(x, y, S, snap.snap_radius)
+            chain_set = set(chain)
+            if len(chain) < 2:
+                continue
+            # sites near the edge but not on its chain = sites to avoid
+            d2_edge = point_edge_dist2(S, x[None], y[None])[:, 0]
+            query_r = 1.1 * snap.snap_radius + min_sep
+            near = np.nonzero(d2_edge <= _angle2chord2(query_r))[0]
+            for sid in near.tolist():
+                if sid in chain_set:
+                    continue
+                avoid = S[sid]
+                # distance to each snapped chain edge
+                for k in range(len(chain) - 1):
+                    v0, v1 = S[chain[k]], S[chain[k + 1]]
+                    d2 = point_edge_dist2(avoid[None], v0[None], v1[None])[0, 0]
+                    if d2 < min_sep2:
+                        new_site = _separation_site(avoid, v0, v1, x, y, snap)
+                        if not any(
+                            np.all(new_site == s) for s in sites
+                        ):
+                            sites.append(new_site)
+                            added = True
+                        break
+            if added:
+                break  # recompute S and restart the pass with new sites
+        if not added:
+            break
+
+    S = np.asarray(sites).reshape(-1, 3)
+    out = []
+    for p in polylines:
+        v = np.asarray(p, float).reshape(-1, 3)
+        chain_pts: list[np.ndarray] = []
+        for i in range(len(v) - 1):
+            for si in snap_edge_chain(v[i], v[i + 1], S, snap.snap_radius):
+                s = S[si]
                 if chain_pts and np.all(chain_pts[-1] == s):
                     continue
                 chain_pts.append(s)

@@ -213,3 +213,35 @@ class TestEdgePhase:
         ivs = [coverage_interval(x, y, sites[c], r) for c in chain]
         starts = [iv[0] for iv in ivs]
         assert starts == sorted(starts)
+
+
+def test_min_edge_vertex_separation_site():
+    """MinEdgeVertexSeparation (s2builder_test.cc:233-259): snapping the
+    skinny right triangle with 0.5° Identity snap collapses half the
+    long leg onto the diagonal, and AddExtraSites inserts a separation
+    site — the reference expects it at 4.00021862252687:0."""
+    from s2geometry_spark.kernel.builder import snap_polylines_with_separation
+    from s2geometry_spark.kernel.coords import xyz_to_latlng
+
+    ring = parse_points(
+        "0:0, 0:1, 1:.9, 2:.8, 3:.7, 4:.6, 5:.5, 6:.4, 7:.3, 8:.2, 9:.1, 10:0, 0:0"
+    )
+    snap = IdentitySnapFunction(math.radians(0.5))
+    out = snap_polylines_with_separation([ring], snap)[0]
+    sep = [
+        (float(xyz_to_latlng(*p)[0]), float(xyz_to_latlng(*p)[1]))
+        for p in out
+        if 3.5 < float(xyz_to_latlng(*p)[0]) < 4.5
+        and abs(float(xyz_to_latlng(*p)[1])) < 0.3
+    ]
+    assert len(sep) == 1, sep
+    lat, lng = sep[0]
+    assert abs(lat - 4.00021862252687) < 1e-9, lat
+    assert abs(lng) < 1e-12, lng
+    # and the overall shape matches the reference's expected polygon
+    expected = parse_points(
+        "0:0, 0:1, 1:.9, 2:.8, 3:.7, 4:.6, 5:.5, 4.00021862252687:0"
+    )
+    # chain contains every expected vertex (within 1e-9 chord)
+    for e in expected:
+        assert min(float(((p - e) ** 2).sum()) for p in out) < 1e-18
