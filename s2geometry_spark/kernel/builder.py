@@ -416,7 +416,7 @@ def min_edge_vertex_separation(snap: SnapFunction) -> float:
 
 
 def snap_polylines_with_separation(
-    polylines: list[np.ndarray], snap: SnapFunction, max_passes: int = 10
+    polylines: list[np.ndarray], snap: SnapFunction, max_passes: int = 50
 ) -> list[np.ndarray]:
     """Edge phase + AddExtraSites (s2builder.cc:888-1010, separation-site
     case): after snapping, any non-chain site closer than
