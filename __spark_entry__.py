@@ -472,18 +472,26 @@ def _q_geo_rect_filter(spark, sf_dir):
 
 
 
+_BOOLEAN_FIXTURES = [
+    ("sq_overlap", "0:0, 0:4, 4:4, 4:0", "2:2, 2:6, 6:6, 6:2"),
+    ("nested", "0:0, 0:4, 4:4, 4:0", "1:1, 1:3, 3:3, 3:1"),
+]
+_BOOLEAN_OPS = ("difference", "intersection", "union")
+
+
 def _q_geo_boolean_ops(spark, sf_dir):
-    """Polygon boolean ops as a distributed pair table: areas/loop counts
-    of a∩b and a∪b per pair, computed by the executors (mapInPandas
-    overlay kernel, operators/overlay.py)."""
+    """Polygon boolean ops as a distributed pair table: region area
+    (S2Polygon::GetArea depth semantics — holes subtract) and loop count
+    of a−b, a∩b, a∪b per pair, computed by the executors (mapInPandas
+    overlay kernel, operators/overlay.py).  Oracled by pinned output
+    loops + inclusion-exclusion identities over input-only areas."""
     from s2geometry_spark.operators.overlay import boolean_ops_join, polygon_pairs_df
 
-    pairs = polygon_pairs_df(spark, [
-        ("sq_overlap", "0:0, 0:4, 4:4, 4:0", "2:2, 2:6, 6:6, 6:2"),
-        ("nested", "0:0, 0:4, 4:4, 4:0", "1:1, 1:3, 3:3, 3:1"),
-    ])
-    out = boolean_ops_join(pairs, ops=("intersection", "union"))
-    return out.orderBy("pair", "op")
+    pairs = polygon_pairs_df(spark, _BOOLEAN_FIXTURES)
+    out = boolean_ops_join(pairs, ops=_BOOLEAN_OPS)
+    return out.select(
+        "pair", "op", "n_loops", F.round("signed_area", 9).alias("area_r")
+    ).orderBy("pair", "op")
 
 
 
@@ -676,27 +684,37 @@ def _hausdorff_oracle() -> str:
     """
 
 
+_WINDING_SQUARES = (
+    "0:0, 0:4, 4:4, 4:0; 1:1, 1:5, 5:5, 5:1; 2:2, 2:6, 6:6, 6:2;"
+    " 3:3, 3:7, 7:7, 7:3; 4:4, 4:8, 8:8, 8:4"
+)
+_WINDING_JOBS = [
+    ("rect_pos", "0:0, 0:10, 10:10, 10:0", "5:5", 1, "POSITIVE"),
+    ("rect_neg", "0:0, 0:10, 10:10, 10:0", "5:5", 1, "NEGATIVE"),
+    ("bowtie_odd", "5:-5, -5:5, 5:5, -5:-5", "10:0", 0, "ODD"),
+    ("bowtie_nonzero", "5:-5, -5:5, 5:5, -5:-5", "10:0", 0, "NON_ZERO"),
+    ("stairs_union", _WINDING_SQUARES, "0.5:0.5", 1, "POSITIVE"),
+    ("stairs_ge2", _WINDING_SQUARES, "0.5:0.5", 0, "POSITIVE"),
+    ("stairs_ge3", _WINDING_SQUARES, "0.5:0.5", -1, "POSITIVE"),
+    ("stairs_ge4", _WINDING_SQUARES, "0.5:0.5", -2, "POSITIVE"),
+    ("stairs_ge5", _WINDING_SQUARES, "0.5:0.5", -3, "POSITIVE"),
+]
+
+
 def _q_geo_winding_ops(spark, sf_dir):
-    """Distributed S2WindingOperation job table: rectangle, bow tie, and
-    the 5-square staircase union at three winding thresholds."""
+    """Distributed S2WindingOperation job table: rectangle, bow tie
+    (ODD + NON_ZERO rules), and the 5-square staircase at every winding
+    threshold 1..5 (the full layer-cake, which the oracle checks against
+    the input squares' summed areas)."""
     from s2geometry_spark.operators.overlay import winding_ops_join
 
-    squares = (
-        "0:0, 0:4, 4:4, 4:0; 1:1, 1:5, 5:5, 5:1; 2:2, 2:6, 6:6, 6:2;"
-        " 3:3, 3:7, 7:7, 7:3; 4:4, 4:8, 8:8, 8:4"
-    )
     jobs = spark.createDataFrame(
-        [
-            ("rect_pos", "0:0, 0:10, 10:10, 10:0", "5:5", 1, "POSITIVE"),
-            ("rect_neg", "0:0, 0:10, 10:10, 10:0", "5:5", 1, "NEGATIVE"),
-            ("bowtie_odd", "5:-5, -5:5, 5:5, -5:-5", "10:0", 0, "ODD"),
-            ("stairs_union", squares, "0.5:0.5", 1, "POSITIVE"),
-            ("stairs_ge2", squares, "0.5:0.5", 0, "POSITIVE"),
-            ("stairs_ge3", squares, "0.5:0.5", -1, "POSITIVE"),
-        ],
+        _WINDING_JOBS,
         "job string, loops string, ref string, ref_winding int, rule string",
     ).repartition(3)
-    return winding_ops_join(jobs).orderBy("job")
+    return winding_ops_join(jobs).select(
+        "job", "n_loops", "is_full", F.round("signed_area", 9).alias("area_r")
+    ).orderBy("job")
 
 
 def _q_geo_raster_roundtrip(spark, sf_dir):
@@ -834,6 +852,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Published relation constants: s2polygon_test.cc:697-779 cross rows for
+# the near_* family + reflexive self rows (a polygon contains, is
+# contained by, and intersects itself).
+_RELATION_EXPECTED = [
+    ("near_10", "near_10", 1, 1, 1),
+    ("near_10", "near_30", 0, 1, 1),
+    ("near_10", "near_32", 0, 0, 0),
+    ("near_10", "near_3210", 0, 1, 1),
+    ("near_10", "near_H3210", 0, 0, 0),
+    ("near_30", "near_30", 1, 1, 1),
+    ("near_30", "near_32", 1, 0, 1),
+    ("near_30", "near_3210", 1, 0, 1),
+    ("near_30", "near_H3210", 0, 0, 1),
+    ("near_32", "near_32", 1, 1, 1),
+    ("near_32", "near_3210", 0, 1, 1),
+    ("near_32", "near_H3210", 0, 0, 0),
+    ("near_3210", "near_3210", 1, 1, 1),
+    ("near_3210", "near_H3210", 0, 0, 0),
+    ("near_H3210", "near_H3210", 1, 1, 1),
+]
+
+
+def _relation_matrix_oracle() -> str:
+    """VALUES oracle of the reference-published relation matrix — the
+    hard signal that the *distributed* relation path reproduces the
+    s2polygon_test constants."""
+    vals = ", ".join(
+        f"('{a}', '{b}', {c}, {d}, {i})" for a, b, c, d, i in _RELATION_EXPECTED
+    )
+    return f"""
+    SELECT a, b, "contains", contained, intersects
+    FROM (VALUES {vals}) AS t(a, b, "contains", contained, intersects)
+    ORDER BY a, b
+    """
+
+
+def _covering_oracle() -> str:
+    """Golden-pinned coverer oracle (the reference pins coverer output
+    per snapshot too, s2region_coverer_test.cc:534-558): VALUES of the
+    (polygon_id, cell_id_s, is_interior) goldens, with two INDEPENDENT
+    recomputations layered on top — the token column is re-derived in
+    SQL from cell_id_s (nibble hex + trailing-zero strip, bias removed
+    by xor-ing the top nibble), and the result is gated on range-algebra
+    disjointness within each polygon plus the is_valid bit pattern
+    (s2cell_id.h:583-585)."""
+    from s2geometry_spark.functions.golden_covering import GOLDEN_COVERING
+
+    vals = ", ".join(
+        f"('{pid}', {cid}::BIGINT, {'TRUE' if it else 'FALSE'})"
+        for pid, cid, it in GOLDEN_COVERING
+    )
+    nibs = [
+        "substr('0123456789abcdef', (xor((cell_id_s >> 60) & 15, 8))::INT + 1, 1)"
+    ]
+    for i in range(14, -1, -1):
+        nibs.append(
+            f"substr('0123456789abcdef', ((cell_id_s >> {4 * i}) & 15)::INT + 1, 1)"
+        )
+    hex_full = " || ".join(nibs)
+    return f"""
+    WITH g(polygon_id, cell_id_s, is_interior) AS (VALUES {vals}),
+    r AS (
+      SELECT polygon_id, cell_id_s,
+             cell_id_s - ((cell_id_s & -cell_id_s) - 1) AS lo,
+             cell_id_s + ((cell_id_s & -cell_id_s) - 1) AS hi
+      FROM g),
+    checks AS (
+      SELECT
+        (SELECT count(*) FROM r a JOIN r b
+           ON a.polygon_id = b.polygon_id AND a.cell_id_s < b.cell_id_s
+          AND a.lo <= b.hi AND b.lo <= a.hi) = 0
+        AND
+        (SELECT count(*) FROM g
+          WHERE (cell_id_s & 1537228672809129301) = 0
+             OR xor((cell_id_s >> 61) & 7, 4) >= 6) = 0
+      AS ok)
+    SELECT polygon_id, cell_id_s,
+           CASE WHEN ({hex_full}) = '0000000000000000' THEN 'X'
+                ELSE rtrim({hex_full}, '0') END AS token,
+           is_interior
+    FROM g WHERE (SELECT ok FROM checks)
+    ORDER BY polygon_id, cell_id_s
+    """
+
+
 # ----------------------------------------------------------- oracle SQL
 _STOPWORDS_SQL = "['a','and','das','de','der','des','die','el','et','ist','la','le','les','los','of','que','the','to','und','我','了','在','是','的']"
 
@@ -951,6 +1054,10 @@ def oracle_sql() -> dict[str, str]:
             _project_polyline_vertices()
         ),
         "geo_hausdorff": _hausdorff_oracle(),
+        "geo_polygon_covering": _covering_oracle(),
+        "geo_boolean_ops": OR.boolean_fixture_sql(_BOOLEAN_FIXTURES, _BOOLEAN_OPS),
+        "geo_winding_ops": OR.winding_fixture_sql(_WINDING_JOBS),
+        "geo_relation_matrix": _relation_matrix_oracle(),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""
             WITH cells AS (

@@ -657,3 +657,292 @@ def polyline_interpolate_sql(
            round(oz / sqrt(ox*ox + oy*oy + oz*oz), {round_digits}) AS pz_r
     FROM o ORDER BY key
     """
+
+
+# ------------------------------------------- overlay / winding area oracles
+_TWO_PI = 2 * math.pi
+_FOUR_PI = 4 * math.pi
+
+
+def _parse_latlng_loop(s: str) -> list[tuple[float, float]]:
+    return [
+        (float(p.split(":")[0]), float(p.split(":")[1]))
+        for p in s.split(",")
+        if p.strip()
+    ]
+
+
+def _area_fold_ctes(edges: str, out: str) -> str:
+    """CTE chain: edge table ``edges(grp, loop_id, sgn, cx..dz)`` →
+    ``out(grp, area)``; per-loop Oosterom–Strackee sum folded into
+    (-2π, 2π] exactly like kernel.measures.normalize_signed_area, then
+    summed per grp weighted by the depth sign (holes subtract —
+    S2Polygon::GetArea semantics, s2polygon.cc:550-562)."""
+    det = "(cx*dy - cy*dx)"
+    denom = "(1.0 + cz + (cx*dx + cy*dy + cz*dz) + dz)"
+    return f"""
+    {out}_raw AS (
+      SELECT grp, loop_id, sgn,
+             sum(2.0 * atan2({det}, {denom})) AS raw
+      FROM {edges} GROUP BY grp, loop_id, sgn),
+    {out}_fold AS (
+      SELECT grp, sgn,
+             CASE WHEN pm > {_TWO_PI!r} THEN pm - {_FOUR_PI!r} ELSE pm END AS s
+      FROM (SELECT grp, sgn,
+              CASE WHEN fmod(raw, {_FOUR_PI!r}) < 0
+                   THEN fmod(raw, {_FOUR_PI!r}) + {_FOUR_PI!r}
+                   ELSE fmod(raw, {_FOUR_PI!r}) END AS pm
+            FROM {out}_raw)),
+    {out} AS (SELECT grp, sum(sgn * s) AS area FROM {out}_fold GROUP BY grp)
+    """
+
+
+def _xyz_edge_values(rows) -> str:
+    """VALUES rows for (grp, loop_id, sgn, vertex-array) loops with the
+    loop edges as full-precision double literals."""
+    parts = []
+    for grp, loop_id, sgn, verts in rows:
+        v = np.asarray(verts, float).reshape(-1, 3)
+        d = np.roll(v, -1, axis=0)
+        for i in range(len(v)):
+            parts.append(
+                f"('{grp}', {loop_id}, {sgn}, {v[i][0]!r}, {v[i][1]!r},"
+                f" {v[i][2]!r}, {d[i][0]!r}, {d[i][1]!r}, {d[i][2]!r})"
+            )
+    return ", ".join(parts)
+
+
+def _latlng_edges_cte(name: str, rows) -> str:
+    """Edge table computed IN SQL from (lat, lng) degree literals — an
+    input-side area source fully independent of the Python kernels
+    (rows: (grp, loop_id, [(lat, lng), ...]))."""
+    vals = []
+    for grp, loop_id, ll in rows:
+        n = len(ll)
+        for i in range(n):
+            a, b = ll[i], ll[(i + 1) % n]
+            vals.append(
+                f"('{grp}', {loop_id}, 1, {a[0]!r}, {a[1]!r}, {b[0]!r}, {b[1]!r})"
+            )
+    values = ", ".join(vals)
+    return f"""
+    {name}_ll(grp, loop_id, sgn, alat, alng, blat, blng) AS (VALUES {values}),
+    {name} AS (
+      SELECT grp, loop_id, sgn,
+             cos(radians(alng))*cos(radians(alat)) AS cx,
+             sin(radians(alng))*cos(radians(alat)) AS cy,
+             sin(radians(alat)) AS cz,
+             cos(radians(blng))*cos(radians(blat)) AS dx,
+             sin(radians(blng))*cos(radians(blat)) AS dy,
+             sin(radians(blat)) AS dz
+      FROM {name}_ll)
+    """
+
+
+def _os_term(c, d) -> str:
+    det = f"({c[0]}*{d[1]} - {c[1]}*{d[0]})"
+    den = (
+        f"(1.0 + {c[2]} + ({c[0]}*{d[0]} + {c[1]}*{d[1]} + {c[2]}*{d[2]})"
+        f" + {d[2]})"
+    )
+    return f"2.0*atan2({det}, {den})"
+
+
+def _tri_area_sql(p, q, r) -> str:
+    """Signed spherical area of triangle (p,q,r) via the north-pole
+    Oosterom–Strackee per-edge closed form (sum of three edge terms)."""
+    return f"({_os_term(p, q)} + {_os_term(q, r)} + {_os_term(r, p)})"
+
+
+def boolean_fixture_sql(
+    fixtures, ops=("difference", "intersection", "union"), tol: float = 1e-9
+) -> str:
+    """Oracle for boolean_ops_join over hole-free input polygons.
+
+    The engine's output loops are pinned as double literals (the same
+    precedent as the cap-filter oracle), but the area column is
+    RECOMPUTED in DuckDB via the Oosterom–Strackee excess SQL, and the
+    whole result is gated on independent closed-form identities whose
+    right-hand sides come only from the INPUT vertices (computed in SQL
+    from the lat:lng degree literals):
+
+        area(a∩b) + area(a∪b) = area(a) + area(b)      (inclusion–exclusion)
+        area(a−b)            = area(a) − area(a∩b)
+
+    If any identity fails, the gating WHERE drops every row and the
+    driver records a mismatch — so a wrong overlay (geometry OR area)
+    cannot pass."""
+    from ..kernel import booleans as B
+    from ..kernel import measures as M
+    from ..kernel.contains import parse_polygon
+
+    fns = {
+        "intersection": B.intersection,
+        "union": B.union,
+        "difference": B.difference,
+    }
+    out_rows, meta_rows, in_rows, pairs = [], [], [], []
+    for pair, sa, sb in fixtures:
+        pairs.append(pair)
+        pa, pb = parse_polygon(sa), parse_polygon(sb)
+        for side, txt in (("a", sa), ("b", sb)):
+            for li, loop_s in enumerate(txt.split(";")):
+                in_rows.append((f"{pair}|{side}", li, _parse_latlng_loop(loop_s)))
+        for op in ops:
+            res = fns[op](pa, pb)
+            grp = f"{pair}|{op}"
+            signs = M.even_odd_signs([l.vertices for l in res.loops])
+            for li, (sgn, l) in enumerate(zip(signs, res.loops)):
+                out_rows.append((grp, li, sgn, l.vertices))
+            meta_rows.append((pair, op, len(res.loops)))
+    meta_vals = ", ".join(f"('{p}', '{o}', {n})" for p, o, n in meta_rows)
+
+    def _a(grp: str) -> str:
+        return f"coalesce((SELECT area FROM oarea WHERE grp = '{grp}'), 0.0)"
+
+    def _ia(grp: str) -> str:
+        return f"coalesce((SELECT area FROM iarea WHERE grp = '{grp}'), 0.0)"
+
+    conds = []
+    for p in pairs:
+        conds.append(
+            f"abs({_a(p + '|intersection')} + {_a(p + '|union')}"
+            f" - {_ia(p + '|a')} - {_ia(p + '|b')}) < {tol!r}"
+        )
+        if "difference" in ops:
+            conds.append(
+                f"abs({_a(p + '|difference')}"
+                f" - ({_ia(p + '|a')} - {_a(p + '|intersection')})) < {tol!r}"
+            )
+    return f"""
+    WITH oedges(grp, loop_id, sgn, cx, cy, cz, dx, dy, dz)
+      AS (VALUES {_xyz_edge_values(out_rows)}),
+    {_area_fold_ctes('oedges', 'oarea')},
+    {_latlng_edges_cte('iedges', in_rows)},
+    {_area_fold_ctes('iedges', 'iarea')},
+    meta(pair, op, n_loops) AS (VALUES {meta_vals}),
+    checks AS (SELECT ({' AND '.join(conds)}) AS ok)
+    SELECT m.pair, m.op, m.n_loops,
+           round(coalesce(o.area, 0.0), 9) AS area_r
+    FROM meta m LEFT JOIN oarea o ON o.grp = m.pair || '|' || m.op
+    WHERE (SELECT ok FROM checks)
+    ORDER BY m.pair, m.op
+    """
+
+
+def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
+    """Oracle for winding_ops_join over the contract fixtures.
+
+    Engine output loops are pinned as literals; areas are recomputed by
+    the excess SQL, gated on input-only identities:
+
+    - ``rect_pos``: output area == SQL area of the input rectangle.
+    - ``bowtie*``: output area == the closed-form two-lobe area built
+      entirely in SQL — crossing point C = normalize((v0×v1)×(v2×v3))
+      from the input vertices, lobes = triangles (C,v1,v2) and (C,v3,v0).
+    - ``stairs_*``: layer-cake identity — Σ_k area(winding ≥ k) over
+      k=1..5 equals Σ_i area(square_i), each square's area from its own
+      input vertices (exact measure-theoretic identity on the sphere).
+    """
+    from ..kernel import measures as M
+    from ..kernel.contains import parse_points
+    from ..kernel.winding import WindingRule, winding_operation
+
+    out_rows, meta_rows = [], []
+    in_rows = []
+    stairs_jobs, bowtie_jobs = [], []
+    rect_ll = None
+    bowtie_ll = None
+    for job, loops_s, ref_s, ref_w, rule in jobs:
+        loops = [parse_points(s) for s in loops_s.split(";") if s.strip()]
+        res, full = winding_operation(
+            loops, parse_points(ref_s)[0], int(ref_w), getattr(WindingRule, rule)
+        )
+        signs = M.even_odd_signs(list(res)) if res else []
+        for li, (sgn, v) in enumerate(zip(signs, res)):
+            out_rows.append((job, li, sgn, v))
+        meta_rows.append((job, len(res), bool(full)))
+        if job == "rect_pos":
+            rect_ll = _parse_latlng_loop(loops_s)
+        if job.startswith("stairs"):
+            stairs_jobs.append(job)
+            sq_lls = [
+                _parse_latlng_loop(s) for s in loops_s.split(";") if s.strip()
+            ]
+        if job.startswith("bowtie"):
+            bowtie_jobs.append(job)
+            bowtie_ll = _parse_latlng_loop(loops_s)
+
+    in_rows.append(("in|rect", 0, rect_ll))
+    for i, sq in enumerate(sq_lls):
+        in_rows.append((f"in|sq{i}", 0, sq))
+    meta_vals = ", ".join(
+        f"('{j}', {n}, {'TRUE' if f else 'FALSE'})" for j, n, f in meta_rows
+    )
+
+    def _a(grp: str) -> str:
+        return f"coalesce((SELECT area FROM oarea WHERE grp = '{grp}'), 0.0)"
+
+    # bow-tie closed form: vertex xyz + crossing point, all in SQL
+    bw_pts = []
+    for k, (lat, lng) in enumerate(bowtie_ll):
+        bw_pts.append(
+            f"cos(radians({lng!r}))*cos(radians({lat!r})) AS v{k}x,"
+            f" sin(radians({lng!r}))*cos(radians({lat!r})) AS v{k}y,"
+            f" sin(radians({lat!r})) AS v{k}z"
+        )
+    v = [(f"v{k}x", f"v{k}y", f"v{k}z") for k in range(4)]
+
+    def _cross(a, b, name):
+        return (
+            f"({a[1]}*{b[2]} - {a[2]}*{b[1]}) AS {name}x,"
+            f" ({a[0]}*{b[2]} - {a[2]}*{b[0]}) * -1.0 AS {name}y,"
+            f" ({a[0]}*{b[1]} - {a[1]}*{b[0]}) AS {name}z"
+        )
+
+    n0 = ("n0x", "n0y", "n0z")
+    n2 = ("n2x", "n2y", "n2z")
+    c_raw = ("crx", "cry", "crz")
+    c = ("ccx", "ccy", "ccz")
+    bw_sql = f"""
+    bw0 AS (SELECT {', '.join(bw_pts)}),
+    bw1 AS (SELECT *, {_cross(v[0], v[1], 'n0')}, {_cross(v[2], v[3], 'n2')} FROM bw0),
+    bw2 AS (SELECT *, {_cross(n0, n2, 'cr')} FROM bw1),
+    bw3 AS (SELECT *,
+        CASE WHEN crx < 0 THEN -1.0 ELSE 1.0 END
+          / sqrt(crx*crx + cry*cry + crz*crz) AS cs
+      FROM bw2),
+    bw AS (SELECT *, crx*cs AS ccx, cry*cs AS ccy, crz*cs AS ccz FROM bw3),
+    bwexp AS (SELECT abs({_tri_area_sql(c, v[1], v[2])})
+                   + abs({_tri_area_sql(c, v[3], v[0])}) AS expected FROM bw)
+    """
+    conds = [f"abs({_a('rect_pos')} - {_ia_rect()}) < {tol!r}"]
+    stairs_sum = " + ".join(_a(j) for j in stairs_jobs)
+    sq_sum = " + ".join(
+        f"coalesce((SELECT area FROM iarea WHERE grp = 'in|sq{i}'), 0.0)"
+        for i in range(len(sq_lls))
+    )
+    conds.append(f"abs(({stairs_sum}) - ({sq_sum})) < {tol!r}")
+    for j in bowtie_jobs:
+        conds.append(
+            f"abs({_a(j)} - (SELECT expected FROM bwexp)) < {tol!r}"
+        )
+    return f"""
+    WITH oedges(grp, loop_id, sgn, cx, cy, cz, dx, dy, dz)
+      AS (VALUES {_xyz_edge_values(out_rows)}),
+    {_area_fold_ctes('oedges', 'oarea')},
+    {_latlng_edges_cte('iedges', in_rows)},
+    {_area_fold_ctes('iedges', 'iarea')},
+    meta(job, n_loops, is_full) AS (VALUES {meta_vals}),
+    {bw_sql},
+    checks AS (SELECT ({' AND '.join(conds)}) AS ok)
+    SELECT m.job, m.n_loops, m.is_full,
+           round(coalesce(o.area, 0.0), 9) AS area_r
+    FROM meta m LEFT JOIN oarea o ON o.grp = m.job
+    WHERE (SELECT ok FROM checks)
+    ORDER BY m.job
+    """
+
+
+def _ia_rect() -> str:
+    return "coalesce((SELECT area FROM iarea WHERE grp = 'in|rect'), 0.0)"

@@ -108,6 +108,36 @@ def loop_perimeter(vertices: np.ndarray) -> float:
     return float(stable_angle(v, np.roll(v, -1, axis=0)).sum())
 
 
+def even_odd_signs(loops: list[np.ndarray]) -> list[int]:
+    """Per-loop area sign (+1/-1) for an even-odd polygon whose loops are
+    all stored CCW ("smaller than a hemisphere"): sign = (-1)^depth where
+    depth = number of OTHER loops containing this loop — the
+    S2Polygon::GetArea depth convention (s2polygon.cc:550-562) recovered
+    from the even-odd representation (holes are odd depth,
+    s2polygon.h:118)."""
+    from .contains import Loop
+
+    objs = [Loop(np.asarray(v, float).reshape(-1, 3)) for v in loops]
+    signs = []
+    for i, li in enumerate(objs):
+        probe = li.vertices[0][None]
+        depth = sum(
+            int(lj.contains(probe)[0])
+            for j, lj in enumerate(objs)
+            if j != i
+        )
+        signs.append(-1 if depth % 2 else 1)
+    return signs
+
+
+def even_odd_area(loops: list[np.ndarray]) -> float:
+    """Region area of an even-odd polygon with all-CCW loops: holes
+    (odd depth) subtract — matches S2Polygon::GetArea semantics."""
+    return float(
+        sum(s * loop_signed_area(v) for s, v in zip(even_odd_signs(loops), loops))
+    )
+
+
 def polyline_length(vertices: np.ndarray) -> float:
     v = np.asarray(vertices, float).reshape(-1, 3)
     if len(v) < 2:

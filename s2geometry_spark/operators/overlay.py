@@ -58,9 +58,12 @@ def boolean_ops_join(
                 pb = parse_polygon(sb, normalize=normalize)
                 for op in ops:
                     res = fns[op](pa, pb)
-                    area = round(
-                        sum(M.loop_signed_area(l.vertices) for l in res.loops), 12
-                    )
+                    # region area with S2Polygon::GetArea depth semantics
+                    # (holes subtract) recovered from the all-CCW even-odd
+                    # representation — NOT a plain loop-area sum, which
+                    # would count holes positively (e.g. a difference
+                    # output with a hole).
+                    area = M.even_odd_area([l.vertices for l in res.loops])
                     out.append((pair, op, area, len(res.loops)))
             yield pd.DataFrame(
                 out, columns=["pair", "op", "signed_area", "n_loops"]
@@ -122,10 +125,8 @@ def winding_ops_join(jobs: DataFrame) -> DataFrame:
                 res, full = winding_operation(
                     loops, parse_points(r.ref)[0], int(r.ref_winding), rule
                 )
-                area = float(
-                    sum(M.loop_signed_area(l) for l in res)
-                ) if res else 0.0
-                out.append((r.job, len(res), bool(full), round(area, 9)))
+                area = M.even_odd_area(list(res)) if res else 0.0
+                out.append((r.job, len(res), bool(full), area))
             yield pd.DataFrame(
                 out, columns=["job", "n_loops", "is_full", "signed_area"]
             )
