@@ -8,24 +8,30 @@ Port of the best-first search semantics of s2closest_edge_query_base.h
  - per round, each query expands a Chebyshev ring of cells around its own
    cell (rings computed by repeated AppendAllNeighbors — each hop is one
    cell, so cube-face wraps stay exact, s2cell_id.cc:556-598);
- - candidates = points ⋈ broadcast(query_cells) equi join on the bucket,
+ - candidates = points ⋈ query_cells equi join on the bucket (broadcast
+   while the exploded ring table is small, shuffled-hash above that),
    per-query top-k via Window(row_number);
  - a query terminates when its kth distance ≤ r·kMinWidth(L): every
    unseen cell is ≥ r full cell-widths away (s2metrics.h:42-63 bound) —
    the DataFrame analog of the priority-queue pruning bound
    (S2Cell::GetDistance, s2cell.cc:434-560).
 
-The query side is assumed driver-small (10³-10⁵); the points side is the
-100 TB side and is only ever scanned with a broadcast hash probe.
+BOTH sides are DataFrames: the query side is never collected to the
+driver — ring expansion runs as a vectorized pandas UDF + explode, and
+round convergence is decided by a groupBy(query_id) aggregate plus an
+anti-join, so a 10⁵-query kNN join has no driver loop over queries.  The
+only driver-side state is the bounded (level, ring) schedule (≤ ~5
+rounds) and one small-side count per round.
 """
 
 from __future__ import annotations
 
 import math
+from functools import reduce
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import columns as CC
@@ -34,27 +40,44 @@ from ..kernel import metrics
 from ..kernel.cellid import bias, unbias
 
 
-def _expand_rings(leaf_cells: np.ndarray, level: int, r: int) -> list[np.ndarray]:
-    """All cells within Chebyshev distance ≤ r of each query cell at
-    `level` (uint64), one hop at a time so face wraps stay exact."""
-    start = K.parent(leaf_cells, level)
-    out = []
-    for s in start:
-        seen = {int(s)}
-        frontier = np.array([s], dtype=np.uint64)
+def _ring_cells_udf(level: int, r: int):
+    """Vectorized ring expansion: biased leaf ids → array of biased cells
+    within Chebyshev distance ≤ r of the query's level-`level` cell.
+
+    The whole Arrow batch expands at once: a (query_idx, cell) pair table
+    grows by one AppendAllNeighbors hop per iteration (r ≤ 4), deduped
+    with a lexsort — no per-query Python loop."""
+
+    @F.pandas_udf("array<long>")
+    def ring(leaf_s: pd.Series) -> pd.Series:
+        leafs = unbias(leaf_s.to_numpy(np.int64))
+        start = K.parent(leafs, level)
+        n = len(start)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        seen_q = np.arange(n, dtype=np.int64)
+        seen_c = start.astype(np.uint64)
         for _ in range(r):
-            if not len(frontier):
-                break
-            rings = K.all_neighbors(frontier, level)
-            new = set()
-            for arr in rings:
-                for v in arr.tolist():
-                    if v not in seen:
-                        new.add(v)
-            seen.update(new)
-            frontier = np.array(sorted(new), dtype=np.uint64)
-        out.append(np.array(sorted(seen), dtype=np.uint64))
-    return out
+            neigh = K.all_neighbors(seen_c, level)
+            counts = np.fromiter((len(a) for a in neigh), np.int64, len(neigh))
+            nq = np.repeat(seen_q, counts)
+            nc = (
+                np.concatenate(neigh).astype(np.uint64)
+                if len(neigh)
+                else np.empty(0, np.uint64)
+            )
+            allq = np.concatenate([seen_q, nq])
+            allc = np.concatenate([seen_c, nc])
+            order = np.lexsort((allc, allq))
+            allq, allc = allq[order], allc[order]
+            keep = np.ones(len(allq), bool)
+            keep[1:] = (allq[1:] != allq[:-1]) | (allc[1:] != allc[:-1])
+            seen_q, seen_c = allq[keep], allc[keep]
+        biased = bias(seen_c)
+        splits = np.searchsorted(seen_q, np.arange(1, n))
+        return pd.Series([a.tolist() for a in np.split(biased, splits)])
+
+    return ring
 
 
 def bucket_points(points: DataFrame, level: int) -> DataFrame:
@@ -62,30 +85,58 @@ def bucket_points(points: DataFrame, level: int) -> DataFrame:
     return points.withColumn("cell_bucket", CC.parent("cell_id_s", level))
 
 
+def _schedule(level: int) -> list[tuple[int, int]]:
+    """Round schedule: one ring-3 pass at the chosen level, then escalate
+    to coarser levels (cells 8× wider each step) so sparse regions
+    converge; the final (0, 4) pass covers the sphere → guaranteed
+    termination (4·kMinWidth(0) ≥ π → no unseen cell)."""
+    schedule: list[tuple[int, int]] = [(level, 3)]
+    lvl = max(level - 3, 0)
+    while lvl > 0:
+        schedule.append((lvl, 3))
+        lvl = max(lvl - 3, 0)
+    schedule.append((0, 4))
+    return schedule
+
+
 def knn_join(
-    queries_pdf: pd.DataFrame,
+    queries,
     points: DataFrame,
     k: int,
     level: int = 8,
     max_distance_rad: float | None = None,
     point_cols: tuple[str, ...] = ("url", "mention_idx"),
-    max_rounds: int = 6,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
-    """queries_pdf: pandas (query_id, lat, lng).  points: DataFrame with
-    cell_id_s (leaf), lat, lng, x, y, z.  Returns per-query top-k rows
-    with `chord2` (squared chord distance) and `dist_rad`.
+    """Distributed kNN join.  `queries` is a DataFrame (query_id, lat,
+    lng) — a pandas DataFrame is accepted for convenience and converted.
+    `points` is a DataFrame with cell_id_s (leaf), lat, lng and
+    optionally x, y, z.  Returns per-query top-k rows with `chord2`
+    (squared chord distance) and `dist_rad`.
 
-    Driver loop: round t uses ring radius r_t = 2^t; unconverged queries
-    (kth distance > bound or < k results) rerun with the doubled ring.
+    Scale shape: per round the fact table is scanned ONCE and joined on
+    the bucket key (broadcast probe while the exploded ring table is
+    ≤ broadcast_limit rows, shuffled-hash + AQE skew handling above);
+    rings explode from a pandas UDF; convergence is a groupBy aggregate
+    and an anti-join — queries never visit the driver.
     """
     spark = points.sparkSession
-    qx, qy, qz = __import__(
-        "s2geometry_spark.kernel.coords", fromlist=["latlng_to_xyz"]
-    ).latlng_to_xyz(queries_pdf["lat"].to_numpy(), queries_pdf["lng"].to_numpy())
-    leafs = K.from_latlng(
-        queries_pdf["lat"].to_numpy(), queries_pdf["lng"].to_numpy()
+    if isinstance(queries, pd.DataFrame):
+        queries = spark.createDataFrame(
+            queries[["query_id", "lat", "lng"]].astype(
+                {"query_id": str, "lat": float, "lng": float}
+            )
+        )
+
+    from .indexing import index_points
+
+    q = index_points(queries, level=30, with_xyz=True).select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col("cell_id_s").alias("leaf_s"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        F.col("z").alias("qz"),
     )
-    qids = queries_pdf["query_id"].to_numpy()
 
     pts = points
     if "x" not in points.columns:
@@ -95,47 +146,37 @@ def knn_join(
             "*", "_p.x", "_p.y", "_p.z"
         ).drop("_p")
     # NOTE: the points side is never cached — it is the 100 TB side; each
-    # schedule round is one broadcast-probe scan, and the schedule below
-    # has exactly one round per level (most queries converge on the first),
-    # so the fact table is scanned once per level, not once per (level, r).
+    # schedule round is one join-probe scan, and the schedule has exactly
+    # one round per level (most queries converge on the first).
 
-    # Round schedule: one ring-3 pass at the chosen level, then escalate to
-    # coarser levels (cells 8× wider each step) so sparse regions converge;
-    # the final (0, 4) pass covers the sphere → guaranteed termination
-    # (4·kMinWidth(0) ≥ π → no unseen cell).
-    schedule: list[tuple[int, int]] = [(level, 3)]
-    lvl = max(level - 3, 0)
-    while lvl > 0:
-        schedule.append((lvl, 3))
-        lvl = max(lvl - 3, 0)
-    schedule += [(0, 4)]
+    pending = q.localCheckpoint()
+    n_pending = pending.count()
+    done_parts: list[DataFrame] = []
+    last_topk: DataFrame | None = None
+    limit2 = None
+    if max_distance_rad is not None:
+        limit2 = float(4 * math.sin(min(math.pi, max_distance_rad) / 2) ** 2)
 
-    pending = np.ones(len(queries_pdf), dtype=bool)
-    results: list[pd.DataFrame] = []
-    for level_t, r in schedule:
-        if not pending.any():
+    for level_t, r in _schedule(level):
+        if n_pending == 0:
             break
-        min_width = metrics.MIN_WIDTH.get_value(level_t)
-        idx = np.nonzero(pending)[0]
-        rings = _expand_rings(leafs[idx], level_t, r)
-        ring_rows = []
-        for qi, cells in zip(idx.tolist(), rings):
-            for c in bias(cells).tolist():
-                ring_rows.append((str(qids[qi]), c, float(qx[qi]), float(qy[qi]), float(qz[qi])))
-        qcells = spark.createDataFrame(
-            ring_rows,
-            "query_id string, cell_bucket long, qx double, qy double, qz double",
-        )
+        ring = _ring_cells_udf(level_t, r)
+        qcells = pending.withColumn(
+            "cell_bucket", F.explode(ring("leaf_s"))
+        ).drop("leaf_s")
         bucketed = pts.withColumn("cell_bucket", CC.parent("cell_id_s", level_t))
-        cand = bucketed.join(F.broadcast(qcells), "cell_bucket", "inner")
+        est_rows = n_pending * (2 * r + 1) ** 2
+        if est_rows <= broadcast_limit:
+            cand = bucketed.join(F.broadcast(qcells), "cell_bucket", "inner")
+        else:
+            cand = bucketed.join(qcells.hint("shuffle_hash"), "cell_bucket", "inner")
         d2 = (
             (F.col("x") - F.col("qx")) ** 2
             + (F.col("y") - F.col("qy")) ** 2
             + (F.col("z") - F.col("qz")) ** 2
         )
         cand = cand.withColumn("chord2", d2)
-        if max_distance_rad is not None:
-            limit2 = float(4 * math.sin(min(math.pi, max_distance_rad) / 2) ** 2)
+        if limit2 is not None:
             cand = cand.filter(F.col("chord2") <= limit2)
         w = Window.partitionBy("query_id").orderBy(
             F.col("chord2").asc(), *[F.col(c) for c in point_cols]
@@ -145,36 +186,41 @@ def knn_join(
             .filter(F.col("_rn") <= k)
             .drop("_rn", "qx", "qy", "qz", "cell_bucket")
         )
-        got = topk.toPandas()
-        # convergence: kth distance within the r-ring guarantee
-        bound_rad = r * min_width
+        # materialize once on the executors: the convergence aggregate and
+        # the final union must not rescan the fact table
+        topk = topk.localCheckpoint()
+        last_topk = topk
+
+        bound_rad = r * metrics.MIN_WIDTH.get_value(level_t)
         bound_chord2 = 4 * math.sin(min(math.pi, bound_rad) / 2) ** 2
         sphere_covered = bound_rad >= math.pi
-        newly_done = []
-        for qi in idx.tolist():
-            qid = str(qids[qi])
-            sub = got[got.query_id == qid]
-            kth_ok = len(sub) >= k and sub.chord2.max() <= bound_chord2
-            radius_ok = (
-                max_distance_rad is not None
-                and max_distance_rad <= bound_rad
-            )
-            if kth_ok or radius_ok or sphere_covered:
-                pending[qi] = False
-                newly_done.append(qid)
-        if newly_done:
-            results.append(got[got.query_id.isin(newly_done)])
-    # any still-pending queries: accept last round's results
-    if pending.any():
-        still = [str(qids[qi]) for qi in np.nonzero(pending)[0]]
-        results.append(got[got.query_id.isin(still)])
-    out_pdf = (
-        pd.concat(results, ignore_index=True)
-        if results
-        else pd.DataFrame(columns=["query_id", "chord2"])
+        radius_ok = max_distance_rad is not None and max_distance_rad <= bound_rad
+        if sphere_covered or radius_ok:
+            done_parts.append(topk)
+            n_pending = 0
+            break
+        done_ids = (
+            topk.groupBy("query_id")
+            .agg(F.count("*").alias("_n"), F.max("chord2").alias("_kth"))
+            .filter((F.col("_n") >= k) & (F.col("_kth") <= bound_chord2))
+            .select("query_id")
+        )
+        done_parts.append(topk.join(done_ids, "query_id", "left_semi"))
+        pending = pending.join(done_ids, "query_id", "left_anti").localCheckpoint()
+        n_pending = pending.count()
+
+    if n_pending > 0 and last_topk is not None:
+        done_parts.append(
+            last_topk.join(pending.select("query_id"), "query_id", "left_semi")
+        )
+    if not done_parts:
+        out = spark.createDataFrame([], "query_id string, chord2 double")
+    else:
+        out = reduce(DataFrame.unionByName, done_parts)
+    return out.withColumn(
+        "dist_rad",
+        2.0 * F.asin(0.5 * F.sqrt(F.least(F.col("chord2"), F.lit(4.0)))),
     )
-    out_pdf["dist_rad"] = 2 * np.arcsin(0.5 * np.sqrt(np.minimum(out_pdf["chord2"].astype(float), 4.0)))
-    return spark.createDataFrame(out_pdf)
 
 
 def brute_force_knn(

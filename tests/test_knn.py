@@ -145,3 +145,38 @@ def test_point_edge_distance_kernel():
         dd = D.update_min_distance(pts[0], pts[1], pts[2])
         assert dd <= D.chord2(pts[0], pts[1]) + 1e-15
         assert dd <= D.chord2(pts[0], pts[2]) + 1e-15
+
+
+def test_knn_dataframe_queries_distributed(spark, points):
+    """The query side as a Spark DataFrame (no pandas, no driver loop):
+    200 deterministic queries vs the brute-force oracle."""
+    from pyspark.sql import functions as F
+
+    qdf = spark.range(200).select(
+        F.concat(F.lit("q"), F.col("id")).alias("query_id"),
+        (((F.col("id") * 7907) % 16000) / 100.0 - 80.0 + 0.005).alias("lat"),
+        (((F.col("id") * 104723) % 35000) / 100.0 - 175.0 + 0.005).alias("lng"),
+    )
+    got = (
+        knn_join(qdf, points, k=3, level=8)
+        .select("query_id", "url", "mention_idx", "chord2")
+        .toPandas()
+        .sort_values(["query_id", "chord2", "url", "mention_idx"])
+        .reset_index(drop=True)
+    )
+    q_pdf = qdf.toPandas()
+    pts_pdf = points.select("url", "mention_idx", "lat", "lng").toPandas()
+    want = (
+        brute_force_knn(q_pdf, pts_pdf, k=3)
+        .sort_values(["query_id", "chord2", "url", "mention_idx"])
+        .reset_index(drop=True)
+    )
+    assert (got.groupby("query_id").size() == 3).all()
+    pd.testing.assert_frame_equal(
+        got[["query_id", "url", "mention_idx"]],
+        want[["query_id", "url", "mention_idx"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(
+        got.chord2.to_numpy(), want.chord2.to_numpy(), rtol=1e-12
+    )
