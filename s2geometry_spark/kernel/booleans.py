@@ -65,13 +65,14 @@ def _slerp_mid(a, b) -> np.ndarray:
     return m / n
 
 
-def _split_edges(edges, other_edges):
+def _split_edges(edges, other_edges, with_parent: bool = False):
     """For each directed edge, its crossing points ordered along the edge
-    → list of sub-edges (a', b').  Shared vertices and exactly-shared
-    edges produce no cut (crossing_sign == 0); *partially* overlapping
-    collinear edges are not supported (snap-rounding territory)."""
+    → list of sub-edges (a', b') (or (a', b', parent_idx) rows when
+    `with_parent`).  Shared vertices and exactly-shared edges produce no
+    cut (crossing_sign == 0); *partially* overlapping collinear edges are
+    not supported (snap-rounding territory)."""
     subs = []
-    for a, b in edges:
+    for ei, (a, b) in enumerate(edges):
         cuts = []
         for c, d in other_edges:
             cs = P.crossing_sign(a, b, c, d)
@@ -87,7 +88,10 @@ def _split_edges(edges, other_edges):
         else:
             chain = [a, b]
         for i in range(len(chain) - 1):
-            subs.append((chain[i], chain[i + 1]))
+            if with_parent:
+                subs.append((chain[i], chain[i + 1], ei))
+            else:
+                subs.append((chain[i], chain[i + 1]))
     return subs
 
 
@@ -149,21 +153,47 @@ def _assemble_loops(directed_edges) -> list[np.ndarray]:
     return loops
 
 
+def _side_contains(poly: Polygon, c, d, m, left: bool) -> bool:
+    """EXACT lim_{ε→0⁺} poly.contains(m + ε·(left or right)) for a
+    directed edge (c, d) that appears bit-exactly on one of `poly`'s
+    rings.  No epsilon probes: a Loop's contains() region is BY
+    CONSTRUCTION the region to the left of its directed edges (the
+    origin_inside calibration via AngleContainsVertex encodes the
+    reference's interior-on-left convention, s2loop.h), so rings that
+    carry the edge answer structurally — same direction ⇒ the left side
+    is interior, reversed ⇒ the right side is — and the remaining rings
+    answer by the robust midpoint PIP (the midpoint lies exactly on no
+    other ring in general position)."""
+    key, rkey = (tuple(c), tuple(d)), (tuple(d), tuple(c))
+    inside = False
+    for loop in poly.loops:
+        v = loop.vertices
+        n = len(v)
+        ring_edges = {(tuple(v[i]), tuple(v[(i + 1) % n])) for i in range(n)}
+        if key in ring_edges:
+            inside ^= left
+        elif rkey in ring_edges:
+            inside ^= not left
+        else:
+            inside ^= bool(loop.contains(m[None])[0])
+    return inside
+
+
 def _overlay(a: Polygon, b: Polygon, keep_a_inside: bool, keep_b_inside: bool,
              reverse_b: bool) -> Polygon:
     raw_a = _edges_of(a)
     raw_b = _edges_of(b)
     # Exactly-shared boundary segments can't be classified by midpoint PIP
-    # (the midpoint lies ON the other boundary).  Classify by 4 probes
-    # (m ± ε·left in both polygons): the edge is on the result's boundary
-    # iff the op value differs across it; keep it oriented result-left.
+    # (the midpoint lies ON the other boundary).  Classify both SIDES of
+    # the edge exactly (_side_contains — structural orientation, no
+    # epsilon): the edge is on the result's boundary iff the op value
+    # differs across it; keep it oriented result-left.
     if reverse_b:
         op = lambda ia, ib: ia and not ib  # difference
     elif keep_a_inside:
         op = lambda ia, ib: ia and ib  # intersection
     else:
         op = lambda ia, ib: ia or ib  # union
-    eps = 1e-11
     b_dir = {(tuple(c), tuple(d)) for c, d in raw_b}
     shared_kept = []
     a_rest, b_rest = [], []
@@ -171,17 +201,12 @@ def _overlay(a: Polygon, b: Polygon, keep_a_inside: bool, keep_b_inside: bool,
         key, rkey = (tuple(c), tuple(d)), (tuple(d), tuple(c))
         if key in b_dir or rkey in b_dir:
             m = _slerp_mid(c, d)
-            t = d - c
-            t = t - m * float(m @ t)
-            t = t / np.linalg.norm(t)
-            left = np.cross(m, t)
-            p_l = m + eps * left
-            p_r = m - eps * left
-            probes = np.stack([p_l / np.linalg.norm(p_l), p_r / np.linalg.norm(p_r)])
-            ia = a.contains(probes)
-            ib = b.contains(probes)
-            r_left = op(bool(ia[0]), bool(ib[0]))
-            r_right = op(bool(ia[1]), bool(ib[1]))
+            r_left = op(
+                _side_contains(a, c, d, m, True), _side_contains(b, c, d, m, True)
+            )
+            r_right = op(
+                _side_contains(a, c, d, m, False), _side_contains(b, c, d, m, False)
+            )
             if r_left != r_right:
                 shared_kept.append((c, d) if r_left else (d, c))
         else:

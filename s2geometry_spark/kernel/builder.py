@@ -29,10 +29,16 @@ new site in the corresponding coverage gap, iterated to a fixed point —
 the MinEdgeVertexSeparation fixture reproduces the reference's
 separation site (4.00021862252687:0) to 1e-9 degrees.
 
-NOT implemented (documented scope): the long-edge deviation split
-(min_edge_length_to_split, edges beyond ~30°) and exact-predicate
-tie-breaking — inputs within ~1e-12 of a Voronoi boundary may resolve
-differently than the reference."""
+Long-edge deviation split (MaybeAddExtraSites case 1, s2builder.cc:
+964-990): snapped chain edges longer than min_edge_length_to_split
+(~30-50° depending on snap radius) that stray beyond
+max_edge_deviation() = 1.1 × snap radius of their input edge
+(IsEdgeBNearEdgeA) get a mid split site, iterated with the separation
+pass to a fixed point.
+
+NOT implemented (documented scope): exact-predicate tie-breaking in
+the Voronoi coverage intervals — inputs within ~1e-12 of a Voronoi
+boundary may resolve differently than the reference."""
 
 from __future__ import annotations
 
@@ -105,6 +111,20 @@ class S2CellIdSnapFunction(SnapFunction):
             self.snap_radius - 0.5 * max_diag,
         )
 
+    def min_edge_vertex_separation(self) -> float:
+        """s2builderutil_snap_functions.cc:157-201: constant bound at the
+        minimum snap radius, constant + proportional + asymptotic bounds
+        otherwise."""
+        min_diag = metrics.MIN_DIAG.get_value(self.level)
+        if self.snap_radius == self.min_snap_radius_for_level(self.level):
+            return 0.565 * min_diag  # 0.500 in the plane
+        vertex_sep = self.min_vertex_separation()
+        return max(
+            0.397 * min_diag,  # sqrt(3/19) in the plane
+            0.219 * self.snap_radius,  # 2*sqrt(3/247) in the plane
+            0.5 * (vertex_sep / self.snap_radius) * vertex_sep,
+        )
+
     def snap(self, points: np.ndarray) -> np.ndarray:
         p = np.asarray(points, float).reshape(-1, 3)
         ids = K.parent(K.from_point(p[:, 0], p[:, 1], p[:, 2]), self.level)
@@ -142,6 +162,16 @@ class IntLatLngSnapFunction(SnapFunction):
         return max(
             0.471 * self.snap_radius,  # sqrt(2)/3 in the plane
             self.snap_radius - math.radians(math.sqrt(0.5) * self._to_degrees),
+        )
+
+    def min_edge_vertex_separation(self) -> float:
+        """s2builderutil_snap_functions.cc:314-344: constant grid bound +
+        proportional + asymptotic bounds."""
+        vertex_sep = self.min_vertex_separation()
+        return max(
+            0.277 * math.radians(self._to_degrees),  # 1/sqrt(13) in the plane
+            0.222 * self.snap_radius,  # 2/9 in the plane
+            0.5 * (vertex_sep / self.snap_radius) * vertex_sep,
         )
 
     def snap(self, points: np.ndarray) -> np.ndarray:
@@ -415,23 +445,49 @@ def min_edge_vertex_separation(snap: SnapFunction) -> float:
     return 0.5 * snap.snap_radius  # IdentitySnapFunction bound
 
 
+def max_edge_deviation(snap_radius_rad: float) -> float:
+    """Options::max_edge_deviation (s2builder.cc:162-181):
+    kMaxEdgeDeviationRatio = 1.1 × the edge snap radius."""
+    return 1.1 * snap_radius_rad
+
+
+def min_edge_length_to_split_rad(snap_radius_rad: float) -> float:
+    """s2builder.cc:244-253: the max edge length such that even if both
+    endpoints move by snap_radius, the edge center moves by less than
+    max_edge_deviation — edges shorter than this skip the deviation
+    check (varies between ~30° and ~50°)."""
+    if snap_radius_rad <= 0:
+        return math.inf
+    r = math.sin(snap_radius_rad) / math.sin(max_edge_deviation(snap_radius_rad))
+    return 2 * math.acos(min(1.0, r))
+
+
 def snap_polylines_with_separation(
     polylines: list[np.ndarray], snap: SnapFunction, max_passes: int = 50
 ) -> list[np.ndarray]:
-    """Edge phase + AddExtraSites (s2builder.cc:888-1010, separation-site
-    case): after snapping, any non-chain site closer than
-    min_edge_vertex_separation() to a snapped chain edge gets a new
-    "separation site" placed in the corresponding coverage gap, and the
-    affected edges re-snap — iterated to a fixed point.  The long-edge
-    deviation split (min_edge_length_to_split, edges > ~30°) is not
-    implemented (inputs here are pre-split by construction)."""
-    from .distance import point_edge_dist2
+    """Edge phase + AddExtraSites (s2builder.cc:888-1010), both cases:
+
+    (1) long-edge deviation split (MaybeAddExtraSites case 1,
+        s2builder.cc:964-990): a snapped chain edge longer than
+        min_edge_length_to_split whose arc strays beyond
+        max_edge_deviation() of its input edge (IsEdgeBNearEdgeA) gets a
+        new site near the middle of the input edge, splitting the
+        snapped edge into two closer-following pieces;
+    (2) separation sites: any non-chain site closer than
+        min_edge_vertex_separation() to a snapped chain edge gets a new
+        site in the corresponding coverage gap;
+
+    both iterated to a fixed point."""
+    from .distance import is_edge_b_near_edge_a, point_edge_dist2
+    from .polyline import _project_to_edge as _proj
 
     all_v = np.concatenate([np.asarray(p, float).reshape(-1, 3) for p in polylines])
     sites, _ = choose_sites(all_v, snap)
     sites = [s for s in sites]
     min_sep = min_edge_vertex_separation(snap)
     min_sep2 = _angle2chord2(min_sep)
+    max_dev = max_edge_deviation(snap.snap_radius)
+    min_len2 = _angle2chord2(min_edge_length_to_split_rad(snap.snap_radius))
 
     edges = []
     for p in polylines:
@@ -447,7 +503,23 @@ def snap_polylines_with_separation(
             chain_set = set(chain)
             if len(chain) < 2:
                 continue
-            # sites near the edge but not on its chain = sites to avoid
+            # (1) deviation split: long snapped edges must stay within
+            # max_edge_deviation of the input edge
+            for k in range(len(chain) - 1):
+                v0, v1 = S[chain[k]], S[chain[k + 1]]
+                if _chord2(v0, v1) < min_len2:
+                    continue
+                if not is_edge_b_near_edge_a(x, y, v0, v1, max_dev):
+                    mid = _proj(v0, x, y) + _proj(v1, x, y)
+                    mid = mid / np.linalg.norm(mid)
+                    new_site = _separation_site(mid, v0, v1, x, y, snap)
+                    if not any(np.all(new_site == s) for s in sites):
+                        sites.append(new_site)
+                        added = True
+                    break
+            if added:
+                break
+            # (2) sites near the edge but not on its chain = sites to avoid
             d2_edge = point_edge_dist2(S, x[None], y[None])[:, 0]
             query_r = 1.1 * snap.snap_radius + min_sep
             near = np.nonzero(d2_edge <= _angle2chord2(query_r))[0]

@@ -131,3 +131,47 @@ def point_edge_dist2_rowwise(X: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.
         qr = 1.0 - np.sqrt(np.clip(1.0 - ratio, 0.0, 1.0))
         interior_d2 = ratio + qr * qr
     return np.where(interior, np.minimum(interior_d2, vertex_d2), vertex_d2)
+
+
+def is_edge_b_near_edge_a(a0, a1, b0, b1, tolerance_rad: float) -> bool:
+    """IsEdgeBNearEdgeA (s2edge_distances.cc:421-505): every point of
+    edge B within `tolerance_rad` of edge A.  Scalar port using the
+    robust Sign and RobustCrossProd."""
+    import math
+
+    from .clipping import robust_cross_prod
+    from .polyline import _project_to_edge
+    from . import predicates as P
+
+    a0, a1, b0, b1 = (np.asarray(v, float).reshape(3) for v in (a0, a1, b0, b1))
+    a_ortho = robust_cross_prod(a0, a1)
+    a_ortho = a_ortho / np.linalg.norm(a_ortho)
+    a_nearest_b0 = _project_to_edge(b0, a0, a1)
+    a_nearest_b1 = _project_to_edge(b1, a0, a1)
+    if int(P.sign(a_ortho[None], a_nearest_b0[None], a_nearest_b1[None])[0]) < 0:
+        a_ortho = -a_ortho
+
+    def ang(x, y):
+        d = math.sqrt(((x - y) ** 2).sum())
+        return 2.0 * math.asin(min(1.0, 0.5 * d))
+
+    if ang(b0, a_nearest_b0) > tolerance_rad or ang(b1, a_nearest_b1) > tolerance_rad:
+        return False
+    b_ortho = robust_cross_prod(b0, b1)
+    b_ortho = b_ortho / np.linalg.norm(b_ortho)
+    planar_angle = ang(a_ortho, b_ortho)
+    if planar_angle <= tolerance_rad:
+        return True
+    if planar_angle >= math.pi / 2:
+        return (ang(b0, a0) < ang(b0, a1)) == (ang(b1, a0) < ang(b1, a1))
+    furthest = np.cross(b_ortho, robust_cross_prod(a_ortho, b_ortho))
+    furthest = furthest / np.linalg.norm(furthest)
+    furthest_inv = -furthest
+
+    def on_b(p):
+        return (
+            int(P.sign(b_ortho[None], b0[None], p[None])[0]) > 0
+            and int(P.sign(b_ortho[None], p[None], b1[None])[0]) > 0
+        )
+
+    return not (on_b(furthest) or on_b(furthest_inv))

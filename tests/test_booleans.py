@@ -394,3 +394,53 @@ class TestDegenerateOutputs:
         poly, deg_edges, deg_points = intersection_with_degeneracies(a, b)
         assert not poly.is_empty
         assert not deg_edges and not deg_points
+
+
+class TestExactDegenerateSliver:
+    """Near-degenerate shared-boundary overlay: a sliver 1e-11 DEGREES
+    (~1.7e-13 rad) thick shares the square's equator edge.  The former
+    ±1e-11 epsilon probes overshoot a boundary this close (the probe
+    lands on the far side of the sliver's bottom edge) and misclassify
+    the shared edge; the exact structural side rule decides it
+    correctly — the s2boolean_operation degenerate-input regime
+    (s2boolean_operation_test.cc shared-boundary cases) without snap
+    rounding."""
+
+    def setup_method(self):
+        from s2geometry_spark.kernel.contains import parse_polygon
+
+        d = 1e-11  # degrees
+        self.a = parse_polygon("0:0, 0:4, 4:4, 4:0")
+        self.b = parse_polygon(f"-{d}:0, -{d}:4, 0:4, 0:0")
+
+    def test_union_merges_across_shared_edge(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel import booleans as B
+        from s2geometry_spark.kernel import measures as M
+
+        res = B.union(self.a, self.b)
+        assert len(res.loops) == 1
+        assert len(res.loops[0].vertices) == 6  # shared edge dissolved
+        area_a = M.even_odd_area([l.vertices for l in self.a.loops])
+        area_b = M.even_odd_area([l.vertices for l in self.b.loops])
+        got = M.even_odd_area([l.vertices for l in res.loops])
+        np.testing.assert_allclose(got, area_a + area_b, rtol=0, atol=1e-15)
+
+    def test_intersection_is_empty(self):
+        from s2geometry_spark.kernel import booleans as B
+
+        res = B.intersection(self.a, self.b)
+        assert len(res.loops) == 0
+
+    def test_difference_is_identity(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel import booleans as B
+        from s2geometry_spark.kernel import measures as M
+
+        res = B.difference(self.a, self.b)
+        assert len(res.loops) == 1
+        area_a = M.even_odd_area([l.vertices for l in self.a.loops])
+        got = M.even_odd_area([l.vertices for l in res.loops])
+        np.testing.assert_allclose(got, area_a, rtol=1e-12)

@@ -245,3 +245,153 @@ def test_min_edge_vertex_separation_site():
     # chain contains every expected vertex (within 1e-9 chord)
     for e in expected:
         assert min(float(((p - e) ** 2).sum()) for p in out) < 1e-18
+
+
+class TestMaxEdgeDeviation:
+    """Port of the S2Builder.MaxEdgeDeviation property
+    (s2builder_test.cc:261-322): after snapping, every snapped chain
+    edge must stay within options.max_edge_deviation() of its input
+    edge — long edges snapped to nearby sites get mid split sites."""
+
+    def test_long_edge_split_keeps_deviation_bounded(self):
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernel.builder import (
+            IdentitySnapFunction,
+            max_edge_deviation,
+            snap_polylines_with_separation,
+        )
+        from s2geometry_spark.kernel.contains import parse_points
+        from s2geometry_spark.kernel.distance import is_edge_b_near_edge_a
+
+        snap = IdentitySnapFunction(math.radians(1.0))
+        # the equator edge and a parallel 160°-long edge at lat 0.95°:
+        # whichever snaps to the other's endpoints gets a snapped edge
+        # bulging ~5.5° away from its input — far beyond the 1.1° budget
+        a = parse_points("0:-80, 0:80")
+        b = parse_points("0.95:-80, 0.95:80")
+        out = snap_polylines_with_separation([a, b], snap)
+        max_dev = max_edge_deviation(snap.snap_radius)
+        for inp, chain in zip((a, b), out):
+            assert len(chain) >= 2
+            # extra mid sites must have been added on the deviating side
+            for k in range(len(chain) - 1):
+                assert is_edge_b_near_edge_a(
+                    inp[0], inp[-1], chain[k], chain[k + 1], max_dev
+                ), f"chain edge {k} deviates beyond max_edge_deviation"
+        # at least one of the two chains needed splitting
+        assert max(len(c) for c in out) > 2
+
+    def test_near_antipodal_wrong_way_wrap(self):
+        """The reference's randomized construction (deterministic seeds,
+        SURVEY §5 note on absl streams), scaled to snap radius 1e-3: B
+        is ~5e-4 from -A and C ~5e-4 from A, so AB frequently snaps to
+        C and the snapped CB edge wraps the sphere arbitrarily — the
+        split pass must bring the chain back within max_edge_deviation.
+        (The reference runs this at 5e-16 using exact predicates; the
+        double-precision coverage intervals here are sound down to
+        ~1e-12 — documented scope.)"""
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernel.builder import (
+            IdentitySnapFunction,
+            max_edge_deviation,
+            snap_polylines_with_separation,
+        )
+        from s2geometry_spark.kernel.distance import is_edge_b_near_edge_a
+
+        rng = np.random.default_rng(42)
+        snap = IdentitySnapFunction(1e-3)
+        n_effective = 0
+        for _ in range(10):
+            a = rng.normal(size=3)
+            a /= np.linalg.norm(a)
+            b = -a + 5e-4 * rng.normal(size=3)
+            b /= np.linalg.norm(b)
+            c = a + 5e-4 * rng.normal(size=3)
+            c /= np.linalg.norm(c)
+            out = snap_polylines_with_separation([np.stack([a, b]), c[None]], snap)
+            chain = out[0]
+            max_dev = max_edge_deviation(snap.snap_radius)
+            for k in range(len(chain) - 1):
+                assert is_edge_b_near_edge_a(
+                    a, b, chain[k], chain[k + 1], max_dev
+                )
+            if len(chain) > 2:
+                n_effective += 1
+        assert n_effective >= 2  # reference requires ≥20% effective
+
+
+def test_cellid_snap_min_edge_vertex_separation_bounds():
+    """ADVICE item: the non-identity snap functions must use the
+    reference bounds (s2builderutil_snap_functions.cc:157-201, 314-344),
+    not the 0.5·r identity fallback — at the minimum snap radius the
+    S2CellId bound is 0.565·kMinDiag(level), far below 0.5·r."""
+    import math
+
+    from s2geometry_spark.kernel import metrics
+    from s2geometry_spark.kernel.builder import (
+        IntLatLngSnapFunction,
+        S2CellIdSnapFunction,
+        min_edge_vertex_separation,
+    )
+
+    for level in (5, 10, 20):
+        f = S2CellIdSnapFunction(level)
+        got = min_edge_vertex_separation(f)
+        assert got == 0.565 * metrics.MIN_DIAG.get_value(level)
+        # larger-than-minimum snap radius: max of the three other bounds
+        g = S2CellIdSnapFunction(level, 3 * f.snap_radius)
+        vs = g.min_vertex_separation()
+        want = max(
+            0.397 * metrics.MIN_DIAG.get_value(level),
+            0.219 * g.snap_radius,
+            0.5 * (vs / g.snap_radius) * vs,
+        )
+        assert min_edge_vertex_separation(g) == want
+    for exp in (1, 6):
+        f = IntLatLngSnapFunction(exp)
+        vs = f.min_vertex_separation()
+        want = max(
+            0.277 * math.radians(f._to_degrees),
+            0.222 * f.snap_radius,
+            0.5 * (vs / f.snap_radius) * vs,
+        )
+        assert min_edge_vertex_separation(f) == want
+
+
+def test_separation_pass_with_cellid_snap_function():
+    """Non-identity separation pass (ADVICE item): with
+    S2CellIdSnapFunction the pass must converge within the budget and
+    leave every non-chain site at least min_edge_vertex_separation()
+    from every snapped chain edge."""
+    import numpy as np
+
+    from s2geometry_spark.kernel.builder import (
+        S2CellIdSnapFunction,
+        min_edge_vertex_separation,
+        snap_polylines_with_separation,
+    )
+    from s2geometry_spark.kernel.contains import parse_points
+    from s2geometry_spark.kernel.distance import point_edge_dist2
+
+    snap = S2CellIdSnapFunction(10)
+    # a long edge passing near (but not through) an isolated vertex
+    line = parse_points("0:0, 0:5")
+    lone = parse_points("0.02:2.5")
+    out = snap_polylines_with_separation([line, lone], snap)
+    chain = out[0]
+    assert len(chain) >= 2
+    min_sep = min_edge_vertex_separation(snap)
+    s = 2 * np.sin(0.5 * min_sep)
+    min_sep2 = s * s
+    # a 1-vertex polyline contributes a site but no snapped edges
+    site = snap.snap(lone)[0]
+    on_chain = any(np.all(site == v) for v in chain)
+    if not on_chain:
+        d2 = point_edge_dist2(site[None], chain[:-1], chain[1:])[0]
+        assert (d2 >= min_sep2 * (1 - 1e-9)).all()

@@ -95,3 +95,30 @@ def test_union_of_squares_thresholds():
     for ref_winding, exp in cases:
         got = _run(squares, "0.5:0.5", ref_winding, WindingRule.POSITIVE)
         _region_equal(got, exp, (-1, 9), (-1, 9), n=80)
+
+
+def test_winding_exact_sides_on_degenerate_sliver():
+    """POSITIVE union of a square and a 1e-11-degree sliver sharing its
+    equator edge: the shared edge is interior to the union and must
+    dissolve.  The former ±1e-9 probe pair overshoots the sliver
+    entirely; the exact analytic incident-edge winding classifies both
+    sides correctly."""
+    import numpy as np
+
+    from s2geometry_spark.kernel import measures as M
+    from s2geometry_spark.kernel.contains import parse_points
+    from s2geometry_spark.kernel.winding import WindingRule, winding_operation
+
+    d = 1e-11
+    square = parse_points("0:0, 0:4, 4:4, 4:0")
+    sliver = parse_points(f"-{d}:0, -{d}:4, 0:4, 0:0")
+    res, full = winding_operation(
+        [square, sliver], parse_points("2:2")[0], 1, WindingRule.POSITIVE
+    )
+    assert not full
+    assert len(res) == 1
+    assert len(res[0]) == 6
+    want = M.even_odd_area([square]) + M.even_odd_area([sliver])
+    np.testing.assert_allclose(
+        M.even_odd_area(list(res)), want, rtol=0, atol=1e-15
+    )
