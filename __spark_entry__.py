@@ -207,9 +207,13 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_ngram(spark, sf_dir):
-    from s2geometry_spark.operators.dedup import ngram_jaccard_pairs
+    from s2geometry_spark.operators.dedup import (
+        ngram_jaccard_pairs_blocked_baseline,
+    )
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2).select(
+    return ngram_jaccard_pairs_blocked_baseline(
+        _docs(spark, sf_dir), threshold=0.2
+    ).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r")
     ).orderBy("doc_a", "doc_b")
 

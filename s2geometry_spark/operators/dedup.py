@@ -50,9 +50,32 @@ def shingles(col="text", k: int = SHINGLE):
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Word-3-gram Jaccard over a `source`-blocked self-join."""
-    sh = df.select("doc_id", F.col("source").alias("blk"), shingles().alias("sh"))
+def ngram_jaccard_pairs_blocked_baseline(
+    df: DataFrame, threshold: float = 0.5, max_block_rows: int = 100_000
+) -> DataFrame:
+    """Word-3-gram Jaccard over a `source`-blocked self-join — O(block²)
+    BASELINE, superseded by ngram_jaccard_pairs_prefix (the AllPairs /
+    PPJoin scale path).  Guarded: any block larger than `max_block_rows`
+    raises at execution time instead of silently going quadratic."""
+    blk_w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "blk"
+    )
+    sh = df.select(
+        "doc_id", F.col("source").alias("blk"), shingles().alias("sh")
+    ).withColumn("_blk_rows", F.count("*").over(blk_w))
+    guard = F.when(
+        F.col("_blk_rows") > max_block_rows,
+        F.raise_error(
+            F.lit(
+                "ngram_jaccard_pairs_blocked_baseline: block exceeds "
+                f"max_block_rows={max_block_rows} — use "
+                "ngram_jaccard_pairs_prefix (AllPairs/PPJoin) at scale"
+            )
+        ),
+    ).otherwise(F.col("_blk_rows"))
+    # filter predicate so the guard is always evaluated (a dropped column
+    # would be pruned by Catalyst without running raise_error)
+    sh = sh.filter(guard > 0).drop("_blk_rows")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -127,8 +150,13 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = NUM_HASHES, bands: int = 
             )
         ).alias("bb"),
     ).select("doc_id", "sig", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    a = banded.drop("sig").alias("a")
+    b = banded.drop("sig").alias("b")
+    # dedupe on the bare (doc_a, doc_b) key — carrying the signature
+    # arrays through the band-bucket join + distinct would multiply the
+    # shuffle bytes ~NUM_HASHES×; the signatures re-join after the
+    # distinct instead (two cheap key joins on the already-shuffled
+    # signature table)
     pairs = (
         a.join(
             b,
@@ -139,18 +167,19 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = NUM_HASHES, bands: int = 
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
     )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda v: v,
         )
     ) / F.size(F.col("sig_a"))
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+    return joined.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
 def simhash(df: DataFrame, bits: int = 32) -> DataFrame:
@@ -201,11 +230,17 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5) -> DataFra
     ).orderBy(F.col("df").asc(), F.col("t").asc())
     pos = ranked.withColumn("_rn", F.row_number().over(w))
     n_tok = sh.select("doc_id", F.size("sh").alias("n"))
+    # ceil guard: t*n can land one ulp above an exact integer (e.g.
+    # 0.07*100 → 7.000000000000001 → ceil 8), shortening the prefix and
+    # missing threshold-exact pairs; subtracting 1e-9 restores the
+    # AllPairs bound for all practical (t, n)
     prefix = (
         pos.join(n_tok, "doc_id")
         .filter(
             F.col("_rn")
-            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+            <= F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+            + 1
         )
         .select("doc_id", "t")
     )

@@ -98,20 +98,26 @@ def sessionize_cells(
                     for v in pd.to_datetime(pdf["warc_ts"])
                 )
             ts.sort()
+            # interval merge of (new events ∪ the open session): late
+            # within-watermark events older than session_start must not
+            # be absorbed into the open session (they may extend it
+            # backwards, or form a separate earlier session) — matching
+            # session_window's merge semantics for out-of-order input
+            intervals = [(t, t, 1) for t in ts]
             if state.exists:
-                s, last, n = state.get
-            else:
-                s = last = None
-                n = 0
-            for t in ts:
-                if s is None:
-                    s, last, n = t, t, 1
-                elif t - last <= gap_us:  # session_window merges touching windows
-                    last, n = max(last, t), n + 1
+                intervals.append(tuple(state.get))
+            intervals.sort(key=lambda v: (v[0], v[1]))
+            merged: list[tuple[int, int, int]] = []
+            for s, last, n in intervals:
+                if merged and s - merged[-1][1] <= gap_us:
+                    ps, plast, pn = merged[-1]
+                    merged[-1] = (min(ps, s), max(plast, last), pn + n)
                 else:
-                    closed.append((cell, s, last, n))
-                    s, last, n = t, t, 1
-            if s is not None:
+                    merged.append((s, last, n))
+            for s, last, n in merged[:-1]:
+                closed.append((cell, s, last, n))
+            if merged:
+                s, last, n = merged[-1]
                 state.update((s, last, n))
                 state.setTimeoutTimestamp((last + gap_us) // 1000)
         if closed:

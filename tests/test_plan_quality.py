@@ -75,3 +75,26 @@ def test_indexed_closest_edges_join_broadcasts_probe(spark):
     out = indexed_closest_edges_join(pts, index, k=1, max_distance_rad=0.2)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_pair_distinct_carries_no_signatures(spark):
+    """The band-bucket pair dedup must shuffle only (doc_a, doc_b) —
+    carrying the 12-element md5 signature arrays through the distinct
+    would multiply the shuffle bytes ~NUM_HASHES×.  The signatures
+    re-join after the distinct."""
+    import re
+
+    from s2geometry_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(docs))
+    # every distinct (HashAggregate with keys=[...]) must key on the bare
+    # doc ids, never the sig arrays
+    keys_matches = re.findall(r"HashAggregate\(keys=\[(.*?)\]", plan)
+    assert keys_matches, "plan shape changed — update the regex"
+    for keys in keys_matches:
+        assert "sig" not in keys, f"distinct keys carry signatures: {keys}"
+    hash_parts = re.findall(r"hashpartitioning\((.*?)\)", plan)
+    assert hash_parts, "plan shape changed — update the regex"
+    for m in hash_parts:
+        assert "sig" not in m, f"shuffle carries signatures: {m}"
