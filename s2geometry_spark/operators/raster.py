@@ -79,22 +79,74 @@ def rasterize_polygon(
     return grid.filter(inside("cx", "cy", "cz")).select("face", "i", "j")
 
 
-def vectorize_cells(raster: DataFrame, level: int):
-    """raster (face, i, j) → boundary Polygon of the cell union
-    (driver-side assembly; the raster is collected — suitable for
-    region-scale rasters; web-scale rasters would assemble per shard)."""
-    from ..kernel.booleans import cellunion_to_polygon
-    from ..kernel.cid import CID
-    from ..kernel.hilbert import from_face_ij
+def _raster_cell_ids(raster: DataFrame, level: int) -> DataFrame:
+    """(face, i, j) → biased cell ids at `level` (Arrow batch)."""
 
-    pdf = raster.toPandas()
-    shift = 30 - level
-    leafs = from_face_ij(
-        pdf["face"].to_numpy(np.int64),
-        pdf["i"].to_numpy(np.int64) << shift,
-        pdf["j"].to_numpy(np.int64) << shift,
+    @F.pandas_udf("long")
+    def to_cell(face: pd.Series, i: pd.Series, j: pd.Series) -> pd.Series:
+        from ..kernel import cellid as K
+        from ..kernel.hilbert import from_face_ij
+
+        shift = 30 - level
+        leafs = from_face_ij(
+            face.to_numpy(np.int64),
+            i.to_numpy(np.int64) << shift,
+            j.to_numpy(np.int64) << shift,
+        )
+        return pd.Series(K.bias(K.parent(leafs, level)))
+
+    return raster.select(to_cell("face", "i", "j").alias("cell_id_s"))
+
+
+def boundary_edges_df(raster: DataFrame, level: int) -> DataFrame:
+    """Distributed boundary extraction: a cell edge is on the union
+    boundary iff the edge-neighbor across it (face wraps included,
+    s2cell_id.cc:499-512) is NOT in the raster.  One explode + one
+    left_anti equi join — O(area) rows shuffle once, O(perimeter) rows
+    survive.  Returns (cell_id_s, k) with k the CCW edge index
+    (vertex k → k+1, s2cell.h:136-140)."""
+    cells = _raster_cell_ids(raster, level)
+
+    @F.pandas_udf("array<long>")
+    def nbrs(cell_s: pd.Series) -> pd.Series:
+        from ..kernel import cellid as K
+
+        ids = K.unbias(cell_s.to_numpy(np.int64))
+        nb = K.bias(K.edge_neighbors(ids).reshape(-1)).reshape(-1, 4)
+        return pd.Series([r.tolist() for r in nb])
+
+    edges = (
+        cells.withColumn("_nb", nbrs("cell_id_s"))
+        .select(
+            "cell_id_s",
+            F.posexplode("_nb").alias("k", "nbr_s"),
+        )
     )
-    from ..kernel import cellid as K
+    return edges.join(
+        cells.select(F.col("cell_id_s").alias("nbr_s")), "nbr_s", "left_anti"
+    ).select("cell_id_s", "k")
 
-    cells = [CID(int(c)) for c in K.parent(leafs, level).tolist()]
-    return cellunion_to_polygon(cells)
+
+def vectorize_cells(raster: DataFrame, level: int):
+    """raster (face, i, j) → boundary Polygon of the cell union.
+
+    Scale shape: the O(area) raster never reaches the driver — boundary
+    edges are extracted distributively (boundary_edges_df: explode +
+    left_anti join), and only the O(perimeter) directed edges collect
+    for loop assembly (max-CCW face tracing, kernel/booleans.py).  A
+    level-12 global raster (~10⁸ cells) vectorizes with a perimeter-
+    sized collect."""
+    from ..kernel.booleans import _assemble_loops
+    from ..kernel.cell import Cell
+    from ..kernel.cid import CID
+    from ..kernel.contains import Loop, Polygon
+
+    pdf = boundary_edges_df(raster, level).toPandas()
+    directed = []
+    for cell_s, k in zip(pdf["cell_id_s"].tolist(), pdf["k"].tolist()):
+        cell = Cell(CID(int(cell_s) + (1 << 63)))
+        directed.append((cell.get_vertex(k), cell.get_vertex(k + 1)))
+    if not directed:
+        return Polygon([])
+    loops = _assemble_loops(directed)
+    return Polygon([Loop(v) for v in loops])

@@ -110,3 +110,29 @@ def test_raster_vector_roundtrip_fixed_point(spark):
     r2 = rasterize_polygon(spark, vec, level=6)
     pdf2 = r2.toPandas().sort_values(["face", "i", "j"]).reset_index(drop=True)
     assert pdf1.equals(pdf2)
+
+
+def test_raster_roundtrip_pole_crossing_distributed(spark):
+    """Cross-face boundary assembly: a polar raster touches face 2 and
+    the tops of all four equatorial faces; the distributed boundary
+    extraction (neighbor anti-join with face wraps) must assemble one
+    closed loop with bit-equal corners across face boundaries, and the
+    roundtrip must be a fixed point."""
+    from s2geometry_spark.kernel.contains import parse_polygon
+    from s2geometry_spark.operators.raster import (
+        boundary_edges_df,
+        rasterize_polygon,
+        vectorize_cells,
+    )
+
+    poly = parse_polygon("70:0, 70:90, 70:180, 70:-90")
+    r1 = rasterize_polygon(spark, poly, level=6)
+    n_cells = r1.count()
+    n_boundary = boundary_edges_df(r1, level=6).count()
+    assert 0 < n_boundary < 4 * n_cells  # O(perimeter), not O(area)
+    vec = vectorize_cells(r1, level=6)
+    assert len(vec.loops) == 1
+    r2 = rasterize_polygon(spark, vec, level=6)
+    a = {tuple(r) for r in r1.collect()}
+    b = {tuple(r) for r in r2.collect()}
+    assert a == b
