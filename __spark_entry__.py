@@ -705,6 +705,34 @@ _WINDING_JOBS = [
 ]
 
 
+_BUFFER_JOBS = [
+    # (job, loops, radius_deg, circle_segments); convex jobs are
+    # Steiner-gated in the oracle
+    ("buf_sq", "0:0, 0:4, 4:4, 4:0", 1.0, 64.0),
+    ("buf_sq_big", "0:0, 0:4, 4:4, 4:0", 5.0, 64.0),
+    ("buf_tri", "10:10, 10:20, 20:15", 2.0, 64.0),
+    ("buf_lshape", "0:0, 0:4, 2:4, 2:2, 4:2, 4:0", 1.0, 64.0),
+    ("buf_holed", "0:0, 0:6, 6:6, 6:0; 2:2, 2:4, 4:4, 4:2", 0.5, 64.0),
+]
+_BUFFER_CONVEX = {"buf_sq", "buf_sq_big", "buf_tri"}
+
+
+def _q_geo_buffer(spark, sf_dir):
+    """Distributed S2BufferOperation job table (offset trace → winding
+    resolution per executor): convex, reflex, and holed fixtures; the
+    oracle gates the convex rows on the exact spherical Steiner formula
+    computed from input vertices only."""
+    from s2geometry_spark.operators.overlay import buffer_ops_join
+
+    jobs = spark.createDataFrame(
+        _BUFFER_JOBS,
+        "job string, loops string, radius_deg double, segments double",
+    ).repartition(3)
+    return buffer_ops_join(jobs).select(
+        "job", "n_loops", F.round("signed_area", 9).alias("area_r")
+    ).orderBy("job")
+
+
 def _q_geo_winding_ops(spark, sf_dir):
     """Distributed S2WindingOperation job table: rectangle, bow tie
     (ODD + NON_ZERO rules), and the 5-square staircase at every winding
@@ -850,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polyline_project": _q_geo_polyline_project,
         "geo_raster_roundtrip": _q_geo_raster_roundtrip,
         "geo_winding_ops": _q_geo_winding_ops,
+        "geo_buffer": _q_geo_buffer,
         "geo_cap_filter": _q_geo_cap_filter,
         "geo_polyline_interpolate": _q_geo_polyline_interpolate,
         "geo_hausdorff": _q_geo_hausdorff,
@@ -1061,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_polygon_covering": _covering_oracle(),
         "geo_boolean_ops": OR.boolean_fixture_sql(_BOOLEAN_FIXTURES, _BOOLEAN_OPS),
         "geo_winding_ops": OR.winding_fixture_sql(_WINDING_JOBS),
+        "geo_buffer": OR.buffer_fixture_sql(_BUFFER_JOBS, _BUFFER_CONVEX),
         "geo_relation_matrix": _relation_matrix_oracle(),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""

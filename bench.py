@@ -179,10 +179,14 @@ def scaling_worker(cpus: str):
 
     # AQE off: these plans (broadcast join + agg) gain nothing from runtime
     # re-planning, and the extra job materialization is pure fixed cost
+    # shuffle partitions FIXED across parallelism levels (64): on a real
+    # cluster the same query/plan runs at both sizes; deriving partitions
+    # from the core count would hand the low-core run a scheduling-
+    # overhead advantage on the smaller jobs
     spark = get_spark(
         app_name="s2spark-scaling",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus) * 4,
+        shuffle_partitions=64,
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     from pyspark.sql import functions as F
@@ -237,20 +241,18 @@ def scaling_worker(cpus: str):
     )
 
     points = index_points(
-        mentions.sample(0.25, seed=7), level=30, with_xyz=True
+        mentions.sample(0.5, seed=7), level=30, with_xyz=True
     ).cache()
     points.count()
-    queries = pd.DataFrame(
-        {
-            "query_id": [f"q{i}" for i in range(64)],
-            "lat": [(-80 + (i * 2.51) % 160) for i in range(64)],
-            "lng": [(-180 + (i * 11.37) % 360) for i in range(64)],
-        }
+    queries = spark.range(2_000).select(
+        F.col("id").cast("string").alias("query_id"),
+        (((F.col("id") * 7907) % 17000) / 100.0 - 85.0 + 0.005).alias("lat"),
+        (((F.col("id") * 104729) % 36000) / 100.0 - 180.0 + 0.005).alias("lng"),
     )
     jobs = {}
     jobs["knn"] = timed(
         lambda: knn_join(
-            queries, points, k=10, level=8, point_cols=("pid", "mention_idx")
+            queries, points, k=5, level=6, point_cols=("pid", "mention_idx")
         ).count(),
         warm=1, reps=2,
     )
@@ -268,17 +270,31 @@ def scaling_worker(cpus: str):
     pts_keyed = points.withColumn("key", F.xxhash64("pid", "mention_idx"))
     jobs["shape_index_join"] = timed(
         lambda: indexed_closest_edges_join(
-            pts_keyed, index, k=1, max_distance_rad=0.001
+            pts_keyed, index, k=1, max_distance_rad=0.005
         ).count(),
         warm=1, reps=2,
     )
     index.unpersist()
     points.unpersist()
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(int(cpus))
+    # 2 disjoint-vocabulary copies of the documents table (every word
+    # suffixed per copy): 2x the prefix-join work with the same pair
+    # structure per copy — no cross-copy candidates
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            F.regexp_replace("text", "(\\S+)", f"$1_{k}").alias("text"),
+        )
+        for k in range(2)
+    ]
+    docs = copies[0]
+    for c in copies[1:]:
+        docs = docs.unionByName(c)
+    docs = docs.repartition(64)
     jobs["prefix_dedup"] = timed(
         lambda: ngram_jaccard_pairs_prefix(docs, threshold=0.2).count(),
-        warm=1, reps=2,
+        warm=1, reps=1,
     )
 
     spark.stop()

@@ -946,3 +946,82 @@ def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
 
 def _ia_rect() -> str:
     return "coalesce((SELECT area FROM iarea WHERE grp = 'in|rect'), 0.0)"
+
+
+def buffer_fixture_sql(jobs, convex_jobs, steiner_rel_tol: float = 5e-3) -> str:
+    """Oracle for buffer_ops_join.
+
+    Engine output loops are pinned as literals; areas are recomputed by
+    the excess SQL.  Independent gates (right-hand sides computed in SQL
+    from INPUT lat:lng literals only):
+
+    - every job: strict growth, area(buffer) > area(input);
+    - convex jobs: the spherical Steiner formula
+          A(r) = A + L·sin(r) + (2π − A)·(1 − cos(r))
+      (Gauss–Bonnet: total turning of a convex boundary = 2π − A) must
+      match the recomputed area within `steiner_rel_tol` of the grown
+      part — the polygonized offset arcs (circle_segments) sit within
+      that band, a wrong overlay does not.
+    """
+    import math as _math
+
+    from ..kernel import measures as M
+    from ..kernel.booleans import buffer_polygon_winding
+    from ..kernel.contains import parse_polygon
+
+    out_rows, meta_rows, in_rows = [], [], []
+    for job, loops_s, radius_deg, segments in jobs:
+        poly = parse_polygon(loops_s)
+        buf = buffer_polygon_winding(
+            poly, _math.radians(float(radius_deg)), float(segments)
+        )
+        signs = M.even_odd_signs([l.vertices for l in buf.loops])
+        for li, (sgn, l) in enumerate(zip(signs, buf.loops)):
+            out_rows.append((job, li, sgn, l.vertices))
+        meta_rows.append((job, len(buf.loops)))
+        for li, loop_s in enumerate(loops_s.split(";")):
+            in_rows.append((f"in|{job}", li, _parse_latlng_loop(loop_s)))
+    meta_vals = ", ".join(f"('{j}', {n})" for j, n in meta_rows)
+
+    def _a(grp: str) -> str:
+        return f"coalesce((SELECT area FROM oarea WHERE grp = '{grp}'), 0.0)"
+
+    def _iarea(job: str) -> str:
+        return f"coalesce((SELECT area FROM iarea WHERE grp = 'in|{job}'), 0.0)"
+
+    angle = _stable_angle_sql(("cx", "cy", "cz"), ("dx", "dy", "dz"))
+    perim_cte = f"""
+    iperim AS (
+      SELECT grp, sum({angle}) AS perim FROM iedges GROUP BY grp)
+    """
+
+    def _iperim(job: str) -> str:
+        return f"(SELECT perim FROM iperim WHERE grp = 'in|{job}')"
+
+    conds = []
+    for job, _loops_s, radius_deg, _segments in jobs:
+        conds.append(f"{_a(job)} > {_iarea(job)}")
+        if job in convex_jobs:
+            r = _math.radians(float(radius_deg))
+            steiner = (
+                f"({_iarea(job)} + {_iperim(job)} * {_math.sin(r)!r}"
+                f" + ({2 * _math.pi!r} - {_iarea(job)}) * {(1 - _math.cos(r))!r})"
+            )
+            conds.append(
+                f"abs({_a(job)} - {steiner})"
+                f" <= {steiner_rel_tol!r} * ({steiner} - {_iarea(job)})"
+            )
+    return f"""
+    WITH oedges(grp, loop_id, sgn, cx, cy, cz, dx, dy, dz)
+      AS (VALUES {_xyz_edge_values(out_rows)}),
+    {_area_fold_ctes('oedges', 'oarea')},
+    {_latlng_edges_cte('iedges', in_rows)},
+    {_area_fold_ctes('iedges', 'iarea')},
+    {perim_cte},
+    meta(job, n_loops) AS (VALUES {meta_vals}),
+    checks AS (SELECT ({' AND '.join(conds)}) AS ok)
+    SELECT m.job, m.n_loops, round(coalesce(o.area, 0.0), 9) AS area_r
+    FROM meta m LEFT JOIN oarea o ON o.grp = m.job
+    WHERE (SELECT ok FROM checks)
+    ORDER BY m.job
+    """

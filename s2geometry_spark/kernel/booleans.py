@@ -42,19 +42,70 @@ def _edges_of(poly: Polygon):
     return out
 
 
+_DBL_ERR = 0.5 * 2.220446049250313e-16  # rounding_epsilon<double>
+_SQRT3 = 1.7320508075688772
+_INTERSECTION_ERROR = 8 * _DBL_ERR  # kIntersectionError (s2edge_crossings.cc:74)
+_MIN_NORMAL_LENGTH = (16 * _SQRT3 + 24) * _DBL_ERR
+_MIN_RESULT_LEN = 12 / (_INTERSECTION_ERROR / _DBL_ERR - (2 + 2 * _SQRT3))
+
+
+def _robust_normal_with_length(x: np.ndarray, y: np.ndarray):
+    """(X-Y)×(X+Y) = 2·X×Y with most cancellation eliminated
+    (RobustNormalWithLength, s2edge_crossings.cc:418-432)."""
+    res = np.cross(x - y, x + y)
+    n = float(np.linalg.norm(res))
+    return 0.5 * res, 0.5 * n
+
+
 def _intersection_point(a, b, c, d) -> np.ndarray:
-    """Edge AB × edge CD crossing point (requires a proper crossing)."""
-    n1 = np.cross(a, b)
-    n2 = np.cross(c, d)
-    x = np.cross(n1, n2)
-    n = np.linalg.norm(x)
-    if n == 0:
-        raise ValueError("degenerate crossing (parallel great circles)")
-    x = x / n
-    # orient towards the midpoints of both edges
-    if float(x @ (a + b + c + d)) < 0:
-        x = -x
-    return x
+    """Edge AB × edge CD crossing point (requires a proper crossing) —
+    GetIntersection tiers (s2edge_crossings.cc:441-497, 585+): the
+    double-precision Simple path with the reference's error gates
+    (kMinNormalLength on each edge normal, kMinResultLen on the result),
+    falling back to EXACT rational arithmetic (Fraction — doubles are
+    dyadic rationals, so the cross products are exact like ExactFloat)
+    for nearly-parallel edges, rounded once to double and normalized.
+    Guaranteed within ~kIntersectionError of the true intersection."""
+    a_norm, a_len = _robust_normal_with_length(a, b)
+    b_norm, b_len = _robust_normal_with_length(c, d)
+    if a_len >= _MIN_NORMAL_LENGTH and b_len >= _MIN_NORMAL_LENGTH:
+        x, x_len = _robust_normal_with_length(
+            a_norm / a_len, b_norm / b_len
+        )
+        if x_len >= _MIN_RESULT_LEN:
+            if float(a_norm @ (d - c)) < 0:
+                x = -x
+            x = x / np.linalg.norm(x)
+            if float(x @ (a + b + c + d)) < 0:
+                x = -x
+            return x
+    # exact tier
+    from fractions import Fraction
+
+    def fr(v):
+        return tuple(Fraction(float(t)) for t in v)
+
+    def fcross(p, q):
+        return (
+            p[1] * q[2] - p[2] * q[1],
+            p[2] * q[0] - p[0] * q[2],
+            p[0] * q[1] - p[1] * q[0],
+        )
+
+    fa, fb, fc, fd = fr(a), fr(b), fr(c), fr(d)
+    n1 = fcross(fa, fb)
+    n2 = fcross(fc, fd)
+    xf = fcross(n1, n2)
+    m = max(abs(t) for t in xf)
+    if m == 0:
+        raise ValueError("degenerate crossing (identical great circles)")
+    # orient towards the midpoints of both edges (exact sign)
+    s = sum(t * (va + vb + vc + vd) for t, va, vb, vc, vd in zip(xf, fa, fb, fc, fd))
+    flip = -1 if s < 0 else 1
+    # scale by the max |component| in rational arithmetic, then round each
+    # component once to double — no overflow/underflow possible
+    x = np.array([float(flip * t / m) for t in xf])
+    return x / np.linalg.norm(x)
 
 
 def _slerp_mid(a, b) -> np.ndarray:
@@ -285,7 +336,20 @@ def cellunion_to_polygon(cells) -> Polygon:
     return Polygon(loops)
 
 
-def buffer_polygon(poly: Polygon, radius_rad: float, max_cells: int = 64) -> Polygon:
+def buffer_polygon(
+    poly: Polygon, radius_rad: float, circle_segments: float = 16.0
+) -> Polygon:
+    """General polygon buffer — delegates to the exact offset-trace +
+    winding-operation path (buffer_polygon_winding, the reference's
+    S2BufferOperation architecture).  buffer_polygon_covering keeps the
+    conservative cell-algebra approximation for callers that want a
+    covering-granularity superset instead."""
+    return buffer_polygon_winding(poly, radius_rad, circle_segments)
+
+
+def buffer_polygon_covering(
+    poly: Polygon, radius_rad: float, max_cells: int = 64
+) -> Polygon:
     """S2BufferOperation approximation (s2shape_index_buffered_region.h:61):
     cover the polygon, expand the covering by the radius on the cell
     algebra, and return the expanded region as an even-odd polygon.  The
@@ -433,8 +497,8 @@ def buffer_convex_polygon(
     poly: Polygon, radius_rad: float, circle_segments: float = 16.0
 ) -> Polygon:
     """Exact polygonized buffer of a single-loop convex polygon
-    (S2BufferOperation subset; general polygons use buffer_polygon's
-    covering-expand approximation)."""
+    (S2BufferOperation subset; general polygons use
+    buffer_polygon_winding)."""
     if len(poly.loops) != 1:
         raise ValueError("buffer_convex_polygon requires a single convex loop")
     from .contains import Loop
@@ -443,6 +507,110 @@ def buffer_convex_polygon(
         poly.loops[0].vertices, radius_rad, circle_segments
     )
     return Polygon([Loop(ring)])
+
+
+def _offset_trace(
+    vertices: np.ndarray, radius_rad: float, circle_segments: float = 16.0
+) -> np.ndarray:
+    """Offset curve of a closed boundary traced with the region interior
+    on the LEFT, at distance r on the right (exterior) side — the
+    raw path S2BufferOperation feeds to S2WindingOperation
+    (s2buffer_operation.cc): per-edge small-circle offset arcs joined by
+    SIGNED vertex arcs (convex/left turns sweep a join arc; reflex/right
+    turns sweep backwards, producing the self-crossing racetrack lobe
+    the winding rule later cancels)."""
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    n_v = len(v)
+    step = math.pi / circle_segments
+    out: list[np.ndarray] = []
+
+    def rotate_about(p: np.ndarray, axis: np.ndarray, angle: float) -> np.ndarray:
+        axis = axis / np.linalg.norm(axis)
+        c, s = math.cos(angle), math.sin(angle)
+        return p * c + np.cross(axis, p) * s + axis * float(axis @ p) * (1 - c)
+
+    def offset_point(p: np.ndarray, out_dir: np.ndarray) -> np.ndarray:
+        t = out_dir - p * float(p @ out_dir)
+        t = t / np.linalg.norm(t)
+        return p * math.cos(radius_rad) + t * math.sin(radius_rad)
+
+    for i in range(n_v):
+        a = v[i]
+        b = v[(i + 1) % n_v]
+        c = v[(i + 2) % n_v]
+        n = np.cross(a, b)
+        n = n / np.linalg.norm(n)
+        out_dir = -n  # interior on left ⇒ exterior = right = -pole
+        a_off = offset_point(a, out_dir)
+        b_off = offset_point(b, out_dir)
+        edge_angle = math.acos(max(-1.0, min(1.0, float(a @ b))))
+        k = max(1, int(math.ceil(edge_angle / step)))
+        for s_i in range(k):
+            out.append(rotate_about(a_off, n, edge_angle * s_i / k))
+        out.append(b_off)
+        # signed vertex arc at b toward the next edge's offset start
+        n2 = np.cross(b, c)
+        n2 = n2 / np.linalg.norm(n2)
+        tb = out_dir - b * float(b @ out_dir)
+        tb = tb / np.linalg.norm(tb)
+        tb2 = -n2 - b * float(b @ -n2)
+        tb2 = tb2 / np.linalg.norm(tb2)
+        cosang = max(-1.0, min(1.0, float(tb @ tb2)))
+        turn = math.acos(cosang)
+        if float(np.cross(tb, tb2) @ b) < 0:
+            turn = -turn  # reflex vertex: sweep backwards (racetrack lobe)
+        k = max(1, int(math.ceil(abs(turn) / step)))
+        for s_i in range(1, k):
+            out.append(rotate_about(b_off, b, turn * s_i / k))
+    arr = np.asarray(out).reshape(-1, 3)
+    keep = [0]
+    for i in range(1, len(arr)):
+        if ((arr[i] - arr[keep[-1]]) ** 2).sum() > 1e-24:
+            keep.append(i)
+    if ((arr[keep[-1]] - arr[keep[0]]) ** 2).sum() <= 1e-24 and len(keep) > 1:
+        keep.pop()
+    return arr[keep]
+
+
+def buffer_polygon_winding(
+    poly: Polygon, radius_rad: float, circle_segments: float = 16.0
+) -> Polygon:
+    """GENERAL polygon buffer — the reference's S2BufferOperation
+    architecture (s2buffer_operation.cc): trace the offset curve of
+    every boundary loop (shells traced CCW, holes traced CW so the
+    region interior stays on the left; holes therefore shrink), then
+    resolve all self-intersections with the winding operation (rule
+    POSITIVE, reference point far from the region with winding 0 —
+    exactly how the reference composes buffering on top of
+    S2WindingOperation).
+
+    REQUIRES: radius > 0 and the buffered region within one hemisphere
+    around the input (the far reference point must stay outside)."""
+    from .contains import Loop
+    from .measures import even_odd_signs
+    from .winding import WindingRule, winding_operation
+
+    if not poly.loops:
+        return Polygon([])
+    signs = even_odd_signs([l.vertices for l in poly.loops])
+    traces = []
+    for sgn, loop in zip(signs, poly.loops):
+        v = loop.vertices if sgn > 0 else loop.vertices[::-1].copy()
+        traces.append(_offset_trace(v, radius_rad, circle_segments))
+    centroid = np.concatenate([l.vertices for l in poly.loops]).sum(0)
+    centroid = centroid / np.linalg.norm(centroid)
+    ref = -centroid  # antipode: winding 0 there
+    loops, full = winding_operation(traces, ref, 0, WindingRule.POSITIVE)
+    # all-CCW even-odd convention (same flip as _overlay): hole
+    # boundaries come out of the winding walk wound CW
+    from .measures import loop_signed_area
+
+    out = []
+    for v in loops:
+        if loop_signed_area(v) < 0:
+            v = v[::-1].copy()
+        out.append(Loop(v))
+    return Polygon(out)
 
 
 def intersection_with_degeneracies(

@@ -132,3 +132,34 @@ def winding_ops_join(jobs: DataFrame) -> DataFrame:
             )
 
     return jobs.mapInPandas(run, WINDING_OUT_SCHEMA)
+
+
+BUFFER_OUT_SCHEMA = "job string, n_loops int, signed_area double"
+
+
+def buffer_ops_join(jobs: DataFrame) -> DataFrame:
+    """Distributed S2BufferOperation job table: rows (job, loops
+    ';'-separated lat:lng rings, radius_deg, segments) → per job the
+    buffered polygon's loop count and region area (GetArea depth
+    semantics).  Each job's offset-trace + winding resolution runs on an
+    executor via mapInPandas — a table of millions of independent buffer
+    jobs distributes with no shuffle."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import measures as M
+        from ..kernel.booleans import buffer_polygon_winding
+        from ..kernel.contains import parse_polygon
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                poly = parse_polygon(r.loops)
+                buf = buffer_polygon_winding(
+                    poly, math.radians(float(r.radius_deg)), float(r.segments)
+                )
+                area = M.even_odd_area([l.vertices for l in buf.loops])
+                out.append((r.job, len(buf.loops), area))
+            yield pd.DataFrame(out, columns=["job", "n_loops", "signed_area"])
+
+    return jobs.mapInPandas(run, BUFFER_OUT_SCHEMA)

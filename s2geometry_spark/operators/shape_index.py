@@ -518,3 +518,78 @@ def indexed_closest_edges_join(
             2 * F.asin(0.5 * F.sqrt(F.least(F.col("dist2"), F.lit(4.0)))),
         )
     )
+
+
+EDGE_COLS = ["shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz"]
+
+
+def update_shape_index(
+    index: DataFrame,
+    added_edges: DataFrame | None = None,
+    removed_shape_ids: tuple[int, ...] = (),
+    max_edges_per_cell: int = 10,
+    max_level: int = 20,
+    seed_level: int = 6,
+) -> DataFrame:
+    """Incremental index update — the MutableS2ShapeIndex lazy batched
+    update (mutable_s2shape_index.cc:200+) re-expressed as merge-on-read
+    over seed groups.
+
+    The index is, by construction, the union over seed-level cells of a
+    purely LOCAL refinement of the edges intersecting each cell
+    (build_shape_index), so an edge change can only affect the seed
+    groups its edges touch:
+
+      1. changed = seed cells of the added edges (found by indexing just
+         the additions) ∪ seed cells holding rows of removed shapes;
+      2. untouched rows (seed ∉ changed) are reused verbatim — no
+         recompute, no shuffle of their edges;
+      3. the changed region rebuilds from its surviving edges (recovered
+         from the old index rows, which carry full edge endpoints —
+         no join back to an edge table) plus the additions.
+
+    The result is row-identical to rebuilding from scratch (`refine` is
+    deterministic per (seed cell, edge set)).  Pass the same
+    max_edges_per_cell / max_level / seed_level the index was built
+    with."""
+    from functools import reduce
+
+    removed = [int(s) for s in removed_shape_ids]
+    seed_parent = CC.parent(F.col("cell_id_s"), seed_level)
+    changed_parts = []
+    if removed:
+        changed_parts.append(
+            index.filter(F.col("shape_id").isin(removed))
+            .select(seed_parent.alias("seed_s"))
+        )
+    if added_edges is not None:
+        added_idx = build_shape_index(
+            added_edges, max_edges_per_cell, max_level, seed_level
+        )
+        changed_parts.append(added_idx.select(seed_parent.alias("seed_s")))
+    if not changed_parts:
+        return index
+    changed = reduce(DataFrame.unionByName, changed_parts).distinct()
+
+    keyed = index.withColumn("seed_s", seed_parent)
+    untouched = keyed.join(changed, "seed_s", "left_anti").drop("seed_s")
+    old_region = keyed.join(changed, "seed_s", "left_semi")
+    surviving = (
+        old_region.filter(~F.col("shape_id").isin(removed))
+        if removed
+        else old_region
+    ).select(*EDGE_COLS).distinct()
+    rebuild_edges = (
+        surviving.unionByName(added_edges.select(*EDGE_COLS))
+        if added_edges is not None
+        else surviving
+    )
+    rebuilt = (
+        build_shape_index(
+            rebuild_edges, max_edges_per_cell, max_level, seed_level
+        )
+        .withColumn("seed_s", seed_parent)
+        .join(changed, "seed_s", "left_semi")
+        .drop("seed_s")
+    )
+    return untouched.unionByName(rebuilt)

@@ -444,3 +444,112 @@ class TestExactDegenerateSliver:
         area_a = M.even_odd_area([l.vertices for l in self.a.loops])
         got = M.even_odd_area([l.vertices for l in res.loops])
         np.testing.assert_allclose(got, area_a, rtol=1e-12)
+
+
+def test_intersection_point_exact_fallback_on_shallow_crossings():
+    """GetIntersection tiers (s2edge_crossings.cc:441+): nearly-parallel
+    edges fail the double-precision result-length gate and take the
+    exact rational tier; the result must stay within ~kIntersectionError
+    of the true crossing (here: the equator point at lng 0)."""
+    import numpy as np
+
+    from s2geometry_spark.kernel.booleans import _intersection_point
+    from s2geometry_spark.kernel.contains import parse_points
+
+    e = parse_points("0:-10, 0:10")
+    for tiny in (1e-9, 1e-12, 1e-15):
+        f0 = np.array(
+            [np.cos(np.radians(-10)), np.sin(np.radians(-10)), -tiny]
+        )
+        f1 = np.array([np.cos(np.radians(10)), np.sin(np.radians(10)), tiny])
+        f0 /= np.linalg.norm(f0)
+        f1 /= np.linalg.norm(f1)
+        x = _intersection_point(e[0], e[1], f0, f1)
+        assert abs(x[0] - 1.0) < 1e-10
+        assert abs(x[1]) < 1e-9 and abs(x[2]) < 1e-9
+
+
+class TestGeneralBufferWinding:
+    """buffer_polygon_winding (the reference's S2BufferOperation
+    architecture: offset trace → winding op): non-convex and holed
+    polygons buffer with exact distance semantics up to the
+    polygonization tolerance."""
+
+    def _check_distance_semantics(self, poly, buffered, r, lat_rng, lng_rng):
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+        from s2geometry_spark.kernel.distance import point_edge_dist2
+
+        rng = np.random.default_rng(7)
+        lat = rng.uniform(*lat_rng, 4000)
+        lng = rng.uniform(*lng_rng, 4000)
+        x, y, z = latlng_to_xyz(lat, lng)
+        P = np.stack([x, y, z], -1)
+        edges = []
+        for l in poly.loops:
+            v = l.vertices
+            for i in range(len(v)):
+                edges.append((v[i], v[(i + 1) % len(v)]))
+        C = np.stack([e[0] for e in edges])
+        D = np.stack([e[1] for e in edges])
+        d2 = point_edge_dist2(P, C, D).min(-1)
+        dist = 2 * np.arcsin(0.5 * np.sqrt(np.clip(d2, 0, 4)))
+        true_dist = np.where(poly.contains(P), 0.0, dist)
+        got = buffered.contains(P)
+        tol = (1 - math.cos(math.pi / 16.0)) / (1 + math.cos(math.pi / 16.0)) * r
+        mask = np.abs(true_dist - r) > 20 * tol + 1e-9
+        bad = (got != (true_dist <= r)) & mask
+        assert int(bad.sum()) == 0
+
+    def test_reflex_l_shape(self):
+        import math
+
+        from s2geometry_spark.kernel.booleans import buffer_polygon_winding
+        from s2geometry_spark.kernel.contains import parse_polygon
+
+        L = parse_polygon("0:0, 0:4, 2:4, 2:2, 4:2, 4:0")
+        r = math.radians(1.0)
+        buf = buffer_polygon_winding(L, r, 16.0)
+        assert len(buf.loops) == 1
+        self._check_distance_semantics(L, buf, r, (-3, 7), (-3, 7))
+
+    def test_hole_shrinks(self):
+        import math
+
+        from s2geometry_spark.kernel import measures as M
+        from s2geometry_spark.kernel.booleans import buffer_polygon_winding
+        from s2geometry_spark.kernel.contains import parse_polygon
+
+        H = parse_polygon("0:0, 0:6, 6:6, 6:0; 2:2, 2:4, 4:4, 4:2")
+        r = math.radians(0.5)
+        buf = buffer_polygon_winding(H, r, 16.0)
+        assert len(buf.loops) == 2  # shell + shrunken hole
+        a_in = M.even_odd_area([l.vertices for l in H.loops])
+        a_out = M.even_odd_area([l.vertices for l in buf.loops])
+        assert a_out > a_in
+        self._check_distance_semantics(H, buf, r, (-2, 8), (-2, 8))
+
+    def test_convex_matches_dedicated_path(self):
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernel import measures as M
+        from s2geometry_spark.kernel.booleans import (
+            buffer_convex_polygon,
+            buffer_polygon_winding,
+        )
+        from s2geometry_spark.kernel.contains import parse_polygon
+
+        sq = parse_polygon("0:0, 0:4, 4:4, 4:0")
+        r = math.radians(1.0)
+        aw = M.even_odd_area(
+            [l.vertices for l in buffer_polygon_winding(sq, r, 16.0).loops]
+        )
+        ac = M.even_odd_area(
+            [l.vertices for l in buffer_convex_polygon(sq, r, 16.0).loops]
+        )
+        np.testing.assert_allclose(aw, ac, rtol=1e-12)

@@ -99,3 +99,82 @@ def test_indexed_join_matches_brute(spark):
     assert np.allclose(got.dist2.values, exp.dist2.values, atol=1e-12)
     mism = got.edge_id.values != exp.edge_id.values
     assert mism.sum() <= 2, got[mism]
+
+
+class TestIncrementalUpdate:
+    """update_shape_index must be row-identical to a from-scratch build
+    (the refine stage is deterministic per (seed cell, edge set)) while
+    reusing every untouched seed group verbatim."""
+
+    @staticmethod
+    def _shape(shape_id, lat0, lng0, n=40):
+        import numpy as np
+
+        from s2geometry_spark.kernel.closest_edge import Shape
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+        t = np.arange(n + 1) / n
+        lat = lat0 + 3 * np.cos(2 * np.pi * t)
+        lng = lng0 + 3 * np.sin(2 * np.pi * t)
+        x, y, z = latlng_to_xyz(lat, lng)
+        v = np.stack([x, y, z], -1)
+        return Shape(shape_id, 1, v[:-1], v[1:])
+
+    @staticmethod
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_add_and_remove_match_full_rebuild(self, spark):
+        from s2geometry_spark.operators.shape_index import (
+            build_shape_index,
+            edges_to_df,
+            update_shape_index,
+        )
+
+        a = self._shape(0, 10.0, 10.0)
+        b = self._shape(1, 11.0, 11.0)   # overlaps a's seed cells
+        c = self._shape(2, 40.0, -60.0)  # disjoint seed region
+        kw = dict(max_edges_per_cell=4, max_level=18, seed_level=6)
+
+        idx_ab = build_shape_index(edges_to_df(spark, [a, b]), **kw)
+
+        # add a disjoint shape
+        got = update_shape_index(
+            idx_ab, added_edges=edges_to_df(spark, [c]), **kw
+        )
+        want = build_shape_index(edges_to_df(spark, [a, b, c]), **kw)
+        assert self._rows(got) == self._rows(want)
+
+        # remove an overlapping shape (forces coarsening of shared cells)
+        got2 = update_shape_index(idx_ab, removed_shape_ids=(1,), **kw)
+        want2 = build_shape_index(edges_to_df(spark, [a]), **kw)
+        assert self._rows(got2) == self._rows(want2)
+
+        # combined add + remove in one pass
+        got3 = update_shape_index(
+            idx_ab,
+            added_edges=edges_to_df(spark, [c]),
+            removed_shape_ids=(0,),
+            **kw,
+        )
+        want3 = build_shape_index(edges_to_df(spark, [b, c]), **kw)
+        assert self._rows(got3) == self._rows(want3)
+
+    def test_untouched_seed_groups_not_recomputed(self, spark):
+        """The left_anti/left_semi split: rows of seed groups the change
+        does not touch come from the ORIGINAL index partitioning (plan
+        contains a left_anti join reusing the input), and the rebuild
+        input excludes untouched edges."""
+        from s2geometry_spark.operators.shape_index import (
+            build_shape_index,
+            edges_to_df,
+            update_shape_index,
+        )
+
+        a = self._shape(0, 10.0, 10.0)
+        c = self._shape(2, 40.0, -60.0)
+        kw = dict(max_edges_per_cell=4, max_level=18, seed_level=6)
+        idx = build_shape_index(edges_to_df(spark, [a]), **kw)
+        got = update_shape_index(idx, added_edges=edges_to_df(spark, [c]), **kw)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
