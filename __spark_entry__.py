@@ -1015,7 +1015,21 @@ def _cellunion_ops_oracle() -> str:
     """
 
 
+_ORACLE_CACHE: dict[str, str] | None = None
+
+
 def oracle_sql() -> dict[str, str]:
+    """Memoized: generating the overlay/winding/buffer oracles runs the
+    driver-side kernels to pin output loops — ~30 s of pure-Python
+    geometry that must not repeat per query (the contract test suite
+    calls oracle_sql() once per parametrized case)."""
+    global _ORACLE_CACHE
+    if _ORACLE_CACHE is None:
+        _ORACLE_CACHE = _oracle_sql_impl()
+    return dict(_ORACLE_CACHE)
+
+
+def _oracle_sql_impl() -> dict[str, str]:
     from s2geometry_spark.functions import oracles as OR
     from s2geometry_spark.operators.cellops import (
         cell_containment_join_oracle,

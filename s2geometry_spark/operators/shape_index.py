@@ -270,7 +270,12 @@ def build_shape_index(
                 if not len(pi):
                     continue
                 leafs = from_face_ij(np.full(len(pi), f), il, jl)
-                cells = K.parent(leafs, seed_level).astype(np.int64) - (1 << 63)
+                # K.bias (uint64 XOR + view), NOT `astype(int64) - 2**63`:
+                # the Python int 2**63 does not fit int64, so NumPy
+                # promotes the subtraction to float64 — silently
+                # corrupting face-4/5 cell ids (caught by the
+                # incremental-update fixture on face 4)
+                cells = K.bias(K.parent(leafs, seed_level))
                 src = rows[sub[pi]]
                 frames.append(
                     pd.DataFrame(
@@ -312,11 +317,22 @@ def build_shape_index(
                         )
             if out:
                 frames.append(pd.DataFrame(out, columns=seed_cols))
+            # dtype-exact even for EMPTY batches/frames: pandas gives
+            # object/float64 columns to empties, which Arrow refuses to
+            # safe-cast to the int64/int32 schema (hit by rebuilt edge
+            # tables with empty partitions, update_shape_index)
+            seed_dtypes = {
+                "cell_id_s": "int64", "shape_id": "int32", "edge_id": "int32",
+                "au": "float64", "av": "float64", "bu": "float64",
+                "bv": "float64", "pad": "float64",
+                "ax": "float64", "ay": "float64", "az": "float64",
+                "bx": "float64", "by": "float64", "bz": "float64",
+            }
             yield (
                 pd.concat(frames, ignore_index=True)
                 if frames
                 else pd.DataFrame(columns=seed_cols)
-            )
+            ).astype(seed_dtypes)
 
     seeded = edges.mapInPandas(seed, seed_schema)
 
@@ -381,6 +397,13 @@ def build_shape_index(
                 "cell_id_s", "level", "shape_id", "edge_id",
                 "ax", "ay", "az", "bx", "by", "bz",
             ],
+        ).astype(
+            {
+                "cell_id_s": "int64", "level": "int32",
+                "shape_id": "int32", "edge_id": "int32",
+                "ax": "float64", "ay": "float64", "az": "float64",
+                "bx": "float64", "by": "float64", "bz": "float64",
+            }
         )
 
     return seeded.groupBy("cell_id_s").applyInPandas(refine, INDEX_SCHEMA)
