@@ -99,7 +99,12 @@ def bench_queries(spark):
             "lng": [(-180 + (i * 11.37) % 360) for i in range(64)],
         }
     )
-    run("q_knn", lambda: knn_join(queries, points, k=10, level=8).count())
+    run(
+        "q_knn",
+        lambda: knn_join(
+            queries, points, k=10, level=8, fact_rows=n_points
+        ).count(),
+    )
 
     # 100k-edge polyline through the shape index: build once (timed),
     # then the radius-bounded closest-edge join over the full point table

@@ -853,6 +853,7 @@ def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
     stairs_jobs, bowtie_jobs = [], []
     rect_ll = None
     bowtie_ll = None
+    sq_lls: list = []
     for job, loops_s, ref_s, ref_w, rule in jobs:
         loops = [parse_points(s) for s in loops_s.split(";") if s.strip()]
         res, full = winding_operation(
@@ -873,9 +874,12 @@ def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
             bowtie_jobs.append(job)
             bowtie_ll = _parse_latlng_loop(loops_s)
 
-    in_rows.append(("in|rect", 0, rect_ll))
+    if rect_ll is not None:
+        in_rows.append(("in|rect", 0, rect_ll))
     for i, sq in enumerate(sq_lls):
         in_rows.append((f"in|sq{i}", 0, sq))
+    if not in_rows:  # keep the iedges CTE well-formed with no area gates
+        in_rows.append(("in|_none", 0, [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0)]))
     meta_vals = ", ".join(
         f"('{j}', {n}, {'TRUE' if f else 'FALSE'})" for j, n, f in meta_rows
     )
@@ -883,9 +887,12 @@ def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
     def _a(grp: str) -> str:
         return f"coalesce((SELECT area FROM oarea WHERE grp = '{grp}'), 0.0)"
 
-    # bow-tie closed form: vertex xyz + crossing point, all in SQL
+    # bow-tie closed form: vertex xyz + crossing point, all in SQL.
+    # Every identity gate below is built only when its fixture is present
+    # in `jobs` (a partial jobs list must degrade to fewer gates, not a
+    # NameError / broken SQL — round-3 ADVICE).
     bw_pts = []
-    for k, (lat, lng) in enumerate(bowtie_ll):
+    for k, (lat, lng) in enumerate(bowtie_ll or []):
         bw_pts.append(
             f"cos(radians({lng!r}))*cos(radians({lat!r})) AS v{k}x,"
             f" sin(radians({lng!r}))*cos(radians({lat!r})) AS v{k}y,"
@@ -904,7 +911,7 @@ def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
     n2 = ("n2x", "n2y", "n2z")
     c_raw = ("crx", "cry", "crz")
     c = ("ccx", "ccy", "ccz")
-    bw_sql = f"""
+    bw_sql = "" if bowtie_ll is None else f"""
     bw0 AS (SELECT {', '.join(bw_pts)}),
     bw1 AS (SELECT *, {_cross(v[0], v[1], 'n0')}, {_cross(v[2], v[3], 'n2')} FROM bw0),
     bw2 AS (SELECT *, {_cross(n0, n2, 'cr')} FROM bw1),
@@ -916,17 +923,22 @@ def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
     bwexp AS (SELECT abs({_tri_area_sql(c, v[1], v[2])})
                    + abs({_tri_area_sql(c, v[3], v[0])}) AS expected FROM bw)
     """
-    conds = [f"abs({_a('rect_pos')} - {_ia_rect()}) < {tol!r}"]
-    stairs_sum = " + ".join(_a(j) for j in stairs_jobs)
-    sq_sum = " + ".join(
-        f"coalesce((SELECT area FROM iarea WHERE grp = 'in|sq{i}'), 0.0)"
-        for i in range(len(sq_lls))
-    )
-    conds.append(f"abs(({stairs_sum}) - ({sq_sum})) < {tol!r}")
+    conds = []
+    if rect_ll is not None:
+        conds.append(f"abs({_a('rect_pos')} - {_ia_rect()}) < {tol!r}")
+    if stairs_jobs and sq_lls:
+        stairs_sum = " + ".join(_a(j) for j in stairs_jobs)
+        sq_sum = " + ".join(
+            f"coalesce((SELECT area FROM iarea WHERE grp = 'in|sq{i}'), 0.0)"
+            for i in range(len(sq_lls))
+        )
+        conds.append(f"abs(({stairs_sum}) - ({sq_sum})) < {tol!r}")
     for j in bowtie_jobs:
         conds.append(
             f"abs({_a(j)} - (SELECT expected FROM bwexp)) < {tol!r}"
         )
+    if not conds:
+        conds = ["TRUE"]
     return f"""
     WITH oedges(grp, loop_id, sgn, cx, cy, cz, dx, dy, dz)
       AS (VALUES {_xyz_edge_values(out_rows)}),
@@ -934,7 +946,7 @@ def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
     {_latlng_edges_cte('iedges', in_rows)},
     {_area_fold_ctes('iedges', 'iarea')},
     meta(job, n_loops, is_full) AS (VALUES {meta_vals}),
-    {bw_sql},
+    {bw_sql + ',' if bw_sql else ''}
     checks AS (SELECT ({' AND '.join(conds)}) AS ok)
     SELECT m.job, m.n_loops, m.is_full,
            round(coalesce(o.area, 0.0), 9) AS area_r

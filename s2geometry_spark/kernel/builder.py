@@ -510,12 +510,28 @@ def snap_polylines_with_separation(
                 if _chord2(v0, v1) < min_len2:
                     continue
                 if not is_edge_b_near_edge_a(x, y, v0, v1, max_dev):
-                    mid = _proj(v0, x, y) + _proj(v1, x, y)
-                    mid = mid / np.linalg.norm(mid)
-                    new_site = _separation_site(mid, v0, v1, x, y, snap)
-                    if not any(np.all(new_site == s) for s in sites):
-                        sites.append(new_site)
-                        added = True
+                    # split-parameter fallbacks: if the midpoint site was
+                    # already added on an earlier pass yet the edge still
+                    # deviates, try off-center splits before giving up —
+                    # silently terminating would leave the
+                    # max_edge_deviation contract violated (round-3
+                    # ADVICE)
+                    p0, p1 = _proj(v0, x, y), _proj(v1, x, y)
+                    for w in (0.5, 0.25, 0.75, 0.375, 0.625):
+                        mid = w * p0 + (1.0 - w) * p1
+                        mid = mid / np.linalg.norm(mid)
+                        new_site = _separation_site(mid, v0, v1, x, y, snap)
+                        if not any(np.all(new_site == s) for s in sites):
+                            sites.append(new_site)
+                            added = True
+                            break
+                    else:
+                        raise RuntimeError(
+                            "simplify_polylines: max_edge_deviation "
+                            "violation could not be resolved — every "
+                            "candidate split site already exists "
+                            "(s2builder.cc:964-990 case 1)"
+                        )
                     break
             if added:
                 break

@@ -99,6 +99,26 @@ def _schedule(level: int) -> list[tuple[int, int]]:
     return schedule
 
 
+def choose_start_level(
+    fact_rows: int, n_queries: int, cap_total_rows: int = 8_000_000
+) -> int:
+    """Density-aware index level for round 1: the COARSEST level whose
+    expected round-1 candidate volume n_queries · 49 · fact_rows/(6·4^L)
+    stays under `cap_total_rows`.  Starting as coarse as affordable
+    converges sparse-region queries in the first round (each extra round
+    is another fact-table scan — the scan count is THE cost at 100 TB);
+    starting finer only pays off when the coarse ring would blow the
+    candidate cap.  Matches the round-3 verdict's q_knn fixed-overhead
+    directive: at fixture scale this collapses the 2-round schedule to 1."""
+    if fact_rows <= 0 or n_queries <= 0:
+        return 8
+    expected = 49.0 * fact_rows * n_queries / 6.0
+    lvl = 0
+    while lvl < 20 and expected / (4.0**lvl) > cap_total_rows:
+        lvl += 1
+    return lvl
+
+
 def knn_join(
     queries,
     points: DataFrame,
@@ -107,6 +127,7 @@ def knn_join(
     max_distance_rad: float | None = None,
     point_cols: tuple[str, ...] = ("url", "mention_idx"),
     broadcast_limit: int = 2_000_000,
+    fact_rows: int | None = None,
 ) -> DataFrame:
     """Distributed kNN join.  `queries` is a DataFrame (query_id, lat,
     lng) — a pandas DataFrame is accepted for convenience and converted.
@@ -122,11 +143,20 @@ def knn_join(
     """
     spark = points.sparkSession
     if isinstance(queries, pd.DataFrame):
+        n_queries = len(queries)
         queries = spark.createDataFrame(
             queries[["query_id", "lat", "lng"]].astype(
                 {"query_id": str, "lat": float, "lng": float}
             )
         )
+    else:
+        n_queries = queries.count()
+    if fact_rows is not None:
+        # never FINER than requested: extra rounds are extra fact scans
+        level = min(level, choose_start_level(fact_rows, n_queries))
+    # small query tables in few partitions → the ring pandas UDF runs in
+    # few Arrow batches instead of spinning a python worker per partition
+    queries = queries.coalesce(max(1, -(-n_queries // 65536)))
 
     from .indexing import index_points
 
@@ -149,8 +179,11 @@ def knn_join(
     # schedule round is one join-probe scan, and the schedule has exactly
     # one round per level (most queries converge on the first).
 
-    pending = q.localCheckpoint()
-    n_pending = pending.count()
+    # lazy checkpoint: materialized by the first round's join, truncating
+    # lineage without a dedicated eager job (the query table is tiny
+    # relative to the fact side; n_pending is already known above)
+    pending = q.localCheckpoint(eager=False)
+    n_pending = n_queries
     done_parts: list[DataFrame] = []
     last_topk: DataFrame | None = None
     limit2 = None
@@ -186,9 +219,12 @@ def knn_join(
             .filter(F.col("_rn") <= k)
             .drop("_rn", "qx", "qy", "qz", "cell_bucket")
         )
-        # materialize once on the executors: the convergence aggregate and
-        # the final union must not rescan the fact table
-        topk = topk.localCheckpoint()
+        # lazy checkpoint: the first consumer (the convergence aggregate,
+        # or — when this round covers the sphere — the caller's one
+        # action) materializes it, so the fact table is scanned exactly
+        # once per round and never by an extra eager job (round-3 verdict:
+        # the per-round eager materialization was pure fixed overhead)
+        topk = topk.localCheckpoint(eager=False)
         last_topk = topk
 
         bound_rad = r * metrics.MIN_WIDTH.get_value(level_t)
@@ -206,7 +242,9 @@ def knn_join(
             .select("query_id")
         )
         done_parts.append(topk.join(done_ids, "query_id", "left_semi"))
-        pending = pending.join(done_ids, "query_id", "left_anti").localCheckpoint()
+        pending = pending.join(done_ids, "query_id", "left_anti").localCheckpoint(
+            eager=False
+        )
         n_pending = pending.count()
 
     if n_pending > 0 and last_topk is not None:

@@ -64,3 +64,26 @@ def test_deterministic_sampling_stable_under_repartition(spark):
     totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
     assert set(rates) <= {"en", "de"}
     assert rates.get("de", 0) / totals["de"] > rates.get("en", 1) / totals["en"]
+
+
+def test_minhash_carry_sig_path_equals_large_path(spark):
+    """The size-gated small-corpus plan (signatures carried through the
+    band join) must return exactly the same pair set + estimates as the
+    100 TB plan (bare-key distinct + signature re-join)."""
+    import pandas as pd
+
+    from s2geometry_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    def norm(df):
+        return (
+            df.select("doc_a", "doc_b", F.round("est_jaccard", 9).alias("e"))
+            .toPandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    small = norm(minhash_lsh_pairs(docs, n_docs=1))  # force carry-sig
+    large = norm(minhash_lsh_pairs(docs, n_docs=10_000_000))  # force re-join
+    pd.testing.assert_frame_equal(small, large)

@@ -87,7 +87,8 @@ def test_minhash_pair_distinct_carries_no_signatures(spark):
     from s2geometry_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = _plan(minhash_lsh_pairs(docs))
+    # n_docs hint above the carry-sig gate forces the 100 TB plan shape
+    plan = _plan(minhash_lsh_pairs(docs, n_docs=10_000_000))
     # every distinct (HashAggregate with keys=[...]) must key on the bare
     # doc ids, never the sig arrays
     keys_matches = re.findall(r"HashAggregate\(keys=\[(.*?)\]", plan)
