@@ -45,40 +45,101 @@ def _edges_of(poly: Polygon):
 _DBL_ERR = 0.5 * 2.220446049250313e-16  # rounding_epsilon<double>
 _SQRT3 = 1.7320508075688772
 _INTERSECTION_ERROR = 8 * _DBL_ERR  # kIntersectionError (s2edge_crossings.cc:74)
-_MIN_NORMAL_LENGTH = (16 * _SQRT3 + 24) * _DBL_ERR
-_MIN_RESULT_LEN = 12 / (_INTERSECTION_ERROR / _DBL_ERR - (2 + 2 * _SQRT3))
+_DBL_MIN = 2.2250738585072014e-308
 
 
-def _robust_normal_with_length(x: np.ndarray, y: np.ndarray):
-    """(X-Y)×(X+Y) = 2·X×Y with most cancellation eliminated
-    (RobustNormalWithLength, s2edge_crossings.cc:418-432)."""
-    res = np.cross(x - y, x + y)
-    n = float(np.linalg.norm(res))
-    return 0.5 * res, 0.5 * n
+def _get_projection(x, a_norm, a_norm_len: float, a0, a1):
+    """x·a_norm with a computed error bound (GetProjection,
+    s2edge_crossings.cc:517-555).  Using the vector from x to the CLOSER
+    edge endpoint instead of x itself shrinks the dot-product error by a
+    huge factor; the endpoint tie-break is order-invariant."""
+    x0 = x - a0
+    x1 = x - a1
+    x0_d2 = float(x0 @ x0)
+    x1_d2 = float(x1 @ x1)
+    if x0_d2 < x1_d2 or (x0_d2 == x1_d2 and tuple(x0) < tuple(x1)):
+        dist = math.sqrt(x0_d2)
+        result = float(x0 @ a_norm)
+    else:
+        dist = math.sqrt(x1_d2)
+        result = float(x1 @ a_norm)
+    error = (
+        ((3.5 + 2 * _SQRT3) * a_norm_len + 32 * _SQRT3 * _DBL_ERR) * dist
+        + 1.5 * abs(result)
+    ) * _DBL_ERR
+    return result, error
+
+
+def _intersection_stable_sorted(a0, a1, b0, b1):
+    """GetIntersectionStableSorted for T=double
+    (s2edge_crossings.cc:556-624): interpolate along the SHORTER edge
+    (b0,b1) to the fractional distance where it crosses the plane of the
+    longer edge, with a rigorous error bound; returns None when the
+    bound exceeds kIntersectionError (→ exact tier)."""
+    a_norm = np.cross(a0 - a1, a0 + a1)
+    a_norm_len = float(np.linalg.norm(a_norm))
+    b_len = float(np.linalg.norm(b1 - b0))
+    b0_dist, b0_error = _get_projection(b0, a_norm, a_norm_len, a0, a1)
+    b1_dist, b1_error = _get_projection(b1, a_norm, a_norm_len, a0, a1)
+    # ensure (b0_dist - b1_dist) >= 0 so we return the point, not its
+    # antipode
+    if b0_dist < b1_dist:
+        b0_dist, b1_dist = -b0_dist, -b1_dist
+    dist_sum = b0_dist - b1_dist
+    error_sum = b0_error + b1_error
+    if dist_sum <= error_sum:
+        return None  # error unbounded
+    x = b0_dist * b1 - b1_dist * b0
+    error = (
+        b_len * abs(b0_dist * b1_error - b1_dist * b0_error)
+        / (dist_sum - error_sum)
+        + 2 * _DBL_ERR * dist_sum
+    )
+    x_len2 = float(x @ x)
+    if x_len2 < _DBL_MIN:
+        return None  # would lose precision in the normalization
+    x_len = math.sqrt(x_len2)
+    if error > (_INTERSECTION_ERROR - _DBL_ERR) * x_len:
+        return None
+    return x / x_len
+
+
+def _compare_edges(a0, a1, b0, b1) -> bool:
+    """Total order on edges invariant under reversal (CompareEdges,
+    s2edge_crossings.h:57-64)."""
+    ta0, ta1 = sorted([tuple(a0), tuple(a1)])
+    tb0, tb1 = sorted([tuple(b0), tuple(b1)])
+    return (ta0, ta1) < (tb0, tb1)
+
+
+def _intersection_stable(a, b, c, d):
+    """GetIntersectionStable (s2edge_crossings.cc:627-644): sort so the
+    LONGER edge supplies the plane normal (less normal error) and the
+    shorter one is interpolated (less interpolation error); the tie-break
+    keeps the result invariant under operand swap/reversal."""
+    a_len2 = float((b - a) @ (b - a))
+    b_len2 = float((d - c) @ (d - c))
+    if a_len2 < b_len2 or (a_len2 == b_len2 and _compare_edges(a, b, c, d)):
+        return _intersection_stable_sorted(c, d, a, b)
+    return _intersection_stable_sorted(a, b, c, d)
 
 
 def _intersection_point(a, b, c, d) -> np.ndarray:
     """Edge AB × edge CD crossing point (requires a proper crossing) —
-    GetIntersection tiers (s2edge_crossings.cc:441-497, 585+): the
-    double-precision Simple path with the reference's error gates
-    (kMinNormalLength on each edge normal, kMinResultLen on the result),
-    falling back to EXACT rational arithmetic (Fraction — doubles are
-    dyadic rationals, so the cross products are exact like ExactFloat)
-    for nearly-parallel edges, rounded once to double and normalized.
-    Guaranteed within ~kIntersectionError of the true intersection."""
-    a_norm, a_len = _robust_normal_with_length(a, b)
-    b_norm, b_len = _robust_normal_with_length(c, d)
-    if a_len >= _MIN_NORMAL_LENGTH and b_len >= _MIN_NORMAL_LENGTH:
-        x, x_len = _robust_normal_with_length(
-            a_norm / a_len, b_norm / b_len
-        )
-        if x_len >= _MIN_RESULT_LEN:
-            if float(a_norm @ (d - c)) < 0:
-                x = -x
-            x = x / np.linalg.norm(x)
-            if float(x @ (a + b + c + d)) < 0:
-                x = -x
-            return x
+    GetIntersection tiers (s2edge_crossings.cc:664-698): the
+    double-precision STABLE path (plane projection + interpolation with a
+    computed error bound — the Simple tier is double-unusable, its
+    kMinResultLen ≥ 0.5 gate always fails for T=double, cc:482-486, so it
+    is not ported), falling back to EXACT rational arithmetic (Fraction —
+    doubles are dyadic rationals, so the cross products are exact like
+    ExactFloat) when the bound exceeds kIntersectionError.  Rounded once
+    to double and normalized; guaranteed within ~kIntersectionError of
+    the true intersection."""
+    x = _intersection_stable(a, b, c, d)
+    if x is not None:
+        if float(x @ (a + b + c + d)) < 0:
+            x = -x
+        return x
     # exact tier
     from fractions import Fraction
 

@@ -120,7 +120,7 @@ def even_odd_signs(loops: list[np.ndarray]) -> list[int]:
     objs = [Loop(np.asarray(v, float).reshape(-1, 3)) for v in loops]
     signs = []
     for i, li in enumerate(objs):
-        probe = li.vertices[0][None]
+        probe = _depth_probe_point(i, objs)[None]
         depth = sum(
             int(lj.contains(probe)[0])
             for j, lj in enumerate(objs)
@@ -128,6 +128,55 @@ def even_odd_signs(loops: list[np.ndarray]) -> list[int]:
         )
         signs.append(-1 if depth % 2 else 1)
     return signs
+
+
+def _depth_probe_point(i: int, objs) -> np.ndarray:
+    """A probe on loop i's own boundary that lies on NO other loop's
+    boundary (round-3 ADVICE): overlay/winding outputs can share crossing
+    vertices between distinct loops, and Loop.contains() exactly on a
+    boundary is unspecified — a probe there can flip the depth parity.
+    Candidates are loop i's vertices then its edge midpoints; a candidate
+    is rejected if it equals another loop's vertex exactly OR lies within
+    ~1e-12 of another loop's edge (inside its span) — conservatively, so
+    a shared full edge's rounded midpoint is rejected too (rejection only
+    moves on to the next candidate, so over-rejection is safe).  Falls
+    back to vertices[0] if every candidate is degenerate (then the loops
+    overlap almost everywhere and no on-boundary probe is safe)."""
+    li = objs[i]
+    v = li.vertices
+    others = [objs[j] for j in range(len(objs)) if j != i]
+    if not others:
+        return v[0]
+
+    def on_other_boundary(p: np.ndarray) -> bool:
+        for lj in others:
+            w = lj.vertices
+            if np.any(np.all(w == p, axis=1)):
+                return True
+            m = len(w)
+            for kk in range(m):
+                e0, e1 = w[kk], w[(kk + 1) % m]
+                nrm = np.cross(e0, e1)
+                if abs(float(nrm @ p)) > 1e-12 * np.linalg.norm(nrm):
+                    continue
+                if float((p - e0) @ (e1 - e0)) < 0 or float(
+                    (p - e1) @ (e0 - e1)
+                ) < 0:
+                    continue
+                return True
+        return False
+
+    n = len(v)
+    candidates = [v[k] for k in range(n)]
+    for k in range(n):
+        mid = v[k] + v[(k + 1) % n]
+        norm = float(np.linalg.norm(mid))
+        if norm > 0:
+            candidates.append(mid / norm)
+    for p in candidates:
+        if not on_other_boundary(p):
+            return p
+    return v[0]
 
 
 def even_odd_area(loops: list[np.ndarray]) -> float:
