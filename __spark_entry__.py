@@ -480,13 +480,13 @@ _BOOLEAN_FIXTURES = [
     ("sq_overlap", "0:0, 0:4, 4:4, 4:0", "2:2, 2:6, 6:6, 6:2"),
     ("nested", "0:0, 0:4, 4:4, 4:0", "1:1, 1:3, 3:3, 3:1"),
 ]
-_BOOLEAN_OPS = ("difference", "intersection", "union")
+_BOOLEAN_OPS = ("difference", "intersection", "symmetric_difference", "union")
 
 
 def _q_geo_boolean_ops(spark, sf_dir):
     """Polygon boolean ops as a distributed pair table: region area
     (S2Polygon::GetArea depth semantics — holes subtract) and loop count
-    of a−b, a∩b, a∪b per pair, computed by the executors (mapInPandas
+    of a−b, a∩b, aΔb, a∪b per pair (all four OpTypes, s2boolean_operation.h:202-215), computed by the executors (mapInPandas
     overlay kernel, operators/overlay.py).  Oracled by pinned output
     loops + inclusion-exclusion identities over input-only areas."""
     from s2geometry_spark.operators.overlay import boolean_ops_join, polygon_pairs_df

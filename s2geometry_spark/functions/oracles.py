@@ -768,6 +768,7 @@ def boolean_fixture_sql(
 
         area(a∩b) + area(a∪b) = area(a) + area(b)      (inclusion–exclusion)
         area(a−b)            = area(a) − area(a∩b)
+        area(aΔb)            = area(a) + area(b) − 2·area(a∩b)
 
     If any identity fails, the gating WHERE drops every row and the
     driver records a mismatch — so a wrong overlay (geometry OR area)
@@ -780,6 +781,7 @@ def boolean_fixture_sql(
         "intersection": B.intersection,
         "union": B.union,
         "difference": B.difference,
+        "symmetric_difference": B.symmetric_difference,
     }
     out_rows, meta_rows, in_rows, pairs = [], [], [], []
     for pair, sa, sb in fixtures:
@@ -813,6 +815,12 @@ def boolean_fixture_sql(
             conds.append(
                 f"abs({_a(p + '|difference')}"
                 f" - ({_ia(p + '|a')} - {_a(p + '|intersection')})) < {tol!r}"
+            )
+        if "symmetric_difference" in ops:
+            conds.append(
+                f"abs({_a(p + '|symmetric_difference')}"
+                f" - ({_ia(p + '|a')} + {_ia(p + '|b')}"
+                f" - 2 * {_a(p + '|intersection')})) < {tol!r}"
             )
     return f"""
     WITH oedges(grp, loop_id, sgn, cx, cy, cz, dx, dy, dz)

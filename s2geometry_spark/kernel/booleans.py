@@ -292,7 +292,7 @@ def _side_contains(poly: Polygon, c, d, m, left: bool) -> bool:
 
 
 def _overlay(a: Polygon, b: Polygon, keep_a_inside: bool, keep_b_inside: bool,
-             reverse_b: bool) -> Polygon:
+             reverse_b: bool, xor: bool = False) -> Polygon:
     raw_a = _edges_of(a)
     raw_b = _edges_of(b)
     # Exactly-shared boundary segments can't be classified by midpoint PIP
@@ -300,7 +300,9 @@ def _overlay(a: Polygon, b: Polygon, keep_a_inside: bool, keep_b_inside: bool,
     # the edge exactly (_side_contains — structural orientation, no
     # epsilon): the edge is on the result's boundary iff the op value
     # differs across it; keep it oriented result-left.
-    if reverse_b:
+    if xor:
+        op = lambda ia, ib: ia != ib  # symmetric difference
+    elif reverse_b:
         op = lambda ia, ib: ia and not ib  # difference
     elif keep_a_inside:
         op = lambda ia, ib: ia and ib  # intersection
@@ -333,11 +335,24 @@ def _overlay(a: Polygon, b: Polygon, keep_a_inside: bool, keep_b_inside: bool,
     eb = _split_edges(b_rest, a_rest)
     a_in_b = _classify(ea, b)
     b_in_a = _classify(eb, a)
-    kept = [e for e, inside in zip(ea, a_in_b) if inside == keep_a_inside]
-    kept += shared_kept
-    b_kept = [e for e, inside in zip(eb, b_in_a) if inside == keep_b_inside]
-    if reverse_b:
-        b_kept = [(d, c) for c, d in b_kept]
+    if xor:
+        # crossing any A edge flips ia, so with op = XOR every non-shared
+        # A sub-edge is on the result boundary; a sub-edge inside B has
+        # the result on its RIGHT (left: ia^ib = 1^1 = 0) → reverse it,
+        # and symmetrically for B edges inside A
+        kept = [
+            e if not inside else (e[1], e[0]) for e, inside in zip(ea, a_in_b)
+        ]
+        kept += shared_kept
+        b_kept = [
+            e if not inside else (e[1], e[0]) for e, inside in zip(eb, b_in_a)
+        ]
+    else:
+        kept = [e for e, inside in zip(ea, a_in_b) if inside == keep_a_inside]
+        kept += shared_kept
+        b_kept = [e for e, inside in zip(eb, b_in_a) if inside == keep_b_inside]
+        if reverse_b:
+            b_kept = [(d, c) for c, d in b_kept]
     loops = _assemble_loops(kept + b_kept)
     # Even-odd parity (Polygon.contains XORs per-loop crossing parities
     # seeded by each loop's origin_inside) needs every loop in its
@@ -380,6 +395,29 @@ def difference(a: Polygon, b: Polygon) -> Polygon:
     if b.is_empty:
         return a
     return _overlay(a, b, keep_a_inside=False, keep_b_inside=True, reverse_b=True)
+
+
+def symmetric_difference(a: Polygon, b: Polygon) -> Polygon:
+    """S2BooleanOperation SYMMETRIC_DIFFERENCE as a DIRECT overlay op
+    (OpType::SYMMETRIC_DIFFERENCE, s2boolean_operation.h:214) — not the
+    (a∪b)−(a∩b) composition: with op = XOR every non-shared sub-edge of
+    either operand is on the result boundary (oriented result-left), and
+    exactly-shared segments classify structurally via _side_contains like
+    the other ops.  A full operand yields the other operand's even-odd
+    COMPLEMENT (append a full loop: Polygon.contains XORs loop parities,
+    so the extra full loop flips every query)."""
+    if a.is_empty:
+        return b
+    if b.is_empty:
+        return a
+    full_marker = Loop(np.array([[0.0, 0.0, -1.0]]))
+    if a.is_full:
+        return Polygon(list(b.loops) + [full_marker])
+    if b.is_full:
+        return Polygon(list(a.loops) + [full_marker])
+    return _overlay(
+        a, b, keep_a_inside=False, keep_b_inside=False, reverse_b=False, xor=True
+    )
 
 
 def cellunion_to_polygon(cells) -> Polygon:

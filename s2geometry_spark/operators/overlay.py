@@ -41,7 +41,8 @@ def boolean_ops_join(
     normalize: bool = False,
 ) -> DataFrame:
     """Per pair and op: the overlay polygon's signed area and loop count
-    (S2BooleanOperation ∩/∪/\\ semantics, s2boolean_operation.h:37-90),
+    (S2BooleanOperation ∩/∪/\\/Δ semantics — all four OpTypes of
+    s2boolean_operation.h:202-215 including SYMMETRIC_DIFFERENCE),
     computed on executors from the broadcast-free pair rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -50,7 +51,8 @@ def boolean_ops_join(
         from ..kernel.contains import parse_polygon
 
         fns = {"intersection": B.intersection, "union": B.union,
-               "difference": B.difference}
+               "difference": B.difference,
+               "symmetric_difference": B.symmetric_difference}
         for pdf in batches:
             out = []
             for pair, sa, sb in zip(pdf["pair"], pdf["poly_a"], pdf["poly_b"]):

@@ -553,3 +553,35 @@ class TestGeneralBufferWinding:
             [l.vertices for l in buffer_convex_polygon(sq, r, 16.0).loops]
         )
         np.testing.assert_allclose(aw, ac, rtol=1e-12)
+
+
+def test_symmetric_difference_identities():
+    """Direct Δ op (OpType::SYMMETRIC_DIFFERENCE, s2boolean_operation.h:214):
+    area identity + 20k-point XOR parity across overlap/disjoint/nested/
+    shared-edge/identical structural cases."""
+    import numpy as np
+
+    from s2geometry_spark.kernel import booleans as B
+    from s2geometry_spark.kernel.contains import parse_polygon
+    from s2geometry_spark.kernel.measures import even_odd_area
+
+    cases = [
+        ("0:0, 0:10, 10:10, 10:0", "5:5, 5:15, 15:15, 15:5"),
+        ("0:0, 0:10, 10:10, 10:0", "20:20, 20:30, 30:30, 30:20"),
+        ("0:0, 0:20, 20:20, 20:0", "5:5, 5:15, 15:15, 15:5"),
+        ("0:0, 0:10, 10:10, 10:0", "0:10, 0:20, 10:20, 10:10"),
+        ("0:0, 0:10, 10:10, 10:0", "0:0, 0:10, 10:10, 10:0"),
+    ]
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(20000, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    for sa, sb in cases:
+        a, b = parse_polygon(sa), parse_polygon(sb)
+        sd = B.symmetric_difference(a, b)
+        inter = B.intersection(a, b)
+
+        def area(p):
+            return even_odd_area([l.vertices for l in p.loops]) if p.loops else 0.0
+
+        assert abs(area(sd) - (area(a) + area(b) - 2 * area(inter))) < 1e-12
+        assert not (sd.contains(pts) ^ (a.contains(pts) ^ b.contains(pts))).any()
