@@ -609,7 +609,16 @@ def _q_geo_cap_filter(spark, sf_dir):
 
 
 def _cap_filter_oracle() -> str:
+    import numpy as np
+
     from s2geometry_spark.functions import oracles as OR
+
+    # generation-time stability guarantee (oracles.LIBM_GUARD): no
+    # scatter point may straddle any cap boundary within the guard
+    P = OR.scatter_xyz()
+    for name, cap in _caps():
+        d2 = ((P - cap.center) ** 2).sum(-1)
+        OR.verify_threshold_margin(d2, cap.length2, f"cap {name}")
 
     cols, conds = [], []
     for name, cap in _caps():

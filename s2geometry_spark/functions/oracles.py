@@ -6,7 +6,13 @@ normals, cross products, hyperplanes) are precomputed here in Python
 with full double precision and embedded as literals (repr(float) is
 read back bit-exactly), while the per-row arithmetic mirrors the NumPy
 kernels operation-for-operation so double results agree bitwise except
-for sub-ulp trig library differences (measured 0 on the test inputs).
+for sub-ulp trig library differences.  Threshold comparisons (cap
+membership, closest-edge radius filters) are GUARANTEED stable against
+such differences: every generator that emits a `<`/`<=` against a
+radius verifies at generation time that no scatter point lands within
+LIBM_GUARD (1e-11, ~5 orders above any plausible cross-libm deviation
+of these expressions) of the threshold, and raises instead of emitting
+a fragile oracle (round-2 ADVICE #4 / round-3 directive 6).
 
 These oracles verify the *spherical geometry core* — PIP joins,
 closest-edge distances (s2edge_distances.cc semantics), loop measures
@@ -27,6 +33,44 @@ DBL_EPSILON = 2.220446049250313e-16
 # shared by the Spark queries and the SQL oracles (same formulas).
 TILE_LAT = "((c_custkey * 7919) % 17000) / 100.0 - 85.0 + 0.005"
 TILE_LNG = "((c_custkey * 104729) % 36000) / 100.0 - 180.0 + 0.005"
+
+# Threshold-stability guard: the DuckDB and NumPy evaluations of an
+# oracle expression can differ only through trig-library ulps on the
+# point coordinates (+ - * / sqrt are IEEE-exact on both engines), a
+# deviation of order 1e-15 on squared-chord quantities.  LIBM_GUARD
+# leaves ~4 orders of margin on top of that.
+LIBM_GUARD = 1e-11
+# Scatter keys covered by the generation-time check — superset of every
+# driver scale factor's c_custkey range (sf0.1 has 15 000 customers).
+GUARD_KEYS = 20_000
+
+
+def scatter_xyz(n_keys: int = GUARD_KEYS) -> np.ndarray:
+    """The customer scatter's unit vectors for keys 1..n_keys, computed
+    with the same kernel ops as the Spark side (TILE_LAT/TILE_LNG are
+    exact integer/decimal arithmetic — only the trig differs by ulps)."""
+    from ..kernel.coords import latlng_to_xyz
+
+    keys = np.arange(1, n_keys + 1, dtype=np.int64)
+    lat = ((keys * 7919) % 17000) / 100.0 - 85.0 + 0.005
+    lng = ((keys * 104729) % 36000) / 100.0 - 180.0 + 0.005
+    x, y, z = latlng_to_xyz(lat, lng)
+    return np.stack([x, y, z], -1)
+
+
+def verify_threshold_margin(
+    values: np.ndarray, limit: float, what: str, guard: float = LIBM_GUARD
+) -> None:
+    """Raise unless every |value − limit| exceeds the libm guard — a
+    membership comparison generated against this limit then cannot flip
+    under any sub-guard evaluation difference between engines."""
+    margin = float(np.abs(np.asarray(values, float) - limit).min())
+    if margin <= guard:
+        raise ValueError(
+            f"oracle threshold fragile for {what}: a scatter point lies "
+            f"{margin:.3e} from the limit {limit!r} (guard {guard:.0e}) — "
+            "adjust the fixture radius so no point straddles the boundary"
+        )
 
 
 def pts_cte(limit: str | None = None) -> str:
@@ -203,6 +247,16 @@ def closest_edges_sql(
     if max_distance_rad is not None:
         s = 2 * math.sin(0.5 * min(math.pi, max_distance_rad))
         limit2 = s * s
+        # generation-time stability guarantee: no scatter point may sit
+        # within LIBM_GUARD of the radius threshold for any edge
+        from ..kernel.distance import point_edge_dist2
+
+        P = scatter_xyz()
+        for shape in shapes:
+            d2 = point_edge_dist2(P, shape.edges_c, shape.edges_d)
+            verify_threshold_margin(
+                d2.ravel(), limit2, f"closest_edges shape {shape.shape_id}"
+            )
     # edge hits use a strict < on the limit, interior hits always pass
     selects = []
     for shape in shapes:
