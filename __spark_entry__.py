@@ -500,6 +500,38 @@ def _q_geo_boolean_ops(spark, sf_dir):
 
 
 
+def _q_geo_boolean_ops_sharded(spark, sf_dir):
+    """The SAME boolean fixtures computed by the DISTRIBUTED arrangement
+    (operators/arrangement.py — index-sharded crossings, hierarchical
+    containment anchors, per-shard assembly) instead of the single-task
+    mapInPandas kernel: must reproduce the kernel loop-for-loop, so it
+    shares geo_boolean_ops' pinned-golden + inclusion-exclusion oracle.
+    This is the hard signal for SURVEY §7.1 #1 (one continental
+    arrangement distributed across executors)."""
+    import pandas as pd
+
+    from s2geometry_spark.kernel.contains import parse_polygon
+    from s2geometry_spark.kernel.measures import even_odd_area
+    from s2geometry_spark.operators import arrangement as AR
+
+    rows = []
+    for pair, sa, sb in _BOOLEAN_FIXTURES:
+        pa, pb = parse_polygon(sa), parse_polygon(sb)
+        ea = AR.polygon_to_edges_df(spark, pa, 0, partitions=4)
+        eb = AR.polygon_to_edges_df(spark, pb, 1, partitions=4)
+        for op in _BOOLEAN_OPS:
+            res = AR.distributed_boolean_op(ea, eb, op)
+            area = even_odd_area([l.vertices for l in res.loops]) if res.loops else 0.0
+            rows.append((pair, op, len(res.loops), round(float(area), 9)))
+    out = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pair", "op", "n_loops", "area_r"]).astype(
+            {"n_loops": "int32"}
+        )
+    )
+    return out.orderBy("pair", "op")
+
+
+
 def _ring_polyline_shape():
     """Deterministic 64-edge closed ring polyline around (10°, 10°) —
     shared by the shape-index query and its SQL oracle."""
@@ -881,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cellunion_ops": _q_geo_cellunion_ops,
         "geo_closest_edge": _q_geo_closest_edge,
         "geo_boolean_ops": _q_geo_boolean_ops,
+        "geo_boolean_ops_sharded": _q_geo_boolean_ops_sharded,
         "geo_relation_matrix": _q_geo_relation_matrix,
         "geo_closest_edges_join": _q_geo_closest_edges_join,
         "geo_shape_index_join": _q_geo_shape_index_join,
@@ -1112,6 +1145,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         "geo_hausdorff": _hausdorff_oracle(),
         "geo_polygon_covering": _covering_oracle(),
         "geo_boolean_ops": OR.boolean_fixture_sql(_BOOLEAN_FIXTURES, _BOOLEAN_OPS),
+        "geo_boolean_ops_sharded": OR.boolean_fixture_sql(_BOOLEAN_FIXTURES, _BOOLEAN_OPS),
         "geo_winding_ops": OR.winding_fixture_sql(_WINDING_JOBS),
         "geo_buffer": OR.buffer_fixture_sql(_BUFFER_JOBS, _BUFFER_CONVEX),
         "geo_relation_matrix": _relation_matrix_oracle(),
