@@ -73,7 +73,7 @@ SUB_SCHEMA = (
 BOUNDARY_SCHEMA = (
     "sax double, say double, saz double,"
     " sbx double, sby double, sbz double, seed_s long,"
-    " k1 int, k2 int, k3 int"
+    " k1 int, k2 long, k3 int"
 )
 
 
@@ -625,13 +625,13 @@ def _classify_group(
     if len(res):
         res = res.astype(
             {c: "float64" for c in res.columns[:6]}
-            | {"k1": "int32", "k2": "int32", "k3": "int32"}
+            | {"k1": "int32", "k2": "int64", "k3": "int32"}
         )
     else:
         res = res.astype(
             {"sax": "float64", "say": "float64", "saz": "float64",
              "sbx": "float64", "sby": "float64", "sbz": "float64",
-             "k1": "int32", "k2": "int32", "k3": "int32"}
+             "k1": "int32", "k2": "int64", "k3": "int32"}
         )
     return res
 
@@ -703,7 +703,7 @@ def distributed_boolean_boundary(
             ).astype("float64").assign(
                 seed_s=np.array([], dtype=np.int64),
                 k1=np.array([], dtype=np.int32),
-                k2=np.array([], dtype=np.int32),
+                k2=np.array([], dtype=np.int64),
                 k3=np.array([], dtype=np.int32),
             )
 
@@ -798,7 +798,7 @@ def distributed_winding_boundary(
             ).astype("float64").assign(
                 seed_s=np.array([], dtype=np.int64),
                 k1=np.array([], dtype=np.int32),
-                k2=np.array([], dtype=np.int32),
+                k2=np.array([], dtype=np.int64),
                 k3=np.array([], dtype=np.int32),
             )
 
@@ -835,17 +835,14 @@ def distributed_winding_boundary(
 
 
 # ------------------------------------------------------------------ assembly
-def assemble_boundary(boundary: DataFrame):
-    """Sharded loop assembly: local chains per seed (broken at global
-    junction vertices and shard borders), driver stitches chains with
-    the same max-CCW rule as kernel _assemble_loops and the kernel's
-    walk order (each walk starts at the globally minimal unused
-    (k1, k2, k3) edge key), so the loop DECOMPOSITION matches the
-    single-node kernels exactly — not just the boundary set.  Returns
-    loops as a list of (n,3) arrays.  Only chains cross the driver; a
-    junction-free loop wholly inside one shard costs one row."""
-    # the boundary pipeline is consumed twice (junction aggregate +
-    # chain job) — materialize it once
+def _local_chains_df(boundary: DataFrame):
+    """Stage 1 of sharded assembly: per-seed chains broken at global
+    junction vertices and shard borders.  Rows tagged `is_loop` are
+    junction-free cycles wholly inside one shard — globally standalone
+    loops (every vertex has out-degree 1 and the cycle is closed), so
+    they never need the driver.  Returns (chains_df, boundary_handle)
+    with the boundary persisted (consumed by the junction aggregate and
+    the chain job)."""
     boundary = boundary.persist()
     # global junction vertices: start-vertex out-degree ≥ 2
     deg = (
@@ -858,7 +855,10 @@ def assemble_boundary(boundary: DataFrame):
     spark = boundary.sparkSession
     b_junc = spark.sparkContext.broadcast(junctions)
 
-    chain_schema = "mk1 int, mk2 int, mk3 int, pos int, n int, vs array<double>"
+    chain_schema = (
+        "is_loop boolean, mk1 int, mk2 long, mk3 int,"
+        " pos int, n int, vs array<double>"
+    )
 
     def local(key, pdf: pd.DataFrame) -> pd.DataFrame:
         junc = b_junc.value
@@ -903,21 +903,67 @@ def assemble_boundary(boundary: DataFrame):
                 if not nxts:
                     break
                 j = nxts[0]
-            chains.append((mk, pos, np.asarray(verts)))
+            closed = (
+                len(verts) >= 4
+                and tuple(verts[0]) == tuple(verts[-1])
+                and tuple(verts[0]) not in junc
+            )
+            chains.append((closed, mk, pos, np.asarray(verts)))
         return pd.DataFrame(
             {
-                "mk1": [mk[0] for mk, _p, _ in chains],
-                "mk2": [mk[1] for mk, _p, _ in chains],
-                "mk3": [mk[2] for mk, _p, _ in chains],
-                "pos": [p for _mk, p, _ in chains],
-                "n": [len(c) for _mk, _p, c in chains],
-                "vs": [c.reshape(-1).tolist() for _mk, _p, c in chains],
+                "is_loop": [c for c, *_ in chains],
+                "mk1": [mk[0] for _c, mk, _p, _ in chains],
+                "mk2": [mk[1] for _c, mk, _p, _ in chains],
+                "mk3": [mk[2] for _c, mk, _p, _ in chains],
+                "pos": [p for _c, _mk, p, _ in chains],
+                "n": [len(v) for *_, v in chains],
+                "vs": [v.reshape(-1).tolist() for *_, v in chains],
             }
-        ).astype({"mk1": "int32", "mk2": "int32", "mk3": "int32",
-                  "pos": "int32", "n": "int32"})
+        ).astype({"is_loop": "bool", "mk1": "int32", "mk2": "int64",
+                  "mk3": "int32", "pos": "int32", "n": "int32"})
 
-    rows = boundary.groupBy("seed_s").applyInPandas(local, chain_schema).collect()
-    boundary.unpersist()
+    return boundary.groupBy("seed_s").applyInPandas(local, chain_schema), boundary
+
+
+def assemble_boundary(boundary: DataFrame):
+    """Sharded loop assembly, fully materialized on the driver: local
+    chains per seed, driver stitches with the same max-CCW rule as
+    kernel _assemble_loops and the kernel's walk order (each walk starts
+    at the globally minimal unused (k1, k2, k3) edge key, ENTERING its
+    chain at that edge), so the loop DECOMPOSITION matches the
+    single-node kernels exactly — not just the boundary set.  Returns
+    loops as a list of (n,3) arrays.  For outputs too large for the
+    driver use assemble_boundary_distributed: in-shard loops then stay
+    a DataFrame and only shard-crossing chains collect."""
+    chains_df, handle = _local_chains_df(boundary)
+    rows = chains_df.collect()
+    handle.unpersist()
+    loops = [
+        np.asarray(r.vs).reshape(-1, 3)[:-1] for r in rows if r.is_loop
+    ]
+    chains = [
+        (
+            (int(r.mk1), int(r.mk2), int(r.mk3)),
+            int(r.pos),
+            np.asarray(r.vs).reshape(-1, 3),
+        )
+        for r in rows
+        if not r.is_loop
+    ]
+    return loops + _stitch_chains(chains)
+
+
+def assemble_boundary_distributed(boundary: DataFrame):
+    """Scale-path assembly: returns (loops_df, stitched_loops).
+    `loops_df` holds the in-shard closed loops as (n, vs) rows and NEVER
+    visits the driver; only shard-crossing / junction chains collect for
+    stitching (O(junctions + crossings), not O(total boundary)) and come
+    back as driver-side arrays."""
+    chains_df, handle = _local_chains_df(boundary)
+    chains_df = chains_df.persist()
+    loops_df = chains_df.filter(F.col("is_loop")).select("n", "vs")
+    rows = chains_df.filter(~F.col("is_loop")).collect()
+    handle.unpersist()
     chains = [
         (
             (int(r.mk1), int(r.mk2), int(r.mk3)),
@@ -926,7 +972,7 @@ def assemble_boundary(boundary: DataFrame):
         )
         for r in rows
     ]
-    return _stitch_chains(chains)
+    return loops_df, _stitch_chains(chains)
 
 
 def _stitch_chains(keyed_chains) -> list[np.ndarray]:

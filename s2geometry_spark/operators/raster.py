@@ -127,26 +127,105 @@ def boundary_edges_df(raster: DataFrame, level: int) -> DataFrame:
     ).select("cell_id_s", "k")
 
 
-def vectorize_cells(raster: DataFrame, level: int):
+def boundary_directed_edges_df(
+    raster: DataFrame, level: int, seed_level: int
+) -> DataFrame:
+    """Boundary edges as directed vertex pairs in the sharded-assembly
+    layout (arrangement.BOUNDARY_SCHEMA): vertices from the vectorized
+    UV-corner tower (s2cell.h:136-140 CCW corners), shard = the cell's
+    seed-level ancestor, walk-order key = (0, biased cell id, k) so the
+    assembly is deterministic in Hilbert order."""
+    from ..functions import columns as CC
+
+    edges = boundary_edges_df(raster, level)
+
+    @F.pandas_udf(
+        "sax double, say double, saz double, sbx double, sby double, sbz double"
+    )
+    def verts(cell_s: pd.Series, k: pd.Series) -> pd.DataFrame:
+        from ..kernel import cellid as K
+        from ..kernel import coords as C
+
+        ids = K.unbias(cell_s.to_numpy(np.int64))
+        kk = k.to_numpy(np.int64)
+        u_lo, u_hi, v_lo, v_hi = K.get_bound_uv(ids)
+        face = K.face(ids)
+
+        def corner(kv):
+            kv = kv & 3
+            j = (kv >> 1) & 1
+            i = j ^ (kv & 1)
+            u = np.where(i == 1, u_hi, u_lo)
+            v = np.where(j == 1, v_hi, v_lo)
+            x, y, z = C.face_uv_to_xyz(face, u, v)
+            n = np.sqrt(x * x + y * y + z * z)
+            return x / n, y / n, z / n
+
+        ax, ay, az = corner(kk)
+        bx, by, bz = corner(kk + 1)
+        return pd.DataFrame(
+            {"sax": ax, "say": ay, "saz": az, "sbx": bx, "sby": by, "sbz": bz}
+        )
+
+    out = edges.withColumn("_v", verts("cell_id_s", "k")).select(
+        "_v.*",
+        CC.parent("cell_id_s", seed_level).alias("seed_s"),
+        F.lit(0).alias("k1"),
+        F.col("cell_id_s").alias("k2"),
+        F.col("k").cast("int").alias("k3"),
+    )
+    return out
+
+
+def vectorize_cells(raster: DataFrame, level: int, seed_level: int | None = None):
     """raster (face, i, j) → boundary Polygon of the cell union.
 
-    Scale shape: the O(area) raster never reaches the driver — boundary
-    edges are extracted distributively (boundary_edges_df: explode +
-    left_anti join), and only the O(perimeter) directed edges collect
-    for loop assembly (max-CCW face tracing, kernel/booleans.py).  A
-    level-12 global raster (~10⁸ cells) vectorizes with a perimeter-
-    sized collect."""
-    from ..kernel.booleans import _assemble_loops
-    from ..kernel.cell import Cell
-    from ..kernel.cid import CID
+    Scale shape (round-3 verdict item 7): the O(area) raster never
+    reaches the driver — boundary edges are extracted distributively
+    (boundary_edges_df: explode + left_anti join) — and loop assembly is
+    SHARDED (operators/arrangement.assemble_boundary): each seed-level
+    shard walks its own chains, so per-task work is bounded by the shard
+    perimeter; the convenience Polygon return still collects every loop.
+    Use vectorize_cells_df for the scale path where in-shard loops stay
+    a DataFrame and only shard-crossing chains visit the driver — a
+    coastline-fractal raster then costs O(shard crossings) driver
+    memory, not O(total perimeter)."""
     from ..kernel.contains import Loop, Polygon
+    from .arrangement import assemble_boundary
 
-    pdf = boundary_edges_df(raster, level).toPandas()
-    directed = []
-    for cell_s, k in zip(pdf["cell_id_s"].tolist(), pdf["k"].tolist()):
-        cell = Cell(CID(int(cell_s) + (1 << 63)))
-        directed.append((cell.get_vertex(k), cell.get_vertex(k + 1)))
-    if not directed:
-        return Polygon([])
-    loops = _assemble_loops(directed)
+    if seed_level is None:
+        seed_level = max(0, level - 6)
+    bdf = boundary_directed_edges_df(raster, level, seed_level).persist()
+    n_bnd = bdf.count()
+    if n_bnd <= 200_000:
+        # fixture-scale gate: one perimeter-sized collect + the kernel
+        # walk beats the sharded pipeline's extra jobs below ~10⁵ edges
+        from ..kernel.booleans import _assemble_loops
+
+        pdf = bdf.toPandas().sort_values(["k1", "k2", "k3"])
+        directed = list(
+            zip(
+                pdf[["sax", "say", "saz"]].to_numpy(np.float64),
+                pdf[["sbx", "sby", "sbz"]].to_numpy(np.float64),
+            )
+        )
+        bdf.unpersist()
+        loops = _assemble_loops(directed) if directed else []
+    else:
+        loops = assemble_boundary(bdf)
+        bdf.unpersist()
     return Polygon([Loop(v) for v in loops])
+
+
+def vectorize_cells_df(
+    raster: DataFrame, level: int, seed_level: int | None = None
+):
+    """Scale-path vectorize: returns (loops_df, stitched_loops) from
+    arrangement.assemble_boundary_distributed — in-shard loops never
+    leave the executors; the driver holds only shard-crossing chains."""
+    from .arrangement import assemble_boundary_distributed
+
+    if seed_level is None:
+        seed_level = max(0, level - 6)
+    bdf = boundary_directed_edges_df(raster, level, seed_level)
+    return assemble_boundary_distributed(bdf)

@@ -116,3 +116,33 @@ def test_distributed_overlay_dense_arrangement(spark):
     assert len(loops_u) == 1 and len(loops_i) == 1
     assert abs((area_u + area_i) - (ia + ib)) < 1e-9
     assert 0 < area_i < min(ia, ib) < max(ia, ib) < area_u
+
+
+def test_vectorize_sharded_equals_driver_path(spark):
+    """vectorize_cells_df (distributed loops + stitched chains) covers
+    the same region as the driver-side vectorize_cells Polygon."""
+    from s2geometry_spark.kernel.contains import Loop, Polygon, parse_polygon
+    from s2geometry_spark.operators.raster import (
+        rasterize_polygon,
+        vectorize_cells,
+        vectorize_cells_df,
+    )
+
+    poly = parse_polygon("10:10, 10:30, 30:30, 30:10; 15:15, 15:25, 25:25, 25:15")
+    raster = rasterize_polygon(spark, poly, level=7).persist()
+    p_driver = vectorize_cells(raster, 7)
+    loops_df, stitched = vectorize_cells_df(raster, 7, seed_level=4)
+    dist_loops = [
+        np.asarray(r.vs).reshape(-1, 3)[:-1] for r in loops_df.collect()
+    ] + list(stitched)
+    p_dist = Polygon([Loop(v) for v in dist_loops])
+    assert len(p_dist.loops) == len(p_driver.loops)
+    assert abs(
+        _area([l.vertices for l in p_dist.loops])
+        - _area([l.vertices for l in p_driver.loops])
+    ) < 1e-12
+    # same region pointwise
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(5000, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    assert not (p_dist.contains(pts) ^ p_driver.contains(pts)).any()
