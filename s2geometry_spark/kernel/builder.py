@@ -18,9 +18,9 @@ and the *vertex* phase of S2Builder::Build (s2builder.cc:598-790):
 
 Edge phase (snap_edge_chain / snap_polylines_with_edges): each edge
 snaps to the ordered chain of sites whose Voronoi regions it crosses —
-coverage-interval exclusion per s2pred::GetVoronoiSiteExclusion
-semantics (s2builder.cc:1162-1240), computed in double precision with
-bisection instead of exact arithmetic.
+candidates ordered by exact CompareDistances, pairwise exclusion by
+EXACT s2pred::GetVoronoiSiteExclusion and the neighbors-combined case
+by EdgeCircumcenterSign (kernel/voronoi.py, s2builder.cc:1162-1240).
 
 AddExtraSites separation pass (snap_polylines_with_separation,
 s2builder.cc:888-1010 + GetSeparationSite:1090-1158): non-chain sites
@@ -34,11 +34,7 @@ Long-edge deviation split (MaybeAddExtraSites case 1, s2builder.cc:
 (~30-50° depending on snap radius) that stray beyond
 max_edge_deviation() = 1.1 × snap radius of their input edge
 (IsEdgeBNearEdgeA) get a mid split site, iterated with the separation
-pass to a fixed point.
-
-NOT implemented (documented scope): exact-predicate tie-breaking in
-the Voronoi coverage intervals — inputs within ~1e-12 of a Voronoi
-boundary may resolve differently than the reference."""
+pass to a fixed point."""
 
 from __future__ import annotations
 
@@ -281,92 +277,72 @@ def _slerp(x: np.ndarray, y: np.ndarray, t: float) -> np.ndarray:
     return p / np.linalg.norm(p)
 
 
-def _edge_param_dist2(x: np.ndarray, y: np.ndarray, s: np.ndarray, t: float) -> float:
-    p = _slerp(x, y, t)
-    return float(((p - s) ** 2).sum())
-
-
-def coverage_interval(
-    x: np.ndarray, y: np.ndarray, site: np.ndarray, radius_rad: float
-) -> tuple[float, float] | None:
-    """The interval of edge parameters t ∈ [0,1] whose points lie within
-    `radius_rad` of `site` — the "coverage interval" of
-    s2predicates GetVoronoiSiteExclusion (s2builder.cc:1203-1215),
-    computed in double precision by bisection (the chord distance along
-    the edge is unimodal)."""
-    r2 = (2 * math.sin(0.5 * min(math.pi, radius_rad))) ** 2
-
-    # ternary search for the parameter of minimum distance
-    lo, hi = 0.0, 1.0
-    for _ in range(80):
-        m1 = lo + (hi - lo) / 3
-        m2 = hi - (hi - lo) / 3
-        if _edge_param_dist2(x, y, site, m1) <= _edge_param_dist2(x, y, site, m2):
-            hi = m2
-        else:
-            lo = m1
-    t_min = 0.5 * (lo + hi)
-    if _edge_param_dist2(x, y, site, t_min) > r2:
-        return None
-
-    def solve(a: float, b: float) -> float:
-        """dist2(a) ≤ r2 < dist2(b) (or both ≤ → endpoint): bisect the
-        boundary crossing."""
-        if _edge_param_dist2(x, y, site, b) <= r2:
-            return b
-        for _ in range(60):
-            m = 0.5 * (a + b)
-            if _edge_param_dist2(x, y, site, m) <= r2:
-                a = m
-            else:
-                b = m
-        return a
-
-    return (solve(t_min, 0.0), solve(t_min, 1.0))
-
-
 def snap_edge_chain(
     x: np.ndarray,
     y: np.ndarray,
     sites: np.ndarray,
     snap_radius_rad: float,
-    eps: float = 1e-12,
 ) -> list[int]:
-    """SnapEdge (s2builder.cc:1162-1240, general position, double
-    precision): the snapped edge visits, in order along XY, every site
-    whose Voronoi region intersects XY.  Sites whose coverage interval is
-    contained in another's are excluded (the exclusion semantics of
-    s2pred::GetVoronoiSiteExclusion, without the exact-arithmetic
-    tie-breaking — documented scope)."""
+    """SnapEdge (s2builder.cc:1162-1240): the snapped edge visits, in
+    order, every site whose clipped Voronoi region intersects XY.
+
+    EXACT chain maintenance (round-3 directive 4 — the bisection scope
+    note is gone): candidates sort by s2pred::CompareDistances from X
+    (exact + pedestal symbolic ties, s2builder.cc:847-857), pairwise
+    exclusion decides by s2pred::GetVoronoiSiteExclusion
+    (kernel/voronoi.py exact tier), and a middle site excluded only by
+    its two neighbors COMBINED is caught by the circumcenter test
+    (EdgeCircumcenterSign vs Sign(x, y, b), s2builder.cc:1224-1240 —
+    the reference's distance-based pre-checks there are pure predicate-
+    call-avoidance optimizations and are skipped).  Only the candidate
+    admission filter (within snap_radius of the edge) stays in double
+    precision with one-sided slack; everything past admission is exact."""
+    from . import predicates as P
+    from . import voronoi as V
     from .distance import point_edge_dist2
 
     r = max(snap_radius_rad, 1e-15)
     limit2 = (2 * math.sin(0.5 * min(math.pi, r))) ** 2
     d2 = point_edge_dist2(sites, x[None], y[None])[:, 0]
-    cand = np.nonzero(d2 <= limit2 * (1 + 1e-9) + 1e-30)[0]
-    infos = []
-    for si in cand.tolist():
-        iv = coverage_interval(x, y, sites[si], r)
-        if iv is None:
-            continue
-        infos.append((iv[0], iv[1], si))
-    # order along the edge by interval start (ties: interval end)
-    infos.sort(key=lambda v: (v[0], v[1]))
-    chain: list[tuple[float, float, int]] = []
-    for t0, t1, si in infos:
-        add = True
+    cand = np.nonzero(d2 <= limit2 * (1 + 1e-9) + 1e-30)[0].tolist()
+    import functools
+
+    def cmp(i: int, j: int) -> int:
+        if i == j:
+            return 0
+        diff = V.compare_distances(x, sites[i], sites[j])
+        if diff != 0:
+            return diff
+        return -1 if i < j else 1  # deterministic tie-break
+
+    cand.sort(key=functools.cmp_to_key(cmp))
+    chain: list[int] = []
+    for ci in cand:
+        c = sites[ci]
+        add_site_c = True
         while chain:
-            b0, b1, bi = chain[-1]
-            if b0 <= t0 + eps and t1 <= b1 + eps:
-                add = False  # C's coverage contained in B's → C excluded
-                break
-            if t0 <= b0 + eps and b1 <= t1 + eps:
-                chain.pop()  # B's coverage contained in C's → B excluded
+            b = sites[chain[-1]]
+            result = V.voronoi_site_exclusion(b, c, x, y, r)
+            if result == V.FIRST:
+                chain.pop()  # site B excluded by C — retry previous
                 continue
-            break
-        if add:
-            chain.append((t0, t1, si))
-    return [si for _, _, si in chain]
+            if result == V.SECOND:
+                add_site_c = False  # site C excluded by B
+                break
+            # NEITHER: check whether the previous site A clips B's
+            # region together with C (B excluded by A and C combined)
+            if len(chain) < 2:
+                break
+            a = sites[chain[-2]]
+            xyb = int(P.sign(x[None], y[None], b[None])[0])
+            if int(P.sign(a[None], b[None], c[None])[0]) == xyb:
+                break  # circumcenter on B's side but further away
+            if V.edge_circumcenter_sign(x, y, a, b, c) != xyb:
+                break  # B is needed
+            chain.pop()  # B excluded by A and C combined — retry
+        if add_site_c:
+            chain.append(ci)
+    return chain
 
 
 def snap_polylines_with_edges(

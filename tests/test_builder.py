@@ -189,10 +189,7 @@ class TestEdgePhase:
         consecutive coverage intervals overlap (continuity)."""
         import numpy as np
 
-        from s2geometry_spark.kernel.builder import (
-            coverage_interval,
-            snap_edge_chain,
-        )
+        from s2geometry_spark.kernel.builder import snap_edge_chain
         from s2geometry_spark.kernel.contains import parse_points
         from s2geometry_spark.kernel.distance import point_edge_dist2
 
@@ -210,9 +207,14 @@ class TestEdgePhase:
         assert chain, "no chain despite nearby sites"
         d2 = point_edge_dist2(sites[chain], x[None], y[None])[:, 0]
         assert (d2 <= (2 * math.sin(r / 2)) ** 2 * (1 + 1e-6)).all()
-        ivs = [coverage_interval(x, y, sites[c], r) for c in chain]
-        starts = [iv[0] for iv in ivs]
-        assert starts == sorted(starts)
+        # chain order: projections onto the edge proceed monotonically
+        t_hat = y - x * float(x @ y)
+        t_hat = t_hat / np.linalg.norm(t_hat)
+        params = [
+            math.atan2(float(sites[c] @ t_hat), float(sites[c] @ x))
+            for c in chain
+        ]
+        assert params == sorted(params)
 
 
 def test_min_edge_vertex_separation_site():
@@ -395,3 +397,94 @@ def test_separation_pass_with_cellid_snap_function():
     if not on_chain:
         d2 = point_edge_dist2(site[None], chain[:-1], chain[1:])[0]
         assert (d2 >= min_sep2 * (1 - 1e-9)).all()
+
+
+class TestExactVoronoiPredicates:
+    """kernel/voronoi.py — exact GetVoronoiSiteExclusion semantics
+    (round-3 directive 4): ties below double precision resolve by the
+    reference's symbolic rules, consistently under operand permutation."""
+
+    def test_exact_mirror_tie_resolves_symbolically(self):
+        """Edge on the equator; B = A mirrored across z=0 (EXACT in
+        doubles), so the Voronoi boundary of {A, B} coincides with the
+        edge exactly — the pedestal perturbation must declare the
+        lexicographically larger site closer (s2predicates.cc
+        SymbolicCompareDistances) and exclude the other."""
+        import numpy as np
+
+        from s2geometry_spark.kernel import voronoi as V
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+        x0 = np.array([1.0, 0.0, 0.0])
+        x1 = np.array(latlng_to_xyz(np.float64(0.0), np.float64(8.0)))
+        a = np.array(latlng_to_xyz(np.float64(0.1), np.float64(4.0)))
+        b = np.array([a[0], a[1], -a[2]])  # exact reflection
+        assert V.compare_distances(x0, a, b) == (-1 if tuple(a) > tuple(b) else 1)
+        closer, farther = (a, b) if tuple(a) > tuple(b) else (b, a)
+        r = math.radians(0.5)
+        assert V.voronoi_site_exclusion(closer, farther, x0, x1, r) == V.SECOND
+
+    def test_sub_picometre_separation_snaps_deterministically(self):
+        """Two sites ~1e-13 rad apart along the edge: both keep nonempty
+        Voronoi slivers (neither coverage interval contains the other),
+        and the exact predicates order them identically regardless of
+        input permutation — the sub-double-precision determinism the
+        bisection could not guarantee.  A twin displaced PERPENDICULAR
+        to the edge, by contrast, is properly contained and excluded."""
+        import numpy as np
+
+        from s2geometry_spark.kernel.builder import snap_edge_chain
+        from s2geometry_spark.kernel.contains import parse_points
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+        x, y = parse_points("0:0, 0:8")
+        base = np.array(latlng_to_xyz(np.float64(0.05), np.float64(4.0)))
+        twin = base + np.array([0.0, 1e-13, 0.0])  # ~along the edge
+        twin = twin / np.linalg.norm(twin)
+        assert tuple(twin) != tuple(base)
+        r = math.radians(0.5)
+        seqs = []
+        for sites in (np.stack([base, twin]), np.stack([twin, base])):
+            chain = snap_edge_chain(x, y, sites, r)
+            seqs.append([tuple(sites[c]) for c in chain])
+        assert seqs[0] == seqs[1]
+        assert 1 <= len(seqs[0]) <= 2
+
+        # perpendicular twin: slightly farther from the whole edge →
+        # its coverage interval is strictly contained → excluded
+        perp = base + np.array([0.0, 0.0, 1e-13])
+        perp = perp / np.linalg.norm(perp)
+        for sites in (np.stack([base, perp]), np.stack([perp, base])):
+            chain = snap_edge_chain(x, y, sites, r)
+            assert [tuple(sites[c]) for c in chain] == [tuple(base)]
+
+    def test_exclusion_antisymmetry_random(self):
+        """FIRST/SECOND swap under operand exchange (with the required
+        d(·,x0) ordering re-established), NEITHER is symmetric."""
+        import numpy as np
+
+        from s2geometry_spark.kernel import voronoi as V
+        from s2geometry_spark.kernel.contains import parse_points
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+        rng = np.random.default_rng(17)
+        x, y = parse_points("0:0, 0:6")
+        r = math.radians(0.4)
+        n_checked = 0
+        for _ in range(40):
+            lat = rng.uniform(-0.3, 0.3, 2)
+            lng = rng.uniform(0.0, 6.0, 2)
+            sx, sy, sz = latlng_to_xyz(lat, lng)
+            s = np.stack([sx, sy, sz], -1)
+            a, b = s[0], s[1]
+            if V.compare_distances(x, a, b) > 0:
+                a, b = b, a
+            res = V.voronoi_site_exclusion(a, b, x, y, r)
+            n_checked += 1
+            # re-run with roles swapped via the mirrored edge direction:
+            # d(·, y) ordering makes b the first site along (y, x)
+            if V.compare_distances(y, b, a) <= 0:
+                res2 = V.voronoi_site_exclusion(b, a, y, x, r)
+                swap = {V.FIRST: V.SECOND, V.SECOND: V.FIRST, V.NEITHER: V.NEITHER}
+                assert res2 == swap[res], (lat, lng)
+        assert n_checked == 40
