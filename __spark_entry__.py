@@ -734,15 +734,25 @@ _WINDING_SQUARES = (
     " 3:3, 3:7, 7:7, 7:3; 4:4, 4:8, 8:8, 8:4"
 )
 _WINDING_JOBS = [
-    ("rect_pos", "0:0, 0:10, 10:10, 10:0", "5:5", 1, "POSITIVE"),
-    ("rect_neg", "0:0, 0:10, 10:10, 10:0", "5:5", 1, "NEGATIVE"),
-    ("bowtie_odd", "5:-5, -5:5, 5:5, -5:-5", "10:0", 0, "ODD"),
-    ("bowtie_nonzero", "5:-5, -5:5, 5:5, -5:-5", "10:0", 0, "NON_ZERO"),
-    ("stairs_union", _WINDING_SQUARES, "0.5:0.5", 1, "POSITIVE"),
-    ("stairs_ge2", _WINDING_SQUARES, "0.5:0.5", 0, "POSITIVE"),
-    ("stairs_ge3", _WINDING_SQUARES, "0.5:0.5", -1, "POSITIVE"),
-    ("stairs_ge4", _WINDING_SQUARES, "0.5:0.5", -2, "POSITIVE"),
-    ("stairs_ge5", _WINDING_SQUARES, "0.5:0.5", -3, "POSITIVE"),
+    ("rect_pos", "0:0, 0:10, 10:10, 10:0", "5:5", 1, "POSITIVE", 0),
+    ("rect_neg", "0:0, 0:10, 10:10, 10:0", "5:5", 1, "NEGATIVE", 0),
+    ("bowtie_odd", "5:-5, -5:5, 5:5, -5:-5", "10:0", 0, "ODD", 0),
+    ("bowtie_nonzero", "5:-5, -5:5, 5:5, -5:-5", "10:0", 0, "NON_ZERO", 0),
+    ("stairs_union", _WINDING_SQUARES, "0.5:0.5", 1, "POSITIVE", 0),
+    ("stairs_ge2", _WINDING_SQUARES, "0.5:0.5", 0, "POSITIVE", 0),
+    ("stairs_ge3", _WINDING_SQUARES, "0.5:0.5", -1, "POSITIVE", 0),
+    ("stairs_ge4", _WINDING_SQUARES, "0.5:0.5", -2, "POSITIVE", 0),
+    ("stairs_ge5", _WINDING_SQUARES, "0.5:0.5", -3, "POSITIVE", 0),
+    # degenerate boundaries (include_degeneracies,
+    # s2winding_operation.h:96-124): a triangle plus its exact reverse
+    # cancels to three sibling-pair arcs under ODD; point shells emit
+    # only where the winding number is 0 under POSITIVE
+    ("degen_tri_pair", "0:0, 0:5, 5:0; 5:0, 0:5, 0:0", "80:80", 0, "ODD", 1),
+    (
+        "degen_point_union",
+        "0:0, 0:10, 10:10, 10:0; 20:20; 5:5; 30:4, 30:6",
+        "80:80", 0, "POSITIVE", 1,
+    ),
 ]
 
 
@@ -783,10 +793,12 @@ def _q_geo_winding_ops(spark, sf_dir):
 
     jobs = spark.createDataFrame(
         _WINDING_JOBS,
-        "job string, loops string, ref string, ref_winding int, rule string",
+        "job string, loops string, ref string, ref_winding int,"
+        " rule string, degen int",
     ).repartition(3)
     return winding_ops_join(jobs).select(
-        "job", "n_loops", "is_full", F.round("signed_area", 9).alias("area_r")
+        "job", "n_loops", "is_full", F.round("signed_area", 9).alias("area_r"),
+        "n_deg_points", "n_deg_edges",
     ).orderBy("job")
 
 

@@ -916,15 +916,27 @@ def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
     rect_ll = None
     bowtie_ll = None
     sq_lls: list = []
-    for job, loops_s, ref_s, ref_w, rule in jobs:
+    for row in jobs:
+        job, loops_s, ref_s, ref_w, rule = row[:5]
+        degen = bool(row[5]) if len(row) > 5 else False
         loops = [parse_points(s) for s in loops_s.split(";") if s.strip()]
-        res, full = winding_operation(
-            loops, parse_points(ref_s)[0], int(ref_w), getattr(WindingRule, rule)
-        )
+        if degen:
+            res, full, degens = winding_operation(
+                loops, parse_points(ref_s)[0], int(ref_w),
+                getattr(WindingRule, rule), include_degeneracies=True,
+            )
+            n_pts = len(degens["points"])
+            n_sib = len(degens["sibling_edges"])
+        else:
+            res, full = winding_operation(
+                loops, parse_points(ref_s)[0], int(ref_w),
+                getattr(WindingRule, rule),
+            )
+            n_pts = n_sib = 0
         signs = M.even_odd_signs(list(res)) if res else []
         for li, (sgn, v) in enumerate(zip(signs, res)):
             out_rows.append((job, li, sgn, v))
-        meta_rows.append((job, len(res), bool(full)))
+        meta_rows.append((job, len(res), bool(full), n_pts, n_sib))
         if job == "rect_pos":
             rect_ll = _parse_latlng_loop(loops_s)
         if job.startswith("stairs"):
@@ -943,7 +955,8 @@ def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
     if not in_rows:  # keep the iedges CTE well-formed with no area gates
         in_rows.append(("in|_none", 0, [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0)]))
     meta_vals = ", ".join(
-        f"('{j}', {n}, {'TRUE' if f else 'FALSE'})" for j, n, f in meta_rows
+        f"('{j}', {n}, {'TRUE' if f else 'FALSE'}, {np_}, {ns})"
+        for j, n, f, np_, ns in meta_rows
     )
 
     def _a(grp: str) -> str:
@@ -1007,11 +1020,13 @@ def winding_fixture_sql(jobs, tol: float = 1e-9) -> str:
     {_area_fold_ctes('oedges', 'oarea')},
     {_latlng_edges_cte('iedges', in_rows)},
     {_area_fold_ctes('iedges', 'iarea')},
-    meta(job, n_loops, is_full) AS (VALUES {meta_vals}),
+    meta(job, n_loops, is_full, n_deg_points, n_deg_edges)
+      AS (VALUES {meta_vals}),
     {bw_sql + ',' if bw_sql else ''}
     checks AS (SELECT ({' AND '.join(conds)}) AS ok)
     SELECT m.job, m.n_loops, m.is_full,
-           round(coalesce(o.area, 0.0), 9) AS area_r
+           round(coalesce(o.area, 0.0), 9) AS area_r,
+           m.n_deg_points, m.n_deg_edges
     FROM meta m LEFT JOIN oarea o ON o.grp = m.job
     WHERE (SELECT ok FROM checks)
     ORDER BY m.job

@@ -29,8 +29,13 @@ same hemisphere as the arrangement, as in all fixtures; a degenerate
 vertex crossing on the path raises and retries with a different
 interior parameter t.
 
-Degenerate outputs (point shells / sibling pairs, the reference's
-degenerate-boundary support) and snap rounding are out of scope;
+Degenerate boundaries (include_degeneracies, s2winding_operation.h:
+96-124): point shells (single-vertex loops) and sibling edge pairs
+(edge + bit-exact reverse, including 2-vertex loops) do not bound any
+interior, so they are cancelled out of the arrangement; when the option
+is enabled they are re-emitted per the reference's rules — under ODD
+those with odd multiplicity, under every other rule those contained by
+regions of winding number zero.  Snap rounding remains out of scope;
 compose with kernel/builder.py snapping for near-degenerate input.
 """
 
@@ -119,6 +124,27 @@ def winding_sides(
     return base + w_left, base + w_right
 
 
+def _winding_at(
+    p: np.ndarray, edges, ref: np.ndarray, ref_winding: int
+) -> int:
+    """winding_number with probe-perturbation retries: a degeneracy
+    emission test needs w at a point not on any arrangement edge; if the
+    path ref→p hits a vertex exactly, nudge the probe slightly (the
+    winding number is constant in the point's open region)."""
+    try:
+        return winding_number(p, edges, ref, ref_winding)
+    except ValueError:
+        pass
+    for t in (1e-9, 2.345e-9, -1.7e-9):
+        q = p + np.array([t, -0.6 * t, 0.3 * t])
+        q = q / np.linalg.norm(q)
+        try:
+            return winding_number(q, edges, ref, ref_winding)
+        except ValueError:
+            continue
+    raise ValueError("could not find a generic probe for degeneracy test")
+
+
 def _slerp(x: np.ndarray, y: np.ndarray, t: float) -> np.ndarray:
     omega = math.acos(max(-1.0, min(1.0, float(x @ y))))
     if omega == 0:
@@ -133,17 +159,79 @@ def winding_operation(
     ref: np.ndarray,
     ref_winding: int,
     rule,
-) -> tuple[list[np.ndarray], bool]:
-    """→ (boundary loops, is_full).  is_full means the rule holds
-    everywhere (no boundary); empty result + rule false at ref means the
-    empty region."""
-    edges = []
+    include_degeneracies: bool = False,
+):
+    """→ (boundary loops, is_full), or with `include_degeneracies` a
+    3-tuple (boundary loops, is_full, degens) where degens is a dict
+    {"points": [xyz], "sibling_edges": [(a, b)]} of the emitted
+    degenerate boundaries (s2winding_operation.h:96-124).  is_full means
+    the rule holds everywhere (no boundary); empty result + rule false
+    at ref means the empty region."""
+    raw_edges = []
+    point_shells: list[np.ndarray] = []
     for lp in loops:
         v = np.asarray(lp, float).reshape(-1, 3)
+        if len(v) == 1:
+            point_shells.append(v[0])
+            continue
         for i in range(len(v)):
-            edges.append((v[i], v[(i + 1) % len(v)]))
+            raw_edges.append((v[i], v[(i + 1) % len(v)]))
+    # cancel sibling pairs (edge + bit-exact reverse): they contribute
+    # nothing to any winding number and the reference removes them from
+    # the arrangement, re-emitting per the degeneracy rules below
+    from collections import Counter
+
+    fwd = Counter()
+    for a, b in raw_edges:
+        fwd[(tuple(a), tuple(b))] += 1
+    siblings: list[tuple[tuple, tuple, int]] = []  # (a, b, n_pairs)
+    edges = []
+    done = set()
+    for a, b in raw_edges:
+        ka, kb = tuple(a), tuple(b)
+        key = (min(ka, kb), max(ka, kb))
+        if key in done:
+            continue
+        done.add(key)
+        f = fwd.get((key[0], key[1]), 0)
+        r = fwd.get((key[1], key[0]), 0)
+        pairs = min(f, r)
+        if pairs:
+            siblings.append((key[0], key[1], pairs))
+        surplus, direction = (f - r, (key[0], key[1])) if f >= r else (
+            r - f, (key[1], key[0])
+        )
+        for _ in range(surplus):
+            edges.append(
+                (np.asarray(direction[0]), np.asarray(direction[1]))
+            )
+
+    def _finish(result_loops, full):
+        if not include_degeneracies:
+            return result_loops, full
+        degens = {"points": [], "sibling_edges": []}
+        # ODD is the only rule with this signature on {0, 1, 2}
+        odd_rule = rule(1) and not rule(0) and not rule(2)
+        for p, mult in Counter(tuple(q) for q in point_shells).items():
+            if odd_rule:
+                emit = mult % 2 == 1
+            else:
+                emit = _winding_at(np.asarray(p), edges, ref, ref_winding) == 0
+            if emit:
+                degens["points"].append(np.asarray(p))
+        for ka, kb, pairs in siblings:
+            a, b = np.asarray(ka), np.asarray(kb)
+            if odd_rule:
+                emit = pairs % 2 == 1
+            else:
+                m = _slerp(a, b, 0.4926353)
+                emit = _winding_at(m, edges, ref, ref_winding) == 0
+            if emit:
+                degens["sibling_edges"].append((a, b))
+        return result_loops, full, degens
+
     if not edges:
-        return [], bool(rule(ref_winding))
+        return _finish([], bool(rule(ref_winding)))
     subs = _split_edges(edges, edges, with_parent=True)
     kept = []
     for a, b, ei in subs:
@@ -170,5 +258,5 @@ def winding_operation(
         elif rr and not rl:
             kept.append((b, a))
     if not kept:
-        return [], bool(rule(ref_winding))
-    return _assemble_loops(kept), False
+        return _finish([], bool(rule(ref_winding)))
+    return _finish(_assemble_loops(kept), False)

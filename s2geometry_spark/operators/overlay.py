@@ -101,7 +101,8 @@ def relation_matrix_join(pairs: DataFrame, normalize: bool = True) -> DataFrame:
 
 
 WINDING_OUT_SCHEMA = (
-    "job string, n_loops int, is_full boolean, signed_area double"
+    "job string, n_loops int, is_full boolean, signed_area double,"
+    " n_deg_points int, n_deg_edges int"
 )
 
 
@@ -110,7 +111,10 @@ def winding_ops_join(jobs: DataFrame) -> DataFrame:
     lat:lng rings, ref 'lat:lng', ref_winding, rule name) → per job the
     output boundary's loop count and total signed area.  Each row's
     winding op runs on an executor (mapInPandas), so a table of millions
-    of jobs distributes with no shuffle."""
+    of jobs distributes with no shuffle.  An optional `degen` int column
+    enables include_degeneracies per job (point shells / sibling pairs,
+    s2winding_operation.h:96-124), reported as n_deg_points /
+    n_deg_edges."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernel import measures as M
@@ -124,13 +128,25 @@ def winding_ops_join(jobs: DataFrame) -> DataFrame:
                     parse_points(s) for s in r.loops.split(";") if s.strip()
                 ]
                 rule = getattr(WindingRule, r.rule)
-                res, full = winding_operation(
-                    loops, parse_points(r.ref)[0], int(r.ref_winding), rule
-                )
+                degen = bool(getattr(r, "degen", 0))
+                if degen:
+                    res, full, degens = winding_operation(
+                        loops, parse_points(r.ref)[0], int(r.ref_winding),
+                        rule, include_degeneracies=True,
+                    )
+                    n_pts = len(degens["points"])
+                    n_sib = len(degens["sibling_edges"])
+                else:
+                    res, full = winding_operation(
+                        loops, parse_points(r.ref)[0], int(r.ref_winding), rule
+                    )
+                    n_pts = n_sib = 0
                 area = M.even_odd_area(list(res)) if res else 0.0
-                out.append((r.job, len(res), bool(full), area))
+                out.append((r.job, len(res), bool(full), area, n_pts, n_sib))
             yield pd.DataFrame(
-                out, columns=["job", "n_loops", "is_full", "signed_area"]
+                out,
+                columns=["job", "n_loops", "is_full", "signed_area",
+                         "n_deg_points", "n_deg_edges"],
             )
 
     return jobs.mapInPandas(run, WINDING_OUT_SCHEMA)

@@ -122,3 +122,74 @@ def test_winding_exact_sides_on_degenerate_sliver():
     np.testing.assert_allclose(
         M.even_odd_area(list(res)), want, rtol=0, atol=1e-15
     )
+
+
+class TestDegenerateBoundaries:
+    """include_degeneracies (s2winding_operation.h:96-124): point shells
+    and sibling pairs re-emitted per the reference's rules."""
+
+    def _pts(self, s):
+        import numpy as np
+
+        from s2geometry_spark.kernel.contains import parse_points
+
+        return np.asarray(parse_points(s)).reshape(-1, 3)
+
+    def test_cancelled_triangle_oddity(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel.winding import (
+            WindingRule,
+            winding_operation,
+        )
+
+        tri = self._pts("0:0, 0:5, 5:0")
+        ref = self._pts("80:80")[0]
+        res, full, deg = winding_operation(
+            [tri, tri[::-1].copy()], ref, 0, WindingRule.ODD,
+            include_degeneracies=True,
+        )
+        assert res == [] and not full
+        assert len(deg["sibling_edges"]) == 3 and not deg["points"]
+        # doubled pair (multiplicity 2) is even → suppressed under ODD
+        res, full, deg = winding_operation(
+            [tri, tri[::-1].copy(), tri.copy(), tri[::-1].copy()],
+            ref, 0, WindingRule.ODD, include_degeneracies=True,
+        )
+        assert not deg["sibling_edges"]
+
+    def test_point_shells_and_segments_by_region(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel.winding import (
+            WindingRule,
+            winding_operation,
+        )
+
+        sq = self._pts("0:0, 0:10, 10:10, 10:0")
+        ref = self._pts("80:80")[0]
+        loops = [
+            sq,
+            self._pts("20:20"),      # point outside (w=0) → emitted
+            self._pts("5:5"),        # point inside (w=1) → suppressed
+            self._pts("4:4, 4:6"),   # segment inside → suppressed
+            self._pts("30:4, 30:6"),  # segment outside → emitted
+        ]
+        res, full, deg = winding_operation(
+            loops, ref, 0, WindingRule.POSITIVE, include_degeneracies=True
+        )
+        assert len(res) == 1
+        assert len(deg["points"]) == 1
+        assert np.allclose(deg["points"][0], self._pts("20:20")[0])
+        assert len(deg["sibling_edges"]) == 1
+
+    def test_default_signature_unchanged(self):
+        from s2geometry_spark.kernel.winding import (
+            WindingRule,
+            winding_operation,
+        )
+
+        sq = self._pts("0:0, 0:10, 10:10, 10:0")
+        ref = self._pts("80:80")[0]
+        out = winding_operation([sq], ref, 0, WindingRule.POSITIVE)
+        assert len(out) == 2 and len(out[0]) == 1
