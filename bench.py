@@ -245,11 +245,15 @@ def scaling_worker(cpus: str):
         indexed_closest_edges_join,
     )
 
+    # SPARK_GRAFT_SCALE_MULT enlarges the secondary-path fixtures (the
+    # Amdahl demonstration knob: at 10x the fixed multi-stage overhead is
+    # amortized and the 4->16 ratios reflect the plans, BASELINE.md)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "1"))
     points = index_points(
         mentions.sample(0.5, seed=7), level=30, with_xyz=True
     ).cache()
-    points.count()
-    queries = spark.range(2_000).select(
+    n_pts = points.count()
+    queries = spark.range(2_000 * mult).select(
         F.col("id").cast("string").alias("query_id"),
         (((F.col("id") * 7907) % 17000) / 100.0 - 85.0 + 0.005).alias("lat"),
         (((F.col("id") * 104729) % 36000) / 100.0 - 180.0 + 0.005).alias("lng"),
@@ -257,7 +261,8 @@ def scaling_worker(cpus: str):
     jobs = {}
     jobs["knn"] = timed(
         lambda: knn_join(
-            queries, points, k=5, level=6, point_cols=("pid", "mention_idx")
+            queries, points, k=5, level=6, point_cols=("pid", "mention_idx"),
+            fact_rows=n_pts,
         ).count(),
         warm=1, reps=2,
     )
@@ -291,7 +296,7 @@ def scaling_worker(cpus: str):
             (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
             F.regexp_replace("text", "(\\S+)", f"$1_{k}").alias("text"),
         )
-        for k in range(2)
+        for k in range(2 * mult)
     ]
     docs = copies[0]
     for c in copies[1:]:

@@ -274,7 +274,12 @@ def simhash(df: DataFrame, bits: int = 32) -> DataFrame:
     return df.select("doc_id", sim.alias("simhash32"))
 
 
-def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.5,
+    broadcast_verify_max_docs: int = 100_000,
+    n_docs: int | None = None,
+) -> DataFrame:
     """Exact global Jaccard pairs via PREFIX FILTERING (the AllPairs /
     PPJoin family): two sets with Jaccard ≥ t must share a token among
     the first ``len - ceil(t*len) + 1`` of each set under a global
@@ -286,26 +291,34 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5) -> DataFra
     Plan: one groupBy (doc-frequency) shuffled by token, one explode +
     equi join keyed by (rare) token, one distinct, one verify join.
     Rare-first ordering makes the hottest join keys the *least* frequent
-    tokens — the skew profile is inverted by construction.
+    tokens — the skew profile is inverted by construction.  Fixed-
+    overhead trims (round-3 directive 3): the per-doc shingle count
+    rides the SAME window partition as the rank (no separate n_tok
+    groupBy + join), and below `broadcast_verify_max_docs` the verify
+    joins broadcast the shingle side (two fewer shuffles at fixture
+    scale; `n_docs` is a hint, counted when omitted).
     """
+    if n_docs is None:
+        n_docs = df.count()
     sh = df.select("doc_id", shingles().alias("sh"))
     tok = sh.select("doc_id", F.explode("sh").alias("t"))
     # global order: doc frequency ascending, ties by token (deterministic)
     freq = tok.groupBy("t").agg(F.count("*").alias("df"))
     ranked = tok.join(freq, "t")
-    # prefix length per doc: n - ceil(t*n) + 1
-    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-        "doc_id"
-    ).orderBy(F.col("df").asc(), F.col("t").asc())
-    pos = ranked.withColumn("_rn", F.row_number().over(w))
-    n_tok = sh.select("doc_id", F.size("sh").alias("n"))
+    # prefix length per doc: n - ceil(t*n) + 1; rank and per-doc token
+    # count share one window partition (one shuffle, two frames)
+    Window = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("t").asc())
+    w_all = Window.partitionBy("doc_id")
+    pos = ranked.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
     # ceil guard: t*n can land one ulp above an exact integer (e.g.
     # 0.07*100 → 7.000000000000001 → ceil 8), shortening the prefix and
     # missing threshold-exact pairs; subtracting 1e-9 restores the
     # AllPairs bound for all practical (t, n)
     prefix = (
-        pos.join(n_tok, "doc_id")
-        .filter(
+        pos.filter(
             F.col("_rn")
             <= F.col("n")
             - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
@@ -324,6 +337,8 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5) -> DataFra
     )
     av = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     bv = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    if n_docs <= broadcast_verify_max_docs:
+        av, bv = F.broadcast(av), F.broadcast(bv)
     verified = cand.join(av, "doc_a").join(bv, "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     uni = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
