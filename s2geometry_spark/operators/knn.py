@@ -211,13 +211,18 @@ def knn_join(
         cand = cand.withColumn("chord2", d2)
         if limit2 is not None:
             cand = cand.filter(F.col("chord2") <= limit2)
+        # project to the minimal row BEFORE the window: the top-k shuffle
+        # repartitions every candidate by query_id, and carrying the full
+        # point row (xyz, lat/lng, cell ids) multiplied the shuffle bytes
+        # ~4× — at 20k queries that was the whole wall-clock
+        cand = cand.select("query_id", "chord2", *point_cols)
         w = Window.partitionBy("query_id").orderBy(
             F.col("chord2").asc(), *[F.col(c) for c in point_cols]
         )
         topk = (
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
-            .drop("_rn", "qx", "qy", "qz", "cell_bucket")
+            .drop("_rn")
         )
         # lazy checkpoint: the first consumer (the convergence aggregate,
         # or — when this round covers the sphere — the caller's one
