@@ -519,8 +519,11 @@ def _q_geo_boolean_ops_sharded(spark, sf_dir):
         pa, pb = parse_polygon(sa), parse_polygon(sb)
         ea = AR.polygon_to_edges_df(spark, pa, 0, partitions=4)
         eb = AR.polygon_to_edges_df(spark, pb, 1, partitions=4)
+        # one shared infrastructure pass (index/anchors/crossings/split)
+        # serves all four ops of the pair
+        results = AR.distributed_boolean_ops(ea, eb, _BOOLEAN_OPS)
         for op in _BOOLEAN_OPS:
-            res = AR.distributed_boolean_op(ea, eb, op)
+            res = results[op]
             area = even_odd_area([l.vertices for l in res.loops]) if res.loops else 0.0
             rows.append((pair, op, len(res.loops), round(float(area), 9)))
     out = spark.createDataFrame(

@@ -644,17 +644,18 @@ _BOOL_OPS = {
 }
 
 
-def distributed_boolean_boundary(
+def distributed_boolean_boundaries(
     edges_a: DataFrame,
     edges_b: DataFrame,
-    op: str,
+    ops: tuple[str, ...],
     seed_level: int = 5,
     max_edges_per_cell: int = 16,
     max_level: int = 20,
-) -> DataFrame:
-    """Boundary edges of op(A, B) computed with NO single task ever
-    holding a whole operand (BOUNDARY_SCHEMA rows, oriented result-left).
-    Both inputs are ARR_EDGE_SCHEMA DataFrames (shape_id 0 and 1)."""
+) -> dict[str, DataFrame]:
+    """Boundary edges of every op(A, B) in `ops`, sharing ONE pass of the
+    op-independent infrastructure (origin flags, shape index, anchors,
+    crossings, sub-edge split) — only the per-sub-edge classification
+    and dedupe differ per op.  Returns {op: BOUNDARY_SCHEMA DataFrame}."""
     from .shape_index import build_shape_index
 
     spark = edges_a.sparkSession
@@ -685,65 +686,92 @@ def distributed_boolean_boundary(
     )
 
     cuts = crossing_points(index, self_mode=False)
+    # the sub-edge table feeds one classify cogroup per op
     subs = split_subedges(edges, cuts, seed_level)
+    if len(ops) > 1:
+        subs = subs.persist()
 
-    opf = _BOOL_OPS[op]
     b_anchors = spark.sparkContext.broadcast(
         {int(k): (bool(v.get(0, False)), bool(v.get(1, False)))
          for k, v in anchors.items()}
     )
 
-    def classify(key, subs_pdf, edges_pdf) -> pd.DataFrame:
-        seed = int(key[0])
-        anchor_pt = _anchor_points(np.array([seed]))[0]
-        av = b_anchors.value.get(seed, (False, False))
-        if len(subs_pdf) == 0:
-            return pd.DataFrame(
-                columns=["sax", "say", "saz", "sbx", "sby", "sbz"]
-            ).astype("float64").assign(
-                seed_s=np.array([], dtype=np.int64),
-                k1=np.array([], dtype=np.int32),
-                k2=np.array([], dtype=np.int64),
-                k3=np.array([], dtype=np.int32),
+    out: dict[str, DataFrame] = {}
+
+    def make_classify(opf):
+        def classify(key, subs_pdf, edges_pdf) -> pd.DataFrame:
+            seed = int(key[0])
+            anchor_pt = _anchor_points(np.array([seed]))[0]
+            av = b_anchors.value.get(seed, (False, False))
+            if len(subs_pdf) == 0:
+                return pd.DataFrame(
+                    columns=["sax", "say", "saz", "sbx", "sby", "sbz"]
+                ).astype("float64").assign(
+                    seed_s=np.array([], dtype=np.int64),
+                    k1=np.array([], dtype=np.int32),
+                    k2=np.array([], dtype=np.int64),
+                    k3=np.array([], dtype=np.int32),
+                )
+
+            def kf(left, right):
+                # fill missing shapes with the anchor base (no local
+                # edges → value constant across the group)
+                n = len(subs_pdf)
+                for d, base in ((left, av), (right, av)):
+                    for s in (0, 1):
+                        if s not in d:
+                            d[s] = np.full(n, base[s], bool)
+                vl = opf(left[0], left[1])
+                vr = opf(right[0], right[1])
+                return vl != vr, ~vl
+
+            res = _classify_group(
+                subs_pdf, edges_pdf, anchor_pt, {0: av[0], 1: av[1]},
+                "parity", kf,
             )
+            res["seed_s"] = np.int64(seed)
+            return res
 
-        def kf(left, right):
-            # fill missing shapes with the anchor base (no local edges →
-            # value constant across the group)
-            n = len(subs_pdf)
-            for d, base in ((left, av), (right, av)):
-                for s in (0, 1):
-                    if s not in d:
-                        d[s] = np.full(n, base[s], bool)
-            vl = opf(left[0], left[1])
-            vr = opf(right[0], right[1])
-            return vl != vr, ~vl
+        return classify
 
-        res = _classify_group(
-            subs_pdf, edges_pdf, anchor_pt, {0: av[0], 1: av[1]}, "parity", kf
+    for op in ops:
+        out[op] = (
+            subs.groupBy("seed_s")
+            .cogroup(seeded.groupBy("seed_s"))
+            .applyInPandas(make_classify(_BOOL_OPS[op]), BOUNDARY_SCHEMA)
+            # shared A/B copies emit the same oriented edge twice — keep
+            # one row with the MINIMAL order key so the assembly walk
+            # order is deterministic (dropDuplicates would pick an
+            # arbitrary copy)
+            .groupBy("sax", "say", "saz", "sbx", "sby", "sbz")
+            .agg(
+                F.min("seed_s").alias("seed_s"),
+                F.min(F.struct("k1", "k2", "k3")).alias("_k"),
+            )
+            .select(
+                "sax", "say", "saz", "sbx", "sby", "sbz", "seed_s",
+                F.col("_k.k1").alias("k1"),
+                F.col("_k.k2").alias("k2"),
+                F.col("_k.k3").alias("k3"),
+            )
         )
-        res["seed_s"] = np.int64(seed)
-        return res
+    return out
 
-    return (
-        subs.groupBy("seed_s")
-        .cogroup(seeded.groupBy("seed_s"))
-        .applyInPandas(classify, BOUNDARY_SCHEMA)
-        # shared A/B copies emit the same oriented edge twice — keep one
-        # row with the MINIMAL order key so the assembly walk order is
-        # deterministic (dropDuplicates would pick an arbitrary copy)
-        .groupBy("sax", "say", "saz", "sbx", "sby", "sbz")
-        .agg(
-            F.min("seed_s").alias("seed_s"),
-            F.min(F.struct("k1", "k2", "k3")).alias("_k"),
-        )
-        .select(
-            "sax", "say", "saz", "sbx", "sby", "sbz", "seed_s",
-            F.col("_k.k1").alias("k1"),
-            F.col("_k.k2").alias("k2"),
-            F.col("_k.k3").alias("k3"),
-        )
-    )
+
+def distributed_boolean_boundary(
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    op: str,
+    seed_level: int = 5,
+    max_edges_per_cell: int = 16,
+    max_level: int = 20,
+) -> DataFrame:
+    """Boundary edges of op(A, B) computed with NO single task ever
+    holding a whole operand (BOUNDARY_SCHEMA rows, oriented result-left).
+    Both inputs are ARR_EDGE_SCHEMA DataFrames (shape_id 0 and 1)."""
+    return distributed_boolean_boundaries(
+        edges_a, edges_b, (op,), seed_level, max_edges_per_cell, max_level
+    )[op]
 
 
 def distributed_winding_boundary(
@@ -1075,20 +1103,32 @@ def _stitch_chains(keyed_chains) -> list[np.ndarray]:
     return loops
 
 
-def distributed_boolean_op(edges_a, edges_b, op: str, **kw):
-    """op(A, B) as a driver-side even-odd Polygon (all loops CCW) —
-    convenience wrapper; at true scale keep the boundary DataFrame."""
+def _loops_to_polygon(loops):
     from ..kernel.contains import Loop, Polygon
     from ..kernel.measures import loop_signed_area
 
-    boundary = distributed_boolean_boundary(edges_a, edges_b, op, **kw)
-    loops = assemble_boundary(boundary)
     out = []
     for v in loops:
         if loop_signed_area(v) < 0:
             v = v[::-1].copy()
         out.append(Loop(v))
     return Polygon(out)
+
+
+def distributed_boolean_op(edges_a, edges_b, op: str, **kw):
+    """op(A, B) as a driver-side even-odd Polygon (all loops CCW) —
+    convenience wrapper; at true scale keep the boundary DataFrame."""
+    boundary = distributed_boolean_boundary(edges_a, edges_b, op, **kw)
+    return _loops_to_polygon(assemble_boundary(boundary))
+
+
+def distributed_boolean_ops(edges_a, edges_b, ops: tuple[str, ...], **kw):
+    """All `ops` over one pair with the op-independent infrastructure
+    (index/anchors/crossings/split) computed once → {op: Polygon}."""
+    bounds = distributed_boolean_boundaries(edges_a, edges_b, ops, **kw)
+    return {
+        op: _loops_to_polygon(assemble_boundary(b)) for op, b in bounds.items()
+    }
 
 
 def distributed_winding_op(edges, ref, ref_winding, rule, **kw):
