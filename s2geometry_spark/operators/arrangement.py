@@ -1134,3 +1134,150 @@ def distributed_boolean_ops(edges_a, edges_b, ops: tuple[str, ...], **kw):
 def distributed_winding_op(edges, ref, ref_winding, rule, **kw):
     boundary = distributed_winding_boundary(edges, ref, ref_winding, rule, **kw)
     return assemble_boundary(boundary)
+
+
+# ------------------------------------------------------------------- buffer
+def distributed_buffer_boundary(
+    edges: DataFrame,
+    radius_rad: float,
+    circle_segments: float = 16.0,
+    seed_level: int = 5,
+    max_edges_per_cell: int = 16,
+    max_level: int = 20,
+) -> DataFrame:
+    """S2BufferOperation at arrangement scale: the offset trace
+    (kernel/booleans._offset_trace — per-edge small-circle arcs joined by
+    signed vertex arcs) is generated PER INPUT EDGE on the executors
+    (each row needs only its own edge and the next vertex, fetched by an
+    (eidx+1)-mod-n self-join — no per-loop task, no driver trace), then
+    the self-intersections resolve through the distributed winding
+    pipeline (rule POSITIVE, reference at the input's antipodal centroid
+    with winding 0 — the reference's own composition,
+    s2buffer_operation.cc).  Input loops must be oriented interior-left
+    (shells CCW, holes CW), as in buffer_polygon_winding.
+
+    The generated trace is bit-identical to the kernel's (same sample
+    formulas; adjacent-duplicate dedup applied at row boundaries with the
+    kernel's 1e-24 chord² rule), so the output boundary matches
+    buffer_polygon_winding loop-for-loop."""
+    spark = edges.sparkSession
+    s = edges.agg(
+        F.sum("ax").alias("sx"), F.sum("ay").alias("sy"), F.sum("az").alias("sz")
+    ).collect()[0]
+    centroid = np.array([float(s.sx), float(s.sy), float(s.sz)])
+    centroid = centroid / np.linalg.norm(centroid)
+    ref = -centroid
+
+    n_per_loop = edges.groupBy("shape_id", "loop_id").agg(
+        (F.max("eidx") + 1).alias("n_loop")
+    )
+    lhs = edges.join(n_per_loop, ["shape_id", "loop_id"]).withColumn(
+        "eidx_next", (F.col("eidx") + 1) % F.col("n_loop")
+    )
+    rhs = edges.select(
+        "shape_id", "loop_id",
+        F.col("eidx").alias("eidx_next"),
+        F.col("bx").alias("cx"), F.col("by").alias("cy"),
+        F.col("bz").alias("cz"),
+    )
+    rows = lhs.join(rhs, ["shape_id", "loop_id", "eidx_next"])
+
+    step = math.pi / circle_segments
+    r = float(radius_rad)
+
+    def trace(batches):
+        def rotate_about(p, axis, angle):
+            axis = axis / np.linalg.norm(axis)
+            c, s_ = math.cos(angle), math.sin(angle)
+            return p * c + np.cross(axis, p) * s_ + axis * float(axis @ p) * (1 - c)
+
+        def offset_point(p, out_dir):
+            t = out_dir - p * float(p @ out_dir)
+            t = t / np.linalg.norm(t)
+            return p * math.cos(r) + t * math.sin(r)
+
+        def row_samples(a, b, c):
+            """The trace points this input edge contributes (kernel
+            _offset_trace body for one i), plus the NEXT row's first
+            point (the next edge's a_off) for boundary dedup."""
+            n = np.cross(a, b)
+            n = n / np.linalg.norm(n)
+            out_dir = -n
+            a_off = offset_point(a, out_dir)
+            b_off = offset_point(b, out_dir)
+            pts = []
+            edge_angle = math.acos(max(-1.0, min(1.0, float(a @ b))))
+            k = max(1, int(math.ceil(edge_angle / step)))
+            for s_i in range(k):
+                pts.append(rotate_about(a_off, n, edge_angle * s_i / k))
+            pts.append(b_off)
+            n2 = np.cross(b, c)
+            n2 = n2 / np.linalg.norm(n2)
+            tb = out_dir - b * float(b @ out_dir)
+            tb = tb / np.linalg.norm(tb)
+            tb2 = -n2 - b * float(b @ -n2)
+            tb2 = tb2 / np.linalg.norm(tb2)
+            cosang = max(-1.0, min(1.0, float(tb @ tb2)))
+            turn = math.acos(cosang)
+            if float(np.cross(tb, tb2) @ b) < 0:
+                turn = -turn
+            k2 = max(1, int(math.ceil(abs(turn) / step)))
+            for s_i in range(1, k2):
+                pts.append(rotate_about(b_off, b, turn * s_i / k2))
+            nxt_first = offset_point(b, -n2)  # next row's a_off
+            return pts, nxt_first
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                a = np.array([row.ax, row.ay, row.az])
+                b = np.array([row.bx, row.by, row.bz])
+                c = np.array([row.cx, row.cy, row.cz])
+                pts, nxt_first = row_samples(a, b, c)
+                # kernel keep[] rule at the row boundary: a point equal
+                # (within 1e-24 chord²) to its successor is dropped by
+                # keeping the SUCCESSOR — i.e. drop our trailing point
+                kept = []
+                for p in pts:
+                    if kept and float(((p - kept[-1]) ** 2).sum()) <= 1e-24:
+                        continue
+                    kept.append(p)
+                if kept and float(((nxt_first - kept[-1]) ** 2).sum()) <= 1e-24:
+                    kept.pop()
+                # emit trace EDGES: consecutive kept points + the
+                # connector to the next row's first point
+                chain = kept + [nxt_first]
+                for si in range(len(chain) - 1):
+                    # pack from the FLAT input edge_id (unique across
+                    # loops) — eidx restarts per loop and would collide
+                    tid = int(row.edge_id) * 64 + si
+                    out.append(
+                        (
+                            int(row.shape_id), int(row.loop_id), tid, tid,
+                            *(float(v) for v in chain[si]),
+                            *(float(v) for v in chain[si + 1]),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["shape_id", "loop_id", "eidx", "edge_id",
+                         "ax", "ay", "az", "bx", "by", "bz"],
+            ).astype({"shape_id": "int32", "loop_id": "int32",
+                      "eidx": "int32", "edge_id": "int32"})
+
+    trace_edges = rows.mapInPandas(trace, ARR_EDGE_SCHEMA)
+    from ..kernel.winding import WindingRule
+
+    return distributed_winding_boundary(
+        trace_edges, ref, 0, WindingRule.POSITIVE,
+        seed_level=seed_level, max_edges_per_cell=max_edges_per_cell,
+        max_level=max_level,
+    )
+
+
+def distributed_buffer_op(edges, radius_rad, circle_segments=16.0, **kw):
+    """Buffered polygon as a driver-side Polygon (convenience)."""
+    boundary = distributed_buffer_boundary(
+        edges, radius_rad, circle_segments, **kw
+    )
+    return _loops_to_polygon(assemble_boundary(boundary))

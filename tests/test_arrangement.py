@@ -151,3 +151,32 @@ def test_vectorize_sharded_equals_driver_path(spark):
     pts = rng.normal(size=(5000, 3))
     pts /= np.linalg.norm(pts, axis=1, keepdims=True)
     assert not (p_dist.contains(pts) ^ p_driver.contains(pts)).any()
+
+
+def test_distributed_buffer_matches_kernel(spark):
+    """distributed_buffer_op (per-edge offset trace → distributed
+    winding) reproduces buffer_polygon_winding on every contract buffer
+    fixture — convex, reflex L-shape, and holed."""
+    import math
+
+    import __spark_entry__ as E
+    from s2geometry_spark.kernel.booleans import buffer_polygon_winding
+    from s2geometry_spark.kernel.measures import even_odd_signs
+
+    for job in E._BUFFER_JOBS:
+        name, loops_s, radius_deg, segs = (
+            job[0], job[1], float(job[2]), float(job[3])
+        )
+        poly = parse_polygon(loops_s)
+        kern = buffer_polygon_winding(poly, math.radians(radius_deg), segs)
+        signs = even_odd_signs([l.vertices for l in poly.loops])
+        oriented = [
+            l.vertices if s > 0 else l.vertices[::-1].copy()
+            for s, l in zip(signs, poly.loops)
+        ]
+        edges = AR.loops_to_edges_df(spark, oriented, 0, partitions=4)
+        got = AR.distributed_buffer_op(edges, math.radians(radius_deg), segs)
+        assert len(got.loops) == len(kern.loops), name
+        ka = _area([l.vertices for l in kern.loops])
+        ga = _area([l.vertices for l in got.loops])
+        assert abs(ga - ka) < 1e-12, name
