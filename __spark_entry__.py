@@ -1101,10 +1101,15 @@ def _oracle_sql_impl() -> dict[str, str]:
         f"list_distinct(list_transform(generate_series(1, greatest(length({nwords}) - 2, 1)),"
         f" i -> array_to_string(({nwords})[i:i+2], ' ')))"
     )
+    # hash 4a+b = 8-hex slice b of md5(a|s) — mirrors
+    # operators/dedup.minhash_signatures_df (3 md5 calls per shingle)
     minhash_sig = (
         "["
         + ", ".join(
-            f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(12)
+            f"list_min(list_transform(sh,"
+            f" s -> substring(md5('{a}|' || s), {8 * b + 1}, 8)))"
+            for a in range(3)
+            for b in range(4)
         )
         + "]"
     )

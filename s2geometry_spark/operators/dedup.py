@@ -92,31 +92,46 @@ def ngram_jaccard_pairs_blocked_baseline(
 
 
 def minhash_signature(col="text", num_hashes: int = NUM_HASHES):
-    """MinHash signature: per hash index i, min over shingles of
-    md5(i || '|' || shingle).  Lexicographic min of a uniform hex hash is
-    a valid min-hash; md5 is available bit-identically in DuckDB."""
+    """MinHash signature: hash 4·a+b is the b-th 8-hex-char slice of
+    md5(a || '|' || shingle), minimized over shingles — num_hashes/4 md5
+    calls per shingle instead of num_hashes (md5 dominates the minhash
+    cost; each 8-hex slice is an independent uniform 32-bit hash, and the
+    lexicographic min of a uniform hex string is a valid min-hash).
+    Bit-identical in DuckDB (md5 + substring)."""
+    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
     sh = shingles(col)
     return F.array(
         *[
             F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+                F.transform(
+                    sh,
+                    lambda s, a=a, b=b: F.substring(
+                        F.md5(F.concat(F.lit(f"{a}|"), s)), 8 * b + 1, 8
+                    ),
+                )
             )
-            for i in range(num_hashes)
+            for a in range(num_hashes // 4)
+            for b in range(4)
         ]
     )
 
 
 def minhash_signatures_df(df: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """(doc_id, sig array) via explode + groupBy(min) — one shuffle with
-    map-side partial aggregation, and the shingle array is computed once
-    (the nested-transform form re-evaluates it per hash and falls out of
-    codegen for large expression trees)."""
+    map-side partial aggregation; the shingle array is computed once and
+    each md5 feeds FOUR signature lanes (8-hex-char slices), so the JVM
+    hash work is num_hashes/4 md5 calls per exploded shingle row."""
+    assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
     exploded = df.select("doc_id", F.explode(shingles()).alias("sh"))
+    n_md5 = num_hashes // 4
     hashed = exploded.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("sh"))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.substring(
+                F.md5(F.concat(F.lit(f"{a}|"), F.col("sh"))), 8 * b + 1, 8
+            ).alias(f"h{4 * a + b}")
+            for a in range(n_md5)
+            for b in range(4)
         ],
     )
     agg = hashed.groupBy("doc_id").agg(
