@@ -608,6 +608,168 @@ def buffer_convex_polygon(
     return Polygon([Loop(ring)])
 
 
+def _vdot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a[:, 0] * b[:, 0] + a[:, 1] * b[:, 1] + a[:, 2] * b[:, 2]
+
+
+def _vcross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.stack(
+        [
+            a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1],
+            a[:, 2] * b[:, 0] - a[:, 0] * b[:, 2],
+            a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0],
+        ],
+        -1,
+    )
+
+
+def _vnorm(a: np.ndarray) -> np.ndarray:
+    return np.sqrt(_vdot(a, a))
+
+
+def _rot_about(p: np.ndarray, axis: np.ndarray, ang: np.ndarray) -> np.ndarray:
+    """Rodrigues rotation of p[i] about axis[i] by every angle in
+    ang[i, :] → (n, K, 3).  Elementwise arithmetic only (no BLAS
+    reductions), so results are independent of how rows are batched."""
+    an = axis / _vnorm(axis)[:, None]
+    c = np.cos(ang)
+    s = np.sin(ang)
+    ad = _vdot(an, p)
+    cr = _vcross(an, p)
+    return (
+        p[:, None, :] * c[..., None]
+        + cr[:, None, :] * s[..., None]
+        + an[:, None, :] * (ad[:, None] * (1 - c))[..., None]
+    )
+
+
+def _offset_trace_samples(
+    A: np.ndarray,
+    B: np.ndarray,
+    C2: np.ndarray,
+    radius_rad: float,
+    circle_segments: float,
+):
+    """Vectorized offset-trace samples for edge rows (a_i → b_i) with
+    following vertex c_i: per row, the edge-arc samples, b_off, and the
+    signed vertex-arc samples — the same point stream `_offset_trace`
+    emits, in the same order.  Returns (pts (M,3) row-major, row_id (M,),
+    nxt_first (N,3) — the NEXT edge's first point offset(b, -n2), for
+    row-boundary dedup, counts (N,)).
+
+    Every operation is elementwise (explicit component dot/cross/norm,
+    np trig), so a row's samples are bit-identical whether computed here
+    for a whole loop (single-node kernel) or for an arbitrary executor
+    batch (distributed trace) — the parity the distributed buffer
+    fixtures gate on."""
+    step = math.pi / circle_segments
+    N = len(A)
+    n = _vcross(A, B)
+    n = n / _vnorm(n)[:, None]
+    out_dir = -n  # interior on left ⇒ exterior = right = -pole
+    cr_, sr_ = math.cos(radius_rad), math.sin(radius_rad)
+
+    def off(p, d):
+        t = d - p * _vdot(p, d)[:, None]
+        t = t / _vnorm(t)[:, None]
+        return p * cr_ + t * sr_
+
+    a_off = off(A, out_dir)
+    b_off = off(B, out_dir)
+    ea = np.arccos(np.clip(_vdot(A, B), -1.0, 1.0))
+    k1 = np.maximum(1, np.ceil(ea / step)).astype(np.int64)
+    # signed vertex arc at b toward the next edge's offset start
+    n2 = _vcross(B, C2)
+    n2 = n2 / _vnorm(n2)[:, None]
+    mn2 = -n2
+    tb = out_dir - B * _vdot(B, out_dir)[:, None]
+    tb = tb / _vnorm(tb)[:, None]
+    tb2 = mn2 - B * _vdot(B, mn2)[:, None]
+    tb2 = tb2 / _vnorm(tb2)[:, None]
+    turn = np.arccos(np.clip(_vdot(tb, tb2), -1.0, 1.0))
+    # reflex vertex: sweep backwards (racetrack lobe)
+    turn = np.where(_vdot(_vcross(tb, tb2), B) < 0, -turn, turn)
+    k2 = np.maximum(1, np.ceil(np.abs(turn) / step)).astype(np.int64)
+
+    counts = k1 + k2  # k1 edge samples + b_off + (k2-1) vertex samples
+    offs = np.zeros(N + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    pts = np.empty((int(offs[-1]), 3), np.float64)
+    row_id = np.repeat(np.arange(N, dtype=np.int64), counts)
+    for K in np.unique(k1):
+        r = np.nonzero(k1 == K)[0]
+        ang = ea[r, None] * np.arange(K)[None, :] / K  # (ea*s_i)/K order
+        pos = offs[r, None] + np.arange(K)[None, :]
+        pts[pos.ravel()] = _rot_about(a_off[r], n[r], ang).reshape(-1, 3)
+    pts[offs[:N] + k1] = b_off
+    for K in np.unique(k2):
+        if K < 2:
+            continue
+        r = np.nonzero(k2 == K)[0]
+        ang = turn[r, None] * np.arange(1, K)[None, :] / K
+        pos = offs[r, None] + k1[r, None] + np.arange(1, K)[None, :]
+        pts[pos.ravel()] = _rot_about(b_off[r], B[r], ang).reshape(-1, 3)
+    return pts, row_id, off(B, mn2), counts
+
+
+def _dedup_keep_mask(
+    arr: np.ndarray, row_id: np.ndarray | None = None, tol: float = 1e-24
+) -> np.ndarray:
+    """keep[] mask with the kernel's prev-KEPT dedup semantics: a point
+    within tol chord² of the last kept point (in its row) is dropped.
+    Vectorized fast path when duplicates are isolated; exact scalar walk
+    per affected row otherwise (chained duplicates are degenerate
+    inputs)."""
+    n = len(arr)
+    keep = np.ones(n, bool)
+    if n <= 1:
+        return keep
+    same = (
+        np.ones(n - 1, bool)
+        if row_id is None
+        else row_id[1:] == row_id[:-1]
+    )
+    d = same & (((arr[1:] - arr[:-1]) ** 2).sum(1) <= tol)
+    cand = np.nonzero(d)[0] + 1
+    if len(cand) == 0:
+        return keep
+    # fast path valid iff every drop's successor is (a) not itself a
+    # candidate and (b) still > tol from the drop's PREDECESSOR — then
+    # "prev point" and "prev kept" coincide everywhere
+    ok = len(cand) < 2 or bool(np.all(np.diff(cand) > 1))
+    if ok:
+        nxt = cand + 1
+        valid = nxt < n if row_id is None else (
+            (nxt < n) & (row_id[np.minimum(nxt, n - 1)] == row_id[cand])
+        )
+        if valid.any():
+            d2 = ((arr[nxt[valid]] - arr[cand[valid] - 1]) ** 2).sum(1)
+            ok = bool(np.all(d2 > tol))
+    if ok:
+        keep[cand] = False
+        return keep
+    # scalar fallback, restricted to rows containing a candidate
+    # (keep[] is still all-True here — nothing was dropped yet)
+    if row_id is None:
+        starts, ends = [0], [n]
+    else:
+        rows = set(row_id[cand].tolist())
+        bounds = np.nonzero(row_id[1:] != row_id[:-1])[0] + 1
+        starts_all = np.concatenate([[0], bounds])
+        ends_all = np.concatenate([bounds, [n]])
+        sel = [i for i, s in enumerate(starts_all) if int(row_id[s]) in rows]
+        starts = [int(starts_all[i]) for i in sel]
+        ends = [int(ends_all[i]) for i in sel]
+    for s, e in zip(starts, ends):
+        last = s
+        for i in range(s + 1, e):
+            if ((arr[i] - arr[last]) ** 2).sum() <= tol:
+                keep[i] = False
+            else:
+                last = i
+    return keep
+
+
 def _offset_trace(
     vertices: np.ndarray, radius_rad: float, circle_segments: float = 16.0
 ) -> np.ndarray:
@@ -617,57 +779,22 @@ def _offset_trace(
     (s2buffer_operation.cc): per-edge small-circle offset arcs joined by
     SIGNED vertex arcs (convex/left turns sweep a join arc; reflex/right
     turns sweep backwards, producing the self-crossing racetrack lobe
-    the winding rule later cancels)."""
+    the winding rule later cancels).  Sample generation is the shared
+    vectorized `_offset_trace_samples` (also the distributed trace's
+    generator, operators/arrangement.py — bit-identical by construction)."""
     v = np.asarray(vertices, float).reshape(-1, 3)
-    n_v = len(v)
-    step = math.pi / circle_segments
-    out: list[np.ndarray] = []
-
-    def rotate_about(p: np.ndarray, axis: np.ndarray, angle: float) -> np.ndarray:
-        axis = axis / np.linalg.norm(axis)
-        c, s = math.cos(angle), math.sin(angle)
-        return p * c + np.cross(axis, p) * s + axis * float(axis @ p) * (1 - c)
-
-    def offset_point(p: np.ndarray, out_dir: np.ndarray) -> np.ndarray:
-        t = out_dir - p * float(p @ out_dir)
-        t = t / np.linalg.norm(t)
-        return p * math.cos(radius_rad) + t * math.sin(radius_rad)
-
-    for i in range(n_v):
-        a = v[i]
-        b = v[(i + 1) % n_v]
-        c = v[(i + 2) % n_v]
-        n = np.cross(a, b)
-        n = n / np.linalg.norm(n)
-        out_dir = -n  # interior on left ⇒ exterior = right = -pole
-        a_off = offset_point(a, out_dir)
-        b_off = offset_point(b, out_dir)
-        edge_angle = math.acos(max(-1.0, min(1.0, float(a @ b))))
-        k = max(1, int(math.ceil(edge_angle / step)))
-        for s_i in range(k):
-            out.append(rotate_about(a_off, n, edge_angle * s_i / k))
-        out.append(b_off)
-        # signed vertex arc at b toward the next edge's offset start
-        n2 = np.cross(b, c)
-        n2 = n2 / np.linalg.norm(n2)
-        tb = out_dir - b * float(b @ out_dir)
-        tb = tb / np.linalg.norm(tb)
-        tb2 = -n2 - b * float(b @ -n2)
-        tb2 = tb2 / np.linalg.norm(tb2)
-        cosang = max(-1.0, min(1.0, float(tb @ tb2)))
-        turn = math.acos(cosang)
-        if float(np.cross(tb, tb2) @ b) < 0:
-            turn = -turn  # reflex vertex: sweep backwards (racetrack lobe)
-        k = max(1, int(math.ceil(abs(turn) / step)))
-        for s_i in range(1, k):
-            out.append(rotate_about(b_off, b, turn * s_i / k))
-    arr = np.asarray(out).reshape(-1, 3)
-    keep = [0]
-    for i in range(1, len(arr)):
-        if ((arr[i] - arr[keep[-1]]) ** 2).sum() > 1e-24:
-            keep.append(i)
-    if ((arr[keep[-1]] - arr[keep[0]]) ** 2).sum() <= 1e-24 and len(keep) > 1:
-        keep.pop()
+    A = v
+    B = np.roll(v, -1, axis=0)
+    C2 = np.roll(v, -2, axis=0)
+    arr, _rid, _nxt, _cnt = _offset_trace_samples(
+        A, B, C2, radius_rad, circle_segments
+    )
+    keep = np.nonzero(_dedup_keep_mask(arr))[0]
+    if (
+        len(keep) > 1
+        and ((arr[keep[-1]] - arr[keep[0]]) ** 2).sum() <= 1e-24
+    ):
+        keep = keep[:-1]
     return arr[keep]
 
 

@@ -59,12 +59,12 @@ from ..kernel import parity as PK
 from ..kernel import predicates as P
 
 ARR_EDGE_SCHEMA = (
-    "shape_id int, loop_id int, eidx int, edge_id int,"
+    "shape_id int, loop_id int, eidx long, edge_id long,"
     " ax double, ay double, az double, bx double, by double, bz double"
 )
 
 SUB_SCHEMA = (
-    "shape_id int, edge_id int, sub_idx int,"
+    "shape_id int, edge_id long, sub_idx int,"
     " pax double, pay double, paz double, pbx double, pby double, pbz double,"
     " sax double, say double, saz double, sbx double, sby double, sbz double,"
     " mx double, my double, mz double, seed_s long"
@@ -382,7 +382,9 @@ def crossing_points(index: DataFrame, self_mode: bool) -> DataFrame:
         B = pdf[["bx", "by", "bz"]].to_numpy(np.float64)
         sid = pdf["shape_id"].to_numpy(np.int64)
         eid = pdf["edge_id"].to_numpy(np.int64)
-        key64 = (sid << 32) | eid
+        # shape ids are tiny; edge ids (incl. block-packed trace ids)
+        # stay below 2^48
+        key64 = (sid << 48) | eid
         # dedupe edges within the cell
         _, first = np.unique(key64, return_index=True)
         A, B, sid, eid, key64 = (
@@ -527,7 +529,7 @@ def split_subedges(edges: DataFrame, cuts: DataFrame, seed_level: int) -> DataFr
             else:
                 res["seed_s"] = np.array([], dtype=np.int64)
             yield res.astype(
-                {"shape_id": "int32", "edge_id": "int32",
+                {"shape_id": "int32", "edge_id": "int64",
                  "sub_idx": "int32", "seed_s": "int64"}
             )
 
@@ -1182,88 +1184,93 @@ def distributed_buffer_boundary(
     )
     rows = lhs.join(rhs, ["shape_id", "loop_id", "eidx_next"])
 
-    step = math.pi / circle_segments
     r = float(radius_rad)
+    # sub-edge id block per input edge: a row emits at most
+    # k1 + 1 + (k2-1) + 1 = 2*circle_segments + 1 trace edges (both arc
+    # spans are bounded by pi/step = circle_segments samples), so the
+    # packed id edge_id*block + si is collision-free for ANY
+    # circle_segments, and int64 ids carry billions of input edges
+    # (the old edge_id*64 int32 packing collided for circle_segments>32
+    # and wrapped past ~33M edges)
+    block = 2 * int(math.ceil(circle_segments)) + 2
 
     def trace(batches):
-        def rotate_about(p, axis, angle):
-            axis = axis / np.linalg.norm(axis)
-            c, s_ = math.cos(angle), math.sin(angle)
-            return p * c + np.cross(axis, p) * s_ + axis * float(axis @ p) * (1 - c)
+        from ..kernel.booleans import _dedup_keep_mask, _offset_trace_samples
 
-        def offset_point(p, out_dir):
-            t = out_dir - p * float(p @ out_dir)
-            t = t / np.linalg.norm(t)
-            return p * math.cos(r) + t * math.sin(r)
-
-        def row_samples(a, b, c):
-            """The trace points this input edge contributes (kernel
-            _offset_trace body for one i), plus the NEXT row's first
-            point (the next edge's a_off) for boundary dedup."""
-            n = np.cross(a, b)
-            n = n / np.linalg.norm(n)
-            out_dir = -n
-            a_off = offset_point(a, out_dir)
-            b_off = offset_point(b, out_dir)
-            pts = []
-            edge_angle = math.acos(max(-1.0, min(1.0, float(a @ b))))
-            k = max(1, int(math.ceil(edge_angle / step)))
-            for s_i in range(k):
-                pts.append(rotate_about(a_off, n, edge_angle * s_i / k))
-            pts.append(b_off)
-            n2 = np.cross(b, c)
-            n2 = n2 / np.linalg.norm(n2)
-            tb = out_dir - b * float(b @ out_dir)
-            tb = tb / np.linalg.norm(tb)
-            tb2 = -n2 - b * float(b @ -n2)
-            tb2 = tb2 / np.linalg.norm(tb2)
-            cosang = max(-1.0, min(1.0, float(tb @ tb2)))
-            turn = math.acos(cosang)
-            if float(np.cross(tb, tb2) @ b) < 0:
-                turn = -turn
-            k2 = max(1, int(math.ceil(abs(turn) / step)))
-            for s_i in range(1, k2):
-                pts.append(rotate_about(b_off, b, turn * s_i / k2))
-            nxt_first = offset_point(b, -n2)  # next row's a_off
-            return pts, nxt_first
-
+        cols = ["shape_id", "loop_id", "eidx", "edge_id",
+                "ax", "ay", "az", "bx", "by", "bz"]
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                a = np.array([row.ax, row.ay, row.az])
-                b = np.array([row.bx, row.by, row.bz])
-                c = np.array([row.cx, row.cy, row.cz])
-                pts, nxt_first = row_samples(a, b, c)
-                # kernel keep[] rule at the row boundary: a point equal
-                # (within 1e-24 chord²) to its successor is dropped by
-                # keeping the SUCCESSOR — i.e. drop our trailing point
-                kept = []
-                for p in pts:
-                    if kept and float(((p - kept[-1]) ** 2).sum()) <= 1e-24:
-                        continue
-                    kept.append(p)
-                if kept and float(((nxt_first - kept[-1]) ** 2).sum()) <= 1e-24:
-                    kept.pop()
-                # emit trace EDGES: consecutive kept points + the
-                # connector to the next row's first point
-                chain = kept + [nxt_first]
-                for si in range(len(chain) - 1):
-                    # pack from the FLAT input edge_id (unique across
-                    # loops) — eidx restarts per loop and would collide
-                    tid = int(row.edge_id) * 64 + si
-                    out.append(
-                        (
-                            int(row.shape_id), int(row.loop_id), tid, tid,
-                            *(float(v) for v in chain[si]),
-                            *(float(v) for v in chain[si + 1]),
-                        )
-                    )
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=cols).astype(
+                    {"shape_id": "int32", "loop_id": "int32",
+                     "eidx": "int64", "edge_id": "int64"}
+                    | {c: "float64" for c in cols[4:]}
+                )
+                continue
+            A = pdf[["ax", "ay", "az"]].to_numpy(np.float64)
+            B = pdf[["bx", "by", "bz"]].to_numpy(np.float64)
+            C2 = pdf[["cx", "cy", "cz"]].to_numpy(np.float64)
+            # (N,3)-vectorized sample generation shared with the kernel
+            # _offset_trace -- bit-identical per row regardless of batch
+            pts, rid, nxt_first, _cnt = _offset_trace_samples(
+                A, B, C2, r, circle_segments
+            )
+            keep = _dedup_keep_mask(pts, rid)
+            # kernel keep[] rule at the row boundary: the row's trailing
+            # point is dropped when the NEXT row's first point equals it
+            kidx = np.nonzero(keep)[0]
+            krow = rid[kidx]
+            if len(kidx):
+                last_mask = np.ones(len(kidx), bool)
+                last_mask[:-1] = krow[:-1] != krow[1:]
+                last_idx = kidx[last_mask]
+                last_rows = krow[last_mask]
+                drop = (
+                    (pts[last_idx] - nxt_first[last_rows]) ** 2
+                ).sum(1) <= 1e-24
+                if drop.any():
+                    keep[last_idx[drop]] = False
+                    kidx = np.nonzero(keep)[0]
+                    krow = rid[kidx]
+            # emit trace EDGES: consecutive kept points + the connector
+            # to the next row's first point
+            src = pts[kidx]
+            same_next = np.zeros(len(kidx), bool)
+            if len(kidx) > 1:
+                same_next[:-1] = krow[1:] == krow[:-1]
+            dst = np.empty_like(src)
+            nn = np.nonzero(same_next)[0]
+            dst[nn] = pts[kidx[nn + 1]]
+            dst[~same_next] = nxt_first[krow[~same_next]]
+            row_change = np.ones(len(kidx), bool)
+            if len(kidx) > 1:
+                row_change[1:] = krow[1:] != krow[:-1]
+            grp_start = np.nonzero(row_change)[0]
+            starts_rep = np.repeat(
+                grp_start, np.diff(np.append(grp_start, len(kidx)))
+            )
+            si = np.arange(len(kidx), dtype=np.int64) - starts_rep
+            if len(si) and int(si.max()) >= block:
+                raise ValueError(
+                    f"trace chain exceeds id block ({int(si.max())} >= "
+                    f"{block}) -- inconsistent with circle_segments bound"
+                )
+            eid = pdf["edge_id"].to_numpy(np.int64)
+            sid = pdf["shape_id"].to_numpy(np.int64)
+            lid = pdf["loop_id"].to_numpy(np.int64)
+            # pack from the FLAT input edge_id (unique across loops) --
+            # eidx restarts per loop and would collide
+            tid = eid[krow] * block + si
             yield pd.DataFrame(
-                out,
-                columns=["shape_id", "loop_id", "eidx", "edge_id",
-                         "ax", "ay", "az", "bx", "by", "bz"],
-            ).astype({"shape_id": "int32", "loop_id": "int32",
-                      "eidx": "int32", "edge_id": "int32"})
+                {
+                    "shape_id": sid[krow].astype(np.int32),
+                    "loop_id": lid[krow].astype(np.int32),
+                    "eidx": tid,
+                    "edge_id": tid,
+                    "ax": src[:, 0], "ay": src[:, 1], "az": src[:, 2],
+                    "bx": dst[:, 0], "by": dst[:, 1], "bz": dst[:, 2],
+                }
+            )
 
     trace_edges = rows.mapInPandas(trace, ARR_EDGE_SCHEMA)
     from ..kernel.winding import WindingRule
