@@ -480,6 +480,15 @@ _BOOLEAN_FIXTURES = [
     ("sq_overlap", "0:0, 0:4, 4:4, 4:0", "2:2, 2:6, 6:6, 6:2"),
     ("nested", "0:0, 0:4, 4:4, 4:0", "1:1, 1:3, 3:3, 3:1"),
 ]
+# touch-only pairs whose CLOSED-model boolean outputs carry degenerate
+# rows (sibling-pair edges / point shells+holes; s2boolean_operation.h
+# PolygonEdge/VertexClosedPolygon* cases) — used by geo_boolean_ops
+# (kernel path emits degeneracies); the sharded query keeps the base
+# proper-output fixtures
+_BOOLEAN_FIXTURES_TOUCH = [
+    ("edge_touch", "0:0, 0:4, 2:4, 2:0", "0:4, 1:5, 2:4"),
+    ("corner_touch", "0:0, 0:5, 1:5", "0:0, 5:3, 5:2"),
+]
 _BOOLEAN_OPS = ("difference", "intersection", "symmetric_difference", "union")
 
 
@@ -491,10 +500,13 @@ def _q_geo_boolean_ops(spark, sf_dir):
     loops + inclusion-exclusion identities over input-only areas."""
     from s2geometry_spark.operators.overlay import boolean_ops_join, polygon_pairs_df
 
-    pairs = polygon_pairs_df(spark, _BOOLEAN_FIXTURES)
-    out = boolean_ops_join(pairs, ops=_BOOLEAN_OPS)
+    pairs = polygon_pairs_df(
+        spark, _BOOLEAN_FIXTURES + _BOOLEAN_FIXTURES_TOUCH
+    )
+    out = boolean_ops_join(pairs, ops=_BOOLEAN_OPS, with_degeneracies=True)
     return out.select(
-        "pair", "op", "n_loops", F.round("signed_area", 9).alias("area_r")
+        "pair", "op", "n_loops", F.round("signed_area", 9).alias("area_r"),
+        "n_deg_edges", "n_deg_points",
     ).orderBy("pair", "op")
 
 
@@ -1164,7 +1176,10 @@ def _oracle_sql_impl() -> dict[str, str]:
         ),
         "geo_hausdorff": _hausdorff_oracle(),
         "geo_polygon_covering": _covering_oracle(),
-        "geo_boolean_ops": OR.boolean_fixture_sql(_BOOLEAN_FIXTURES, _BOOLEAN_OPS),
+        "geo_boolean_ops": OR.boolean_fixture_sql(
+            _BOOLEAN_FIXTURES + _BOOLEAN_FIXTURES_TOUCH, _BOOLEAN_OPS,
+            degeneracies=True,
+        ),
         "geo_boolean_ops_sharded": OR.boolean_fixture_sql(_BOOLEAN_FIXTURES, _BOOLEAN_OPS),
         "geo_winding_ops": OR.winding_fixture_sql(_WINDING_JOBS),
         "geo_buffer": OR.buffer_fixture_sql(_BUFFER_JOBS, _BUFFER_CONVEX),

@@ -809,7 +809,8 @@ def _tri_area_sql(p, q, r) -> str:
 
 
 def boolean_fixture_sql(
-    fixtures, ops=("difference", "intersection", "union"), tol: float = 1e-9
+    fixtures, ops=("difference", "intersection", "union"), tol: float = 1e-9,
+    degeneracies: bool = False,
 ) -> str:
     """Oracle for boolean_ops_join over hole-free input polygons.
 
@@ -845,13 +846,21 @@ def boolean_fixture_sql(
             for li, loop_s in enumerate(txt.split(";")):
                 in_rows.append((f"{pair}|{side}", li, _parse_latlng_loop(loop_s)))
         for op in ops:
-            res = fns[op](pa, pb)
+            if degeneracies:
+                res, de, dp = B.boolean_op_with_degeneracies(pa, pb, op)
+                nde, ndp = len(de), len(dp)
+            else:
+                res = fns[op](pa, pb)
+                nde = ndp = 0
             grp = f"{pair}|{op}"
             signs = M.even_odd_signs([l.vertices for l in res.loops])
             for li, (sgn, l) in enumerate(zip(signs, res.loops)):
                 out_rows.append((grp, li, sgn, l.vertices))
-            meta_rows.append((pair, op, len(res.loops)))
-    meta_vals = ", ".join(f"('{p}', '{o}', {n})" for p, o, n in meta_rows)
+            meta_rows.append((pair, op, len(res.loops), nde, ndp))
+    meta_vals = ", ".join(
+        f"('{p}', '{o}', {n}, {nde}, {ndp})"
+        for p, o, n, nde, ndp in meta_rows
+    )
 
     def _a(grp: str) -> str:
         return f"coalesce((SELECT area FROM oarea WHERE grp = '{grp}'), 0.0)"
@@ -882,10 +891,12 @@ def boolean_fixture_sql(
     {_area_fold_ctes('oedges', 'oarea')},
     {_latlng_edges_cte('iedges', in_rows)},
     {_area_fold_ctes('iedges', 'iarea')},
-    meta(pair, op, n_loops) AS (VALUES {meta_vals}),
+    meta(pair, op, n_loops, n_deg_edges, n_deg_points)
+      AS (VALUES {meta_vals}),
     checks AS (SELECT ({' AND '.join(conds)}) AS ok)
     SELECT m.pair, m.op, m.n_loops,
            round(coalesce(o.area, 0.0), 9) AS area_r
+           {', m.n_deg_edges, m.n_deg_points' if degeneracies else ''}
     FROM meta m LEFT JOIN oarea o ON o.grp = m.pair || '|' || m.op
     WHERE (SELECT ok FROM checks)
     ORDER BY m.pair, m.op

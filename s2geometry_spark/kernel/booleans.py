@@ -17,9 +17,12 @@ Overlay algorithm:
     transversal crossing exactly one kept edge leaves each kept entry).
 
 Shared boundaries are supported: exactly-shared edges resolve by
-orientation rules, shared vertices by max-CCW-turn face tracing.  Only
-*partially* overlapping collinear edges (true snap-rounding territory,
-S2Builder) are out of scope.
+orientation rules, shared vertices by max-CCW-turn face tracing.
+*Partially* overlapping collinear edges go through `boolean_op_snapped`,
+which composes the S2Builder snap machinery (one joint site set + the
+exact Voronoi edge phase) in front of the overlay — the reference's own
+architecture (s2boolean_operation.h snap_function) — turning collinear
+overlaps into exactly-shared sub-chains.
 """
 
 from __future__ import annotations
@@ -418,6 +421,68 @@ def symmetric_difference(a: Polygon, b: Polygon) -> Polygon:
     return _overlay(
         a, b, keep_a_inside=False, keep_b_inside=False, reverse_b=False, xor=True
     )
+
+
+def snap_polygons_joint(polys: list, snap) -> list:
+    """Snap several polygons through ONE S2Builder site set with the
+    exact Voronoi EDGE phase (kernel/builder.py snap_edge_chain): every
+    boundary edge of every polygon snaps to the ordered chain of joint
+    sites its Voronoi walk visits.  Because the site set is shared,
+    partially-overlapping collinear boundary chains land on IDENTICAL
+    site sub-chains — i.e. exactly-shared edges, which the overlay's
+    shared-boundary rules resolve structurally."""
+    from .builder import choose_sites, snap_edge_chain
+
+    all_v = [
+        l.vertices for p in polys for l in p.loops if len(l.vertices)
+    ]
+    if not all_v:
+        return [Polygon([]) for _ in polys]
+    sites, _vmap = choose_sites(np.concatenate(all_v), snap)
+    out = []
+    for p in polys:
+        loops = []
+        for loop in p.loops:
+            v = loop.vertices
+            chain: list[np.ndarray] = []
+            for i in range(len(v)):
+                for si in snap_edge_chain(
+                    v[i], v[(i + 1) % len(v)], sites, snap.snap_radius
+                ):
+                    s = sites[si]
+                    if chain and np.all(chain[-1] == s):
+                        continue
+                    chain.append(s)
+            if len(chain) > 1 and np.all(chain[0] == chain[-1]):
+                chain.pop()
+            if len(chain) >= 3:
+                loops.append(Loop(np.asarray(chain)))
+        out.append(Polygon(loops))
+    return out
+
+
+def boolean_op_snapped(a: Polygon, b: Polygon, op: str, snap=None) -> Polygon:
+    """S2BooleanOperation with a snap function composed IN FRONT of the
+    overlay — the reference's own architecture
+    (s2boolean_operation.h: `options.set_snap_function(snap_function)`;
+    snap rounding via S2Builder, s2builder.cc).  This lifts the
+    general-position restriction for PARTIALLY overlapping collinear
+    edges: both operands snap through one joint site set
+    (snap_polygons_joint), which turns collinear overlaps into
+    exactly-shared sub-chains that `_overlay` already supports.
+
+    Default snap function: IdentitySnapFunction with a 1e-12 rad radius
+    (keeps every input vertex as a site, splits edges at sites lying on
+    them — the minimal rounding that regularizes collinear overlap)."""
+    from .builder import IdentitySnapFunction
+
+    if snap is None:
+        snap = IdentitySnapFunction(1e-12)
+    fns = {"intersection": intersection, "union": union,
+           "difference": difference,
+           "symmetric_difference": symmetric_difference}
+    sa, sb = snap_polygons_joint([a, b], snap)
+    return fns[op](sa, sb)
 
 
 def cellunion_to_polygon(cells) -> Polygon:
@@ -839,21 +904,50 @@ def buffer_polygon_winding(
     return Polygon(out)
 
 
-def intersection_with_degeneracies(
-    a: Polygon, b: Polygon, eps: float = 1e-11
-) -> tuple[Polygon, list[tuple[np.ndarray, np.ndarray]], list[np.ndarray]]:
-    """S2BooleanOperation INTERSECTION with degenerate outputs
-    (s2boolean_operation.h:60-90 degeneracy model, general position):
-    → (polygon part, degenerate edges, degenerate points).
+def boolean_op_with_degeneracies(
+    a: Polygon, b: Polygon, op: str, eps: float = 1e-11
+) -> tuple[Polygon, list, list]:
+    """Any S2BooleanOperation OpType with CLOSED-model degenerate
+    outputs (s2boolean_operation.h:60-90, 137-183; PolygonModel::CLOSED
+    is the only model where touching polygons intersect) —
+    → (polygon part, degenerate edges, degenerate points), where each
+    degenerate edge is (c, d, kind) and each point (v, kind), kind in
+    {"shell", "hole"}:
 
-    - a shared boundary edge whose two sides are never both-inside is a
-      degenerate EDGE of the intersection (polygons touching along it);
-    - a shared vertex with no incident shared edge and no neighborhood
-      overlap is a degenerate POINT (polygons touching at it)."""
-    poly = intersection(a, b)
+    - a shared boundary feature that belongs to the op's CLOSED result
+      (intersection/union: closure(a) op closure(b) contains shared
+      boundary) but whose entire neighborhood is OUTSIDE the result is a
+      degenerate SHELL — e.g. two polygons touching along an edge emit
+      that edge as a sibling pair under INTERSECTION
+      (s2boolean_operation_test.cc PolygonEdgeClosedPolygonEdgeOverlap:
+      "0:4, 2:4"), a corner touch emits the vertex
+      (PolygonVertexClosedPolygonVertex: "0:0");
+    - a shared feature NOT in the closed result (difference/symmetric
+      difference exclude boundary shared by both closures) whose entire
+      neighborhood is INSIDE the result is a degenerate HOLE — e.g. the
+      symmetric difference of two polygons sharing an edge is the union
+      with a degenerate sibling-pair hole along the old shared edge."""
+    fns = {"intersection": intersection, "union": union,
+           "difference": difference,
+           "symmetric_difference": symmetric_difference}
+    member = _BOOL_MEMBERS[op]
+    poly = fns[op](a, b)
+    # shared boundary features are in the closed result for the ops that
+    # keep boundary held by BOTH closures, out of it for those that
+    # cancel it
+    in_closed = op in ("intersection", "union")
 
     raw_a = _edges_of(a)
     raw_b = _edges_of(b)
+    # features on the OUTPUT boundary are regular, never degenerate
+    # (e.g. the shared touch vertex of a CLOSED union lies on the union's
+    # own loops — the reference emits it as a loop vertex, not a point)
+    out_edges = set()
+    out_verts = set()
+    for c, d in _edges_of(poly):
+        out_edges.add((tuple(c), tuple(d)))
+        out_edges.add((tuple(d), tuple(c)))
+        out_verts.add(tuple(c))
     b_dir = {(tuple(c), tuple(d)) for c, d in raw_b}
     deg_edges = []
     shared_keys = set()
@@ -862,6 +956,8 @@ def intersection_with_degeneracies(
         if key in b_dir or rkey in b_dir:
             shared_keys.add(key)
             shared_keys.add(rkey)
+            if key in out_edges:
+                continue
             m = _slerp_mid(c, d)
             t = d - c
             t = t - m * float(m @ t)
@@ -873,9 +969,11 @@ def intersection_with_degeneracies(
                     (m - eps * left) / np.linalg.norm(m - eps * left),
                 ]
             )
-            both = a.contains(probes) & b.contains(probes)
-            if not both.any():
-                deg_edges.append((c, d))
+            inside = member(a.contains(probes), b.contains(probes))
+            if in_closed and not inside.any():
+                deg_edges.append((c, d, "shell"))
+            elif not in_closed and inside.all():
+                deg_edges.append((c, d, "hole"))
 
     verts_a = {tuple(v) for loop in a.loops for v in loop.vertices}
     verts_b = {tuple(v) for loop in b.loops for v in loop.vertices}
@@ -885,7 +983,9 @@ def intersection_with_degeneracies(
         # skip vertices on a shared edge (they belong to the edge output)
         if any(tv == k[0] or tv == k[1] for k in shared_keys):
             continue
-        # neighborhood probe: any overlap near v → not a degenerate point
+        if tv in out_verts:
+            continue
+        # neighborhood ring probe around the shared vertex
         t1 = P.ortho(v)
         t2 = np.cross(v, t1)
         ring = []
@@ -894,6 +994,26 @@ def intersection_with_degeneracies(
             p = v + eps * d
             ring.append(p / np.linalg.norm(p))
         ring = np.asarray(ring)
-        if not (a.contains(ring) & b.contains(ring)).any():
-            deg_points.append(v)
+        inside = member(a.contains(ring), b.contains(ring))
+        if in_closed and not inside.any():
+            deg_points.append((v, "shell"))
+        elif not in_closed and inside.all():
+            deg_points.append((v, "hole"))
     return poly, deg_edges, deg_points
+
+
+_BOOL_MEMBERS = {
+    "intersection": lambda ia, ib: ia & ib,
+    "union": lambda ia, ib: ia | ib,
+    "difference": lambda ia, ib: ia & ~ib,
+    "symmetric_difference": lambda ia, ib: ia ^ ib,
+}
+
+
+def intersection_with_degeneracies(
+    a: Polygon, b: Polygon, eps: float = 1e-11
+) -> tuple[Polygon, list[tuple[np.ndarray, np.ndarray]], list[np.ndarray]]:
+    """Back-compat wrapper: INTERSECTION degeneracies without kinds
+    (every intersection degeneracy is a shell)."""
+    poly, de, dp = boolean_op_with_degeneracies(a, b, "intersection", eps)
+    return poly, [(c, d) for c, d, _k in de], [v for v, _k in dp]

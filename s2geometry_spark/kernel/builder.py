@@ -304,7 +304,18 @@ def snap_edge_chain(
     r = max(snap_radius_rad, 1e-15)
     limit2 = (2 * math.sin(0.5 * min(math.pi, r))) ** 2
     d2 = point_edge_dist2(sites, x[None], y[None])[:, 0]
-    cand = np.nonzero(d2 <= limit2 * (1 + 1e-9) + 1e-30)[0].tolist()
+    # double-precision TRIAGE band, then the EXACT admission gate for
+    # candidates inside it (the reference gates admission with exact
+    # CompareEdgeDistance, s2builder.cc:1190 — a site admitted only via
+    # double slack reaches GetVoronoiSiteExclusion with negative
+    # sa2/sb2, where its REQUIRES is violated and the answer arbitrary)
+    slack = limit2 * 1e-9 + 1e-30
+    certain_in = d2 <= limit2 - slack
+    uncertain = (~certain_in) & (d2 <= limit2 + slack)
+    cand_mask = certain_in.copy()
+    for ci in np.nonzero(uncertain)[0]:
+        cand_mask[ci] = V.compare_edge_distance(sites[ci], x, y, r) <= 0
+    cand = np.nonzero(cand_mask)[0].tolist()
     import functools
 
     def cmp(i: int, j: int) -> int:

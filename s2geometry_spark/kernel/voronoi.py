@@ -187,3 +187,44 @@ def voronoi_site_exclusion(a, b, x0, x1, r_rad: float) -> str:
         if (lhs2_sgn > 0) == (ta > tb):
             return NEITHER
     return FIRST if lhs2_sgn > 0 else SECOND
+
+
+def compare_edge_distance(x, a0, a1, r_rad: float) -> int:
+    """s2pred::CompareEdgeDistance, exact tier (s2predicates.cc:674-756:
+    TriageCompareEdgeDistance structure with ExactCompareLineDistance /
+    endpoint CompareDistance bodies in rationals): sign of
+    d(x, edge a0a1) − r.
+
+    Used as snap_edge_chain's candidate ADMISSION gate (the reference
+    gates with exact CompareEdgeDistance, s2builder.cc:1190): a site
+    admitted only through double-precision slack would reach
+    voronoi_site_exclusion with negative sa2/sb2, where FIRST/SECOND is
+    arbitrary — exactly the sub-1e-12 regime these predicates exist for."""
+    fx, f0, f1 = _fr(x), _fr(a0), _fr(a1)
+    r2 = Fraction((2 * math.sin(0.5 * min(math.pi, r_rad))) ** 2)
+    # interior test — CompareEdgeDirections(a0,a1, a0,x) > 0 and
+    # (a0,a1, x,a1) > 0 (ExactCompareEdgeDistance; the antipodal guard
+    # falls through to the endpoint branch, same as the reference)
+    n = _cross(f0, f1)
+    antip0 = all(t0 == -tx for t0, tx in zip(f0, fx))
+    antip1 = all(t1 == -tx for t1, tx in zip(f1, fx))
+    if not antip0 and not antip1:
+        int0 = _sgn(_dot(n, _cross(f0, fx)))
+        int1 = _sgn(_dot(n, _cross(fx, f1)))
+        if int0 > 0 and int1 > 0:
+            # closest point is in the edge interior: compare the
+            # great-circle distance (ExactCompareLineDistance)
+            if r2 >= 2:
+                return -1
+            sin_d = _dot(fx, n)
+            sin2_r = r2 * (1 - r2 / 4)
+            cmp = sin_d * sin_d - sin2_r * _dot(fx, fx) * _dot(n, n)
+            return _sgn(cmp)
+    # closest point is an endpoint: chord² against r² (the same metric
+    # the double-precision candidate filter uses)
+
+    def endpoint(fp):
+        d = tuple(a - b for a, b in zip(fx, fp))
+        return _sgn(_dot(d, d) - r2)
+
+    return min(endpoint(f0), endpoint(f1))
