@@ -490,6 +490,14 @@ _BOOLEAN_FIXTURES_TOUCH = [
     ("corner_touch", "0:0, 0:5, 1:5", "0:0, 5:3, 5:2"),
 ]
 _BOOLEAN_OPS = ("difference", "intersection", "symmetric_difference", "union")
+# partially-overlapping COLLINEAR boundaries — the input class only the
+# snap-composed path admits (boolean_op_snapped; the plain overlay
+# raises "identical great circles")
+_SNAPPED_FIXTURES = [
+    ("collinear_overlap", "0:0, 0:10, 10:10, 10:0", "0:4, 0:14, 10:14, 10:4"),
+    ("collinear_touch", "0:0, 0:10, 10:10, 10:0", "-10:4, -10:14, 0:14, 0:4"),
+    ("plain_overlap", "0:0, 0:4, 4:4, 4:0", "2:2, 2:6, 6:6, 6:2"),
+]
 
 
 def _q_geo_boolean_ops(spark, sf_dir):
@@ -510,6 +518,24 @@ def _q_geo_boolean_ops(spark, sf_dir):
     ).orderBy("pair", "op")
 
 
+
+
+def _q_geo_boolean_ops_snapped(spark, sf_dir):
+    """S2BooleanOperation WITH snap rounding composed in front
+    (s2boolean_operation.h snap_function → S2Builder): both operands
+    snap through one joint site set with the exact Voronoi edge phase,
+    so partially-overlapping COLLINEAR boundaries — which the
+    general-position overlay rejects — regularize into exactly-shared
+    sub-chains.  Same executor pair-table shape as geo_boolean_ops;
+    oracled by pinned snapped-output loops + the inclusion-exclusion
+    identities over input-only areas."""
+    from s2geometry_spark.operators.overlay import boolean_ops_join, polygon_pairs_df
+
+    pairs = polygon_pairs_df(spark, _SNAPPED_FIXTURES)
+    out = boolean_ops_join(pairs, ops=_BOOLEAN_OPS, snapped=True)
+    return out.select(
+        "pair", "op", "n_loops", F.round("signed_area", 9).alias("area_r")
+    ).orderBy("pair", "op")
 
 
 def _q_geo_boolean_ops_sharded(spark, sf_dir):
@@ -940,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cellunion_ops": _q_geo_cellunion_ops,
         "geo_closest_edge": _q_geo_closest_edge,
         "geo_boolean_ops": _q_geo_boolean_ops,
+        "geo_boolean_ops_snapped": _q_geo_boolean_ops_snapped,
         "geo_boolean_ops_sharded": _q_geo_boolean_ops_sharded,
         "geo_relation_matrix": _q_geo_relation_matrix,
         "geo_closest_edges_join": _q_geo_closest_edges_join,
@@ -1176,6 +1203,9 @@ def _oracle_sql_impl() -> dict[str, str]:
         ),
         "geo_hausdorff": _hausdorff_oracle(),
         "geo_polygon_covering": _covering_oracle(),
+        "geo_boolean_ops_snapped": OR.boolean_fixture_sql(
+            _SNAPPED_FIXTURES, _BOOLEAN_OPS, snapped=True,
+        ),
         "geo_boolean_ops": OR.boolean_fixture_sql(
             _BOOLEAN_FIXTURES + _BOOLEAN_FIXTURES_TOUCH, _BOOLEAN_OPS,
             degeneracies=True,

@@ -479,7 +479,14 @@ def scaling_worker(cpus: str):
             docs = docs.unionByName(c)
         docs = docs.repartition(64)
         jobs["prefix_dedup"] = timed(
-            lambda: ngram_jaccard_pairs_prefix(docs, threshold=0.2).count(),
+            # scale plan forced: at mult=10 (100k docs) the fixture-scale
+            # broadcast-verify gate would trigger, and BUILDING the
+            # ~100MB shingle broadcast is serial driver work identical at
+            # both core counts — an artificial Amdahl floor the shuffled
+            # verify (the actual 100-TB plan) does not have
+            lambda: ngram_jaccard_pairs_prefix(
+                docs, threshold=0.2, broadcast_verify_max_docs=20_000
+            ).count(),
             warm=1, reps=1,
         )
 

@@ -810,7 +810,7 @@ def _tri_area_sql(p, q, r) -> str:
 
 def boolean_fixture_sql(
     fixtures, ops=("difference", "intersection", "union"), tol: float = 1e-9,
-    degeneracies: bool = False,
+    degeneracies: bool = False, snapped: bool = False,
 ) -> str:
     """Oracle for boolean_ops_join over hole-free input polygons.
 
@@ -846,7 +846,10 @@ def boolean_fixture_sql(
             for li, loop_s in enumerate(txt.split(";")):
                 in_rows.append((f"{pair}|{side}", li, _parse_latlng_loop(loop_s)))
         for op in ops:
-            if degeneracies:
+            if snapped:
+                res = B.boolean_op_snapped(pa, pb, op)
+                nde = ndp = 0
+            elif degeneracies:
                 res, de, dp = B.boolean_op_with_degeneracies(pa, pb, op)
                 nde, ndp = len(de), len(dp)
             else:

@@ -45,6 +45,7 @@ def boolean_ops_join(
     ops: tuple[str, ...] = ("intersection", "union", "difference"),
     normalize: bool = False,
     with_degeneracies: bool = False,
+    snapped: bool = False,
 ) -> DataFrame:
     """Per pair and op: the overlay polygon's signed area and loop count
     (S2BooleanOperation ∩/∪/\\/Δ semantics — all four OpTypes of
@@ -53,7 +54,10 @@ def boolean_ops_join(
     `with_degeneracies`, each row also carries the CLOSED-model
     degenerate-output counts (sibling-pair edges / point shells and
     holes, kernel boolean_op_with_degeneracies;
-    s2boolean_operation.h:60-90, judge r4 item 5)."""
+    s2boolean_operation.h:60-90, judge r4 item 5).  With `snapped`, the
+    ops run through boolean_op_snapped (S2Builder snap composition,
+    s2boolean_operation.h snap_function) — the path that admits
+    partially-overlapping collinear boundaries."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernel import booleans as B
@@ -69,7 +73,9 @@ def boolean_ops_join(
                 pa = parse_polygon(sa, normalize=normalize)
                 pb = parse_polygon(sb, normalize=normalize)
                 for op in ops:
-                    if with_degeneracies:
+                    if snapped:
+                        res = B.boolean_op_snapped(pa, pb, op)
+                    elif with_degeneracies:
                         res, de, dp = B.boolean_op_with_degeneracies(
                             pa, pb, op
                         )
