@@ -500,6 +500,53 @@ _SNAPPED_FIXTURES = [
 ]
 
 
+# mixed-dimension fixtures spanning the boundary-model matrix
+# (s2boolean_operation_test.cc: PointSemiOpenPolyline,
+# PointClosedPolygonVertex, PolylineEdgePolylineEdgeOverlap,
+# PolylineEdgeSemiOpen/ClosedPolygonEdgeOverlap,
+# PolylineCrossingRectangleTwice, PolygonVertexClosedPolygonVertex)
+_MIXED_FIXTURES = [
+    ("pt_polyline", "0:0 | 1:0 | 2:0 | 3:0 | 4:0 | 5:0 # #",
+     "# 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0, 4:0 #",
+     "SEMI_OPEN", "SEMI_OPEN", True),
+    ("pt_polygon", "0:1 | 1:0 # #", "# # 0:0, 0:1, 1:0",
+     "CLOSED", "CLOSED", True),
+    ("line_overlap", "# 0:0, 1:0, 2:0, 2:5 | 3:0, 3:0 | 6:0, 5:0, 4:0 #",
+     "# 0:0, 1:0, 2:0 | 3:0, 3:0 | 4:0, 5:0 #",
+     "SEMI_OPEN", "CLOSED", True),
+    ("line_poly_semi", "# 1:1, 1:3, 3:3 | 3:3, 1:3 #",
+     "# # 1:1, 1:3, 3:3, 3:1", "SEMI_OPEN", "CLOSED", True),
+    ("line_poly_closed", "# 1:1, 1:3, 3:3 | 3:3, 1:3 #",
+     "# # 1:1, 1:3, 3:3, 3:1", "CLOSED", "CLOSED", True),
+    ("line_cross_rect", "# 0:-5, 0:5 | 5:0, -5:0 #",
+     "# # 1:1, 1:-1, -1:-1, -1:1", "SEMI_OPEN", "CLOSED", True),
+    ("poly_vertex_touch", "# # 0:0, 0:5, 1:5", "# # 0:0, 5:3, 5:2",
+     "CLOSED", "CLOSED", True),
+]
+
+
+def _q_geo_mixed_ops(spark, sf_dir):
+    """Mixed-dimension S2BooleanOperation (points x polylines x
+    polygons) with the full PolygonModel x PolylineModel boundary-model
+    matrix (s2boolean_operation.h:100-183), computed on executors as a
+    pair table (mapInPandas, no shuffle — operators/mixed_ops.py).
+    Each row carries per-dimension output feature counts and the
+    canonical multiset digest; the oracle pins the kernel's values,
+    whose semantics are themselves pinned against the reference's own
+    test matrix in tests/test_mixed_ops.py."""
+    from s2geometry_spark.operators.mixed_ops import (
+        mixed_ops_join,
+        mixed_pairs_df,
+    )
+
+    rows = []
+    for name, a_s, b_s, pgm, plm, lhb in _MIXED_FIXTURES:
+        for op in _BOOLEAN_OPS:
+            rows.append((name, a_s, b_s, op, pgm, plm, lhb))
+    out = mixed_ops_join(mixed_pairs_df(spark, rows))
+    return out.orderBy("pair", "op")
+
+
 def _q_geo_boolean_ops(spark, sf_dir):
     """Polygon boolean ops as a distributed pair table: region area
     (S2Polygon::GetArea depth semantics — holes subtract) and loop count
@@ -966,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cellunion_ops": _q_geo_cellunion_ops,
         "geo_closest_edge": _q_geo_closest_edge,
         "geo_boolean_ops": _q_geo_boolean_ops,
+        "geo_mixed_ops": _q_geo_mixed_ops,
         "geo_boolean_ops_snapped": _q_geo_boolean_ops_snapped,
         "geo_boolean_ops_sharded": _q_geo_boolean_ops_sharded,
         "geo_relation_matrix": _q_geo_relation_matrix,
@@ -1211,6 +1259,7 @@ def _oracle_sql_impl() -> dict[str, str]:
             degeneracies=True,
         ),
         "geo_boolean_ops_sharded": OR.boolean_fixture_sql(_BOOLEAN_FIXTURES, _BOOLEAN_OPS),
+        "geo_mixed_ops": OR.mixed_fixture_sql(_MIXED_FIXTURES, _BOOLEAN_OPS),
         "geo_winding_ops": OR.winding_fixture_sql(_WINDING_JOBS),
         "geo_buffer": OR.buffer_fixture_sql(_BUFFER_JOBS, _BUFFER_CONVEX),
         "geo_relation_matrix": _relation_matrix_oracle(),

@@ -1128,3 +1128,41 @@ def buffer_fixture_sql(jobs, convex_jobs, steiner_rel_tol: float = 5e-3) -> str:
     WHERE (SELECT ok FROM checks)
     ORDER BY m.job
     """
+
+
+def mixed_fixture_sql(fixtures, ops) -> str:
+    """Oracle for operators/mixed_ops.mixed_ops_join: per (pair, op,
+    models) row the kernel's feature counts and canonical digest,
+    emitted as pinned VALUES literals.  The mixed-boolean SEMANTICS are
+    pinned independently against the reference's own model matrix
+    (tests/test_mixed_ops.py ports s2boolean_operation_test.cc:203-1033
+    and compares per-dimension edge multisets exactly as the
+    reference's IndexMatchingLayer does); this oracle then gates the
+    DISTRIBUTED mapInPandas path row-for-row and digest-for-digest
+    against the kernel."""
+    from ..kernel.mixed import MixedOptions, mixed_boolean_op, parse_mixed
+    from ..operators.mixed_ops import _canonical_features
+
+    rows = []
+    for name, a_s, b_s, pgm, plm, lhb in fixtures:
+        a, b = parse_mixed(a_s), parse_mixed(b_s)
+        for op in ops:
+            res = mixed_boolean_op(a, b, op, MixedOptions(pgm, plm, lhb))
+            n_p, n_l, n_g, n_d, dig = _canonical_features(res)
+            rows.append(
+                f"('{name}', '{op}', '{pgm}', '{plm}',"
+                f" {n_p}, {n_l}, {n_g}, {n_d}, '{dig}')"
+            )
+    values = ", ".join(rows)
+    return f"""
+    SELECT pair, op, polygon_model, polyline_model,
+           CAST(n_points AS INTEGER) AS n_points,
+           CAST(n_line_edges AS INTEGER) AS n_line_edges,
+           CAST(n_poly_edges AS INTEGER) AS n_poly_edges,
+           CAST(n_deg_features AS INTEGER) AS n_deg_features,
+           digest
+    FROM (VALUES {values})
+      AS t(pair, op, polygon_model, polyline_model, n_points,
+           n_line_edges, n_poly_edges, n_deg_features, digest)
+    ORDER BY pair, op
+    """

@@ -185,15 +185,20 @@ def sign(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def ortho(a: np.ndarray) -> np.ndarray:
-    """S2::Ortho == Vector3::Ortho (vector.h:481-487): deterministic
-    orthonormal direction; RefDir for vertex crossings (s2pointutil.h:118-120)."""
+    """S2::Ortho (s2pointutil.cc:48-60, the non-S2_TEST_DEGENERACIES
+    branch): RefDir for vertex crossings and semi-open vertex
+    containment.  The reference deliberately perturbs the cross-product
+    axis — temp = (0.012, 0.0053, 0.00457) with temp[k] = 1 — so the
+    result never lies exactly on a coordinate plane (Vector3::Ortho's
+    axis-aligned variant creates many more degenerate sign cases, e.g.
+    equatorial RefDirs for equator-adjacent vertices)."""
     a = np.asarray(a, float)
     ax = np.abs(a)
     largest = np.where(ax[0] > ax[1], np.where(ax[0] > ax[2], 0, 2), np.where(ax[1] > ax[2], 1, 2))
     k = largest - 1
     if k < 0:
         k = 2
-    temp = np.zeros(3)
+    temp = np.array([0.012, 0.0053, 0.00457])
     temp[k] = 1.0
     out = np.cross(a, temp)
     return out / np.linalg.norm(out)
