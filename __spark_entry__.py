@@ -788,6 +788,75 @@ def _q_geo_polyline_interpolate(spark, sf_dir):
     ).orderBy("key")
 
 
+def _alignment_fixture():
+    """Deterministic trajectory clusters for geo_polyline_alignment:
+    4 groups of 2-5 trajectories (the 2-trajectory group exercises the
+    reference's lowest-index medoid tie-break), 8-14 vertices each,
+    group g3 ragged-length to cover non-square DP tables.  lat/lng are
+    Python doubles whose repr feeds BOTH engines, so the fixture is
+    bit-identical on the Spark and DuckDB sides."""
+    out = []
+    for g in range(4):
+        for m in range(2 + g):
+            n_v = (8 + 2 * g) if g < 3 else (8 + m)
+            lls = []
+            for v in range(n_v):
+                lat = (
+                    5.0 * g + 0.3 * v + 0.07 * m
+                    + 0.01 * ((7 * g + 3 * m + v * v) % 13)
+                )
+                lng = 10.0 * g + 0.4 * v + 0.02 * ((5 * m + 2 * v) % 11)
+                lls.append((lat, lng))
+            out.append((f"g{g}", m, lls))
+    return out
+
+
+def _q_geo_polyline_alignment(spark, sf_dir):
+    """Distributed Dynamic-Timewarp vertex alignment
+    (s2polyline_alignment.h:125-180): exact per-pair alignment costs +
+    per-group medoid over the trajectory clusters.  Each pair's
+    operands co-locate under one pair_id shuffle (vectorized kernel DP
+    per pair, O(A*B) bounded by trajectory length); the medoid is the
+    argmin of mirrored pair-cost sums with the lowest-ord tie-break."""
+    from s2geometry_spark.kernel.contains import parse_points
+    from s2geometry_spark.operators.alignment_ops import (
+        alignment_cost_pairs,
+        group_pairs,
+    )
+
+    vrows, prows = [], []
+    for grp, ordv, lls in _alignment_fixture():
+        pid = f"{grp}|{ordv}"
+        pts = parse_points(", ".join(f"{la}:{ln}" for la, ln in lls))
+        prows.append((grp, pid, ordv))
+        for vi, p in enumerate(pts):
+            vrows.append((pid, vi, float(p[0]), float(p[1]), float(p[2])))
+    vertices = spark.createDataFrame(
+        vrows, "polyline_id string, vertex_idx int, x double, y double, z double"
+    ).repartition(8)
+    polylines = spark.createDataFrame(prows, "grp string, polyline_id string, ord int")
+    pairs = group_pairs(polylines)
+    costs = alignment_cost_pairs(
+        vertices, pairs.select("pair_id", "id_a", "id_b")
+    ).localCheckpoint(eager=False)
+    per_pair = pairs.select("pair_id", "grp", "ord_a", "ord_b").join(costs, "pair_id")
+    charged = per_pair.select(
+        "grp", F.col("ord_a").alias("ord"), "cost"
+    ).unionByName(per_pair.select("grp", F.col("ord_b").alias("ord"), "cost"))
+    totals = charged.groupBy("grp", "ord").agg(F.sum("cost").alias("total"))
+    med = totals.groupBy("grp").agg(
+        F.min(F.struct("total", "ord")).alias("_m")
+    ).select("grp", F.col("_m.ord").alias("medoid_ord"))
+    return (
+        per_pair.join(med, "grp")
+        .select(
+            "grp", "ord_a", "ord_b",
+            F.round("cost", 6).alias("cost_r"), "medoid_ord",
+        )
+        .orderBy("grp", "ord_a", "ord_b")
+    )
+
+
 def _q_geo_hausdorff(spark, sf_dir):
     """Directed Hausdorff per point group (key % 8) to the ring
     polyline — max-of-min squared-chord distances, exact SQL oracle."""
@@ -1026,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cap_filter": _q_geo_cap_filter,
         "geo_polyline_interpolate": _q_geo_polyline_interpolate,
         "geo_hausdorff": _q_geo_hausdorff,
+        "geo_polyline_alignment": _q_geo_polyline_alignment,
     }
 
 
@@ -1250,6 +1320,7 @@ def _oracle_sql_impl() -> dict[str, str]:
             _project_polyline_vertices()
         ),
         "geo_hausdorff": _hausdorff_oracle(),
+        "geo_polyline_alignment": OR.dtw_fixture_sql(_alignment_fixture()),
         "geo_polygon_covering": _covering_oracle(),
         "geo_boolean_ops_snapped": OR.boolean_fixture_sql(
             _SNAPPED_FIXTURES, _BOOLEAN_OPS, snapped=True,

@@ -1166,3 +1166,149 @@ def mixed_fixture_sql(fixtures, ops) -> str:
            n_line_edges, n_poly_edges, n_deg_features, digest)
     ORDER BY pair, op
     """
+
+
+# ------------------------------------------------------- DTW alignment
+def dtw_fixture_sql(fixtures, round_digits: int = 6) -> str:
+    """Oracle for polyline vertex alignment (Dynamic Timewarp) — an
+    INDEPENDENT re-derivation of the DP inside DuckDB, not a pinned
+    golden: a recursive CTE iterates the cost table row by row, with
+    the in-row left recursion c[j] = w[j] + min(m[j], c[j-1]) unrolled
+    to c[j] = S[j] + min_{k<=j}(m[k] - S[k-1]) via list lambdas (the
+    same closed form the kernel uses, kernel/alignment.py:_row_costs,
+    so the two engines evaluate identical expression trees down to
+    summation order).  The per-group medoid is then the argmin of the
+    mirrored pair-cost sums with the reference's lowest-ord tie-break
+    (s2polyline_alignment.cc:352-372).
+
+    fixtures: [(grp, ord, [(lat_deg, lng_deg), ...]), ...].
+
+    Build-time guards (the cap-filter precedent): every exact pair
+    cost must sit > LIBM_GUARD from its round() boundary, and within
+    every group the best-vs-second medoid total gap must exceed
+    LIBM_GUARD unless the totals are EXACTLY equal (the 2-trajectory
+    tie the reference contract resolves by lowest index)."""
+    from ..kernel.alignment import exact_alignment_cost
+    from ..kernel.contains import parse_points
+
+    lines = {}
+    vrows = []
+    for grp, order, lls in fixtures:
+        pts = parse_points(", ".join(f"{la}:{ln}" for la, ln in lls))
+        lines[(grp, order)] = pts
+        for vi, (la, ln) in enumerate(lls):
+            # bare numeric literals type as DECIMAL in DuckDB; the cast
+            # makes the parse a shortest-round-trip double, bit-equal to
+            # the Python float the Spark side consumes
+            vrows.append(
+                f"('{grp}', {order}, {vi}, CAST({la!r} AS DOUBLE),"
+                f" CAST({ln!r} AS DOUBLE))"
+            )
+
+    # Kernel-side recomputation for the guards only (never emitted).
+    pair_costs = {}
+    groups = sorted({g for g, _ in lines})
+    for grp in groups:
+        ords = sorted(o for g, o in lines if g == grp)
+        for i, oa in enumerate(ords):
+            for ob in ords[i + 1:]:
+                c = exact_alignment_cost(lines[grp, oa], lines[grp, ob])
+                pair_costs[(grp, oa, ob)] = c
+                scaled = c * 10.0**round_digits
+                if abs(scaled - math.floor(scaled) - 0.5) * 10.0**-round_digits <= LIBM_GUARD:
+                    raise ValueError(
+                        f"dtw oracle fragile: cost {c!r} for {grp}|{oa}|{ob} "
+                        f"straddles a round({round_digits}) boundary"
+                    )
+    for grp in groups:
+        ords = sorted(o for g, o in lines if g == grp)
+        totals = {o: 0.0 for o in ords}
+        for (g, oa, ob), c in pair_costs.items():
+            if g == grp:
+                totals[oa] += c
+                totals[ob] += c
+        ranked = sorted(totals.values())
+        if len(ranked) > 1 and ranked[1] != ranked[0] and ranked[1] - ranked[0] <= LIBM_GUARD:
+            raise ValueError(
+                f"dtw oracle fragile: medoid totals in {grp} separated by "
+                f"{ranked[1] - ranked[0]:.3e}"
+            )
+
+    dist = (
+        "sqrt((p.av[d.row_i+2][1]-q[1])*(p.av[d.row_i+2][1]-q[1])"
+        " + (p.av[d.row_i+2][2]-q[2])*(p.av[d.row_i+2][2]-q[2])"
+        " + (p.av[d.row_i+2][3]-q[3])*(p.av[d.row_i+2][3]-q[3]))"
+    )
+    dist0 = (
+        "sqrt((av[1][1]-q[1])*(av[1][1]-q[1])"
+        " + (av[1][2]-q[2])*(av[1][2]-q[2])"
+        " + (av[1][3]-q[3])*(av[1][3]-q[3]))"
+    )
+    cumsum = "list_transform(range(bn), j -> list_sum(list_slice(w, 1, j + 1)))"
+    return f"""
+    WITH RECURSIVE
+    tv(grp, ord, vidx, lat, lng) AS (VALUES {", ".join(vrows)}),
+    txyz AS (
+      SELECT grp, ord, vidx,
+             cos(radians(lng)) * cos(radians(lat)) AS x,
+             sin(radians(lng)) * cos(radians(lat)) AS y,
+             sin(radians(lat)) AS z
+      FROM tv),
+    tlist AS (
+      SELECT grp, ord, list([x, y, z] ORDER BY vidx) AS vs
+      FROM txyz GROUP BY grp, ord),
+    pairv AS (
+      SELECT a.grp || '|' || a.ord || '|' || b.ord AS pair,
+             a.grp AS grp, a.ord AS ord_a, b.ord AS ord_b,
+             a.vs AS av, b.vs AS bv,
+             len(a.vs) AS an, len(b.vs) AS bn
+      FROM tlist a JOIN tlist b
+        ON a.grp = b.grp AND a.ord < b.ord),
+    dp(pair, row_i, costs) AS (
+      SELECT pair, 0, {cumsum}
+      FROM (SELECT pair, bn,
+                   list_transform(bv, q -> {dist0}) AS w
+            FROM pairv)
+      UNION ALL
+      SELECT pair, row_i,
+             list_transform(range(bn),
+               j -> S[j + 1] + list_min(list_slice(q, 1, j + 1))) AS costs
+      FROM (
+        SELECT pair, row_i, bn, S,
+               list_transform(range(bn),
+                 k -> m[k + 1] - CASE WHEN k = 0 THEN 0.0 ELSE S[k] END) AS q
+        FROM (
+          SELECT pair, row_i, bn, w, costs,
+                 {cumsum} AS S,
+                 list_transform(range(bn),
+                   k -> CASE WHEN k = 0 THEN costs[1]
+                        ELSE least(costs[k], costs[k + 1]) END) AS m
+          FROM (
+            SELECT p.pair, d.row_i + 1 AS row_i, p.bn, d.costs,
+                   list_transform(p.bv, q -> {dist}) AS w
+            FROM dp d JOIN pairv p ON p.pair = d.pair
+            WHERE d.row_i + 1 < p.an
+          )
+        )
+      )
+    ),
+    pcost AS (
+      SELECT p.grp, p.ord_a, p.ord_b, d.costs[p.bn] AS cost
+      FROM pairv p JOIN dp d
+        ON d.pair = p.pair AND d.row_i = p.an - 1),
+    totals AS (
+      SELECT grp, ord, sum(cost) AS total FROM (
+        SELECT grp, ord_a AS ord, cost FROM pcost
+        UNION ALL
+        SELECT grp, ord_b AS ord, cost FROM pcost
+      ) GROUP BY grp, ord),
+    med AS (
+      SELECT grp, ord AS medoid_ord FROM (
+        SELECT grp, ord,
+               row_number() OVER (PARTITION BY grp ORDER BY total, ord) AS rn
+        FROM totals) WHERE rn = 1)
+    SELECT p.grp, p.ord_a, p.ord_b,
+           round(p.cost, {round_digits}) AS cost_r, m.medoid_ord
+    FROM pcost p JOIN med m ON m.grp = p.grp
+    ORDER BY p.grp, p.ord_a, p.ord_b
+    """
