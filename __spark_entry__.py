@@ -857,6 +857,75 @@ def _q_geo_polyline_alignment(spark, sf_dir):
     )
 
 
+def _nesting_fixture():
+    """Nested-ring shapes for shape_nesting_join: a lone ring, a donut,
+    a depth-4 alternating concentric stack, a button with two sibling
+    holes, and a two-pair forest (disjoint shell+hole islands in one
+    shape).  Rings are 24-gon lat/lng circles; every ring's disc-vs-rep
+    containment margin clears the oracle's 0.05·sin(r) guard (checked
+    at build time by nesting_fixture_sql), so polygonal chord sag
+    cannot flip a classification between the engines.
+
+    Returns [(shape, ring, vertices(24,3), center_xyz, cos_radius)]."""
+    import math
+
+    import numpy as np
+
+    from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+    K = 24
+    specs = [
+        ("s0", [(0.0, 0.0, 10.0, False)]),
+        ("s1", [(0.0, 60.0, 20.0, False), (0.0, 60.0, 10.0, True)]),
+        ("s2", [(0.0, 120.0, 40.0, False), (0.0, 120.0, 24.0, True),
+                (0.0, 120.0, 14.0, False), (0.0, 120.0, 7.0, True)]),
+        ("s3", [(0.0, -100.0, 20.0, False), (0.0, -107.0, 5.0, True),
+                (0.0, -93.0, 5.0, True)]),
+        ("s4", [(0.0, 150.0, 15.0, False), (0.0, 150.0, 6.0, True),
+                (0.0, 185.0, 12.0, False), (0.0, 185.0, 4.0, True)]),
+    ]
+    out = []
+    for shape, rs in specs:
+        for ring, (clat, clng, r, reverse) in enumerate(rs):
+            ang = 2.0 * math.pi * np.arange(K) / K
+            lat = clat + r * np.sin(ang)
+            lng = clng + r * np.cos(ang)
+            x, y, z = latlng_to_xyz(lat, lng)
+            v = np.stack([x, y, z], -1)
+            if reverse:
+                v = v[::-1]
+            cx, cy, cz = latlng_to_xyz(np.float64(clat), np.float64(clng))
+            out.append(
+                (shape, ring, v,
+                 np.array([float(cx), float(cy), float(cz)]),
+                 math.cos(math.radians(0.8 * r)))
+            )
+    return out
+
+
+def _q_shape_nesting(spark, sf_dir):
+    """Distributed shell/hole nesting classification
+    (S2ShapeNestingQuery, s2shape_nesting_query.h:76-160): ONE
+    groupBy(shape_id) shuffle; the crossing-parity kernel runs per
+    shape inside applyInPandas, so per-task cost is bounded by shape
+    size, never table size — the plan a lake of millions of multi-ring
+    polygons needs."""
+    from s2geometry_spark.operators.nesting_ops import shape_nesting_join
+
+    rows = []
+    for shape, ring, v, _c, _t in _nesting_fixture():
+        for vi, p in enumerate(v):
+            rows.append(
+                (shape, int(ring), vi, float(p[0]), float(p[1]), float(p[2]))
+            )
+    chain_vertices = spark.createDataFrame(
+        rows,
+        "shape_id string, chain_id int, vertex_idx int,"
+        " x double, y double, z double",
+    ).repartition(8)
+    return shape_nesting_join(chain_vertices).orderBy("shape_id", "chain_id")
+
+
 def _q_geo_hausdorff(spark, sf_dir):
     """Directed Hausdorff per point group (key % 8) to the ring
     polyline — max-of-min squared-chord distances, exact SQL oracle."""
@@ -1096,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polyline_interpolate": _q_geo_polyline_interpolate,
         "geo_hausdorff": _q_geo_hausdorff,
         "geo_polyline_alignment": _q_geo_polyline_alignment,
+        "shape_nesting_join": _q_shape_nesting,
     }
 
 
@@ -1321,6 +1391,9 @@ def _oracle_sql_impl() -> dict[str, str]:
         ),
         "geo_hausdorff": _hausdorff_oracle(),
         "geo_polyline_alignment": OR.dtw_fixture_sql(_alignment_fixture()),
+        "shape_nesting_join": OR.nesting_fixture_sql(
+            [(s, r, c, t, v[0]) for s, r, v, c, t in _nesting_fixture()]
+        ),
         "geo_polygon_covering": _covering_oracle(),
         "geo_boolean_ops_snapped": OR.boolean_fixture_sql(
             _SNAPPED_FIXTURES, _BOOLEAN_OPS, snapped=True,

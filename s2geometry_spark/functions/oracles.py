@@ -1312,3 +1312,105 @@ def dtw_fixture_sql(fixtures, round_digits: int = 6) -> str:
     FROM pcost p JOIN med m ON m.grp = p.grp
     ORDER BY p.grp, p.ord_a, p.ord_b
     """
+
+
+# ---------------------------------------------------- shape nesting
+def nesting_fixture_sql(rings, guard_frac: float = 0.05) -> str:
+    """Oracle for shape_nesting_join over canonically-oriented nested
+    geodesic rings — an INDEPENDENT geometric re-derivation in SQL:
+
+        depth(i)  = #{j != i : disc(j) contains rep-vertex(i)}
+        parent(i) = containing ring with the greatest depth
+        output    = parent if depth odd else -1 (the even/odd rule,
+                    s2shape_nesting_query.cc:272-286)
+
+    For cleanly nested, interior-facing fixtures (alternating
+    orientations), this closed form IS the reference's answer; the
+    orientation-sensitive cases (facing-away shells, shared vertices,
+    concave arcs) are covered bit-for-bit by the pytest port
+    (tests/test_nesting.py).
+
+    rings: [(shape, ring_id, center_xyz, cos_radius, rep_xyz), ...]
+    where rep is the ring's vertex 0 (an input vertex, not an output).
+
+    Build-time guards: every (ring j, rep i) containment dot must sit
+    > guard_frac · sin(radius_j) from the cos(radius_j) threshold (so
+    polygonal chord sag and cross-engine ulps cannot flip it), and the
+    direct-parent argmax must be strictly unique."""
+    vals, recs = [], []
+    for shape, ring, c, cosr, p in rings:
+        c = np.asarray(c, float)
+        p = np.asarray(p, float)
+        recs.append((shape, ring, c, float(cosr), p))
+        vals.append(
+            f"('{shape}', {ring}, "
+            + ", ".join(
+                f"CAST({v!r} AS DOUBLE)"
+                for v in (c[0], c[1], c[2], cosr, p[0], p[1], p[2])
+            )
+            + ")"
+        )
+
+    # guards + parent uniqueness, evaluated with the same expressions
+    depth = {}
+    contains = {}
+    for shape, i, _, _, p in recs:
+        d = 0
+        for shape2, j, c, cosr, _ in recs:
+            if shape2 != shape or j == i:
+                continue
+            dot = float(c @ p)
+            sinr = math.sqrt(max(0.0, 1.0 - cosr * cosr))
+            if abs(dot - cosr) <= guard_frac * sinr:
+                raise ValueError(
+                    f"nesting oracle fragile: ring {shape}|{j} vs rep "
+                    f"{shape}|{i} margin {abs(dot - cosr):.3e}"
+                )
+            if dot > cosr:
+                contains[(shape, j, i)] = True
+                d += 1
+        depth[(shape, i)] = d
+    for shape, i, _, _, _ in recs:
+        if depth[shape, i] % 2 == 1:
+            best = sorted(
+                (
+                    depth[shape, j]
+                    for s2, j, _, _, _ in recs
+                    if s2 == shape and contains.get((shape, j, i))
+                ),
+                reverse=True,
+            )
+            if len(best) > 1 and best[0] == best[1]:
+                raise ValueError(
+                    f"nesting oracle fragile: non-unique direct parent "
+                    f"for {shape}|{i}"
+                )
+
+    return f"""
+    WITH rings(shape, ring, cx, cy, cz, cosr, px, py, pz)
+      AS (VALUES {", ".join(vals)}),
+    cont AS (
+      SELECT c.shape, c.ring AS j, p.ring AS i
+      FROM rings c JOIN rings p
+        ON p.shape = c.shape AND p.ring <> c.ring
+      WHERE c.cx * p.px + c.cy * p.py + c.cz * p.pz > c.cosr),
+    depth AS (
+      SELECT r.shape, r.ring, count(c.j) AS d
+      FROM rings r LEFT JOIN cont c
+        ON c.shape = r.shape AND c.i = r.ring
+      GROUP BY r.shape, r.ring),
+    par AS (
+      SELECT c.shape, c.i AS ring, c.j AS parent,
+             row_number() OVER (
+               PARTITION BY c.shape, c.i ORDER BY dj.d DESC, c.j) AS rn
+      FROM cont c JOIN depth dj
+        ON dj.shape = c.shape AND dj.ring = c.j)
+    SELECT d.shape AS shape_id, d.ring AS chain_id,
+           CAST(CASE WHEN d.d % 2 = 1 THEN p.parent ELSE -1 END
+                AS INTEGER) AS parent_id,
+           CAST(CASE WHEN d.d % 2 = 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS is_shell_i
+    FROM depth d LEFT JOIN par p
+      ON p.shape = d.shape AND p.ring = d.ring AND p.rn = 1
+    ORDER BY shape_id, chain_id
+    """
