@@ -329,6 +329,89 @@ def test_loop_relations2():
     assert checked >= 40
 
 
+def test_point_contains():
+    """s2loop_test.cc:540-594 (Contains): empty/full special vertices,
+    hemisphere axis points under all vertex rotations, and the
+    cell-partition property — every cell center/vertex is contained by
+    EXACTLY ONE of the level's cell loops (SEMI_OPEN consistency)."""
+    from s2geometry_spark.kernel.cell import Cell
+    from s2geometry_spark.kernel.cid import CID
+
+    def pt(loop, p):
+        return bool(loop.contains(np.asarray(p, float)[None])[0])
+
+    assert not pt(LOOPS["empty"], [0.0, 0.0, 1.0])
+    assert pt(LOOPS["full"], [0.0, 0.0, -1.0])
+    from s2geometry_spark.kernel.contains import parse_points
+
+    assert pt(LOOPS["candy_cane"], parse_points("5:71")[0])
+
+    for name, inside, outside in [
+        ("north_hemi", [0, 0, 1], [0, 0, -1]),
+        ("south_hemi", [0, 0, -1], [0, 0, 1]),
+        ("west_hemi", [0, -1, 0], [0, 1, 0]),
+        ("east_hemi", [0, 1, 0], [0, -1, 0]),
+    ]:
+        v = LOOPS[name].vertices
+        for r in range(4):
+            rot = Loop(np.roll(v, -r, axis=0))
+            assert pt(rot, inside), (name, r)
+            assert not pt(rot, outside), (name, r)
+
+    for lvl in range(3):
+        loops, points = [], {}
+        cid = CID.from_face(0).child_begin(lvl)
+        end = CID.from_face(5).child_end(lvl)
+        while cid != end:
+            cell = Cell(cid)
+            verts = [cell.get_vertex(k) for k in range(4)]
+            points[tuple(cell.get_center())] = 0
+            for v in verts:
+                points[tuple(v)] = 0
+            loops.append(Loop(np.array(verts)))
+            cid = cid.next()
+        parr = np.array(list(points))
+        counts = np.zeros(len(parr), dtype=int)
+        for loop in loops:
+            counts += loop.contains(parr).astype(int)
+        assert (counts == 1).all(), (lvl, int((counts != 1).sum()))
+
+
+def test_contains_matches_crossing_sign():
+    """s2loop_test.cc:600-670: an S2Cell-based loop and the edge from a
+    grandchild vertex a0 to Origin — CrossingSign per edge must be
+    consistent with Contains (the historical too-tight-bound bug)."""
+    from s2geometry_spark.kernel.cell import Cell
+    from s2geometry_spark.kernel.cid import CID
+    from s2geometry_spark.kernel import cellid as cids
+    from s2geometry_spark.kernel import predicates as P
+    from s2geometry_spark.kernel.predicates import ORIGIN
+
+    cid = CID(
+        int(cids.parent(cids.from_point(
+            np.array([1.0]) / np.sqrt(3),
+            np.array([1.0]) / np.sqrt(3),
+            np.array([1.0]) / np.sqrt(3),
+        ), 21)[0])
+    )
+    verts = []
+    for k in range(4):
+        child = Cell(cid.child(k))
+        c = child.get_center()
+        verts.append(c / np.linalg.norm(c))
+    loop = Loop(np.array(verts))
+    a0 = Cell(cid.child(0).child(2)).get_vertex(0)
+    assert not np.array_equal(a0, verts[0])
+
+    origin = np.asarray(ORIGIN, float)
+    expected = [-1, 1, -1, -1]
+    for k in range(4):
+        got = P.crossing_sign(a0, origin, verts[k], verts[(k + 1) % 4])
+        assert got == expected[k], k
+    assert not bool(loop.contains(origin[None])[0])
+    assert bool(loop.contains(a0[None])[0])
+
+
 def test_invert_roundtrip_and_boundary_equals():
     for name, loop in LOOPS.items():
         inv2 = invert(invert(loop))
