@@ -926,6 +926,65 @@ def _q_shape_nesting(spark, sf_dir):
     return shape_nesting_join(chain_vertices).orderBy("shape_id", "chain_id")
 
 
+_LOOPREL_PAIRS = [
+    # (pair_id, (clat, clng, radius_deg) for a, same for b): nested
+    # concentric, nested offset, contained, disjoint, crossing equal,
+    # crossing unequal — margins from both disc thresholds ≥ 4°
+    # (guard-checked at oracle build time).
+    ("p1", (0.0, 0.0, 20.0), (0.0, 0.0, 8.0)),
+    ("p2", (0.0, 40.0, 18.0), (0.0, 45.0, 6.0)),
+    ("p3", (0.0, 80.0, 6.0), (0.0, 80.0, 15.0)),
+    ("p4", (0.0, 120.0, 8.0), (0.0, 140.0, 8.0)),
+    ("p5", (0.0, 170.0, 10.0), (0.0, 178.0, 10.0)),
+    ("p6", (0.0, -100.0, 12.0), (0.0, -88.0, 6.0)),
+]
+
+
+def _looprel_fixture():
+    """(pair_id, side, vertices(24,3), center_xyz, radius_rad) rows for
+    geo_loop_relations — 24-gon CCW lat/lng circles (same construction
+    as _nesting_fixture)."""
+    import math
+
+    import numpy as np
+
+    from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+    K = 24
+    out = []
+    for pid, spec_a, spec_b in _LOOPREL_PAIRS:
+        for side, (clat, clng, r) in (("a", spec_a), ("b", spec_b)):
+            ang = 2.0 * math.pi * np.arange(K) / K
+            x, y, z = latlng_to_xyz(clat + r * np.sin(ang), clng + r * np.cos(ang))
+            cx, cy, cz = latlng_to_xyz(np.float64(clat), np.float64(clng))
+            out.append(
+                (pid, side, np.stack([x, y, z], -1),
+                 np.array([float(cx), float(cy), float(cz)]),
+                 math.radians(r))
+            )
+    return out
+
+
+def _q_geo_loop_relations(spark, sf_dir):
+    """Distributed loop↔loop relation classification
+    (S2Loop::Contains/Intersects/CompareBoundary, s2loop.cc:1056-1235):
+    ONE groupBy(pair_id) shuffle, the kernel's vectorized crossing/wedge
+    sweep per pair in applyInPandas — per-task cost bounded by loop
+    size, never table size."""
+    from s2geometry_spark.operators.looprel_ops import loop_relations_join
+
+    rows = []
+    for pid, side, v, _c, _r in _looprel_fixture():
+        for vi, p in enumerate(v):
+            rows.append((pid, side, vi, float(p[0]), float(p[1]), float(p[2])))
+    pair_vertices = spark.createDataFrame(
+        rows,
+        "pair_id string, side string, vertex_idx int,"
+        " x double, y double, z double",
+    ).repartition(8)
+    return loop_relations_join(pair_vertices).orderBy("pair_id")
+
+
 def _q_geo_hausdorff(spark, sf_dir):
     """Directed Hausdorff per point group (key % 8) to the ring
     polyline — max-of-min squared-chord distances, exact SQL oracle."""
@@ -1166,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_hausdorff": _q_geo_hausdorff,
         "geo_polyline_alignment": _q_geo_polyline_alignment,
         "shape_nesting_join": _q_shape_nesting,
+        "geo_loop_relations": _q_geo_loop_relations,
     }
 
 
@@ -1393,6 +1453,14 @@ def _oracle_sql_impl() -> dict[str, str]:
         "geo_polyline_alignment": OR.dtw_fixture_sql(_alignment_fixture()),
         "shape_nesting_join": OR.nesting_fixture_sql(
             [(s, r, c, t, v[0]) for s, r, v, c, t in _nesting_fixture()]
+        ),
+        "geo_loop_relations": OR.loop_relations_fixture_sql(
+            [
+                (pid, ca, ra, cb, rb)
+                for (pid, _sa, _va, ca, ra), (_p, _sb, _vb, cb, rb) in zip(
+                    _looprel_fixture()[0::2], _looprel_fixture()[1::2]
+                )
+            ]
         ),
         "geo_polygon_covering": _covering_oracle(),
         "geo_boolean_ops_snapped": OR.boolean_fixture_sql(

@@ -1414,3 +1414,66 @@ def nesting_fixture_sql(rings, guard_frac: float = 0.05) -> str:
       ON p.shape = d.shape AND p.ring = d.ring AND p.rn = 1
     ORDER BY shape_id, chain_id
     """
+
+
+# ---------------------------------------------------- loop relations
+def loop_relations_fixture_sql(pairs, guard: float = 0.05) -> str:
+    """Oracle for geo_loop_relations over interior-facing (CCW)
+    geodesic-disc pairs — an INDEPENDENT re-derivation in SQL from
+    center/radius literals alone:
+
+        d             = acos(ca · cb)
+        contains(a,b) = d <= ra - rb
+        intersects    = d <  ra + rb
+        cmp_boundary  = +1 contains / -1 disjoint-or-contained / 0 cross
+        (S2Loop::Contains/Intersects/CompareBoundary semantics for
+        disc regions, s2loop.cc:1056-1235)
+
+    pairs: [(pair_id, ca_xyz, ra_rad, cb_xyz, rb_rad), ...].
+
+    Build-time guard: every pair's center distance must sit > `guard`
+    radians away from BOTH decision thresholds |ra−rb| and ra+rb, so
+    24-gon chord sag (<1% of r) and cross-engine acos ulps cannot flip
+    any classification.  Shared-edge / complement cases are covered by
+    the pytest matrix (tests/test_loop_relations.py), not this oracle.
+    """
+    vals = []
+    for pid, ca, ra, cb, rb in pairs:
+        ca = np.asarray(ca, float)
+        cb = np.asarray(cb, float)
+        d = math.acos(max(-1.0, min(1.0, float(ca @ cb))))
+        for thr in (abs(ra - rb), ra + rb):
+            if abs(d - thr) <= guard:
+                raise ValueError(
+                    f"loop-relations oracle fragile: pair {pid} "
+                    f"distance {d:.4f} within {guard} of threshold {thr:.4f}"
+                )
+        vals.append(
+            f"('{pid}', "
+            + ", ".join(
+                f"CAST({v!r} AS DOUBLE)"
+                for v in (ca[0], ca[1], ca[2], ra, cb[0], cb[1], cb[2], rb)
+            )
+            + ")"
+        )
+    return f"""
+    WITH pairs(pair_id, cax, cay, caz, ra, cbx, cby, cbz, rb)
+      AS (VALUES {", ".join(vals)}),
+    rel AS (
+      SELECT pair_id, ra, rb,
+             acos(least(1.0, greatest(-1.0,
+                 cax * cbx + cay * cby + caz * cbz))) AS d
+      FROM pairs)
+    SELECT pair_id,
+           CAST(CASE WHEN d <= ra - rb THEN 1 ELSE 0 END
+                AS INTEGER) AS contains_ab_i,
+           CAST(CASE WHEN d <= rb - ra THEN 1 ELSE 0 END
+                AS INTEGER) AS contains_ba_i,
+           CAST(CASE WHEN d < ra + rb THEN 1 ELSE 0 END
+                AS INTEGER) AS intersects_i,
+           CAST(CASE WHEN d <= ra - rb THEN 1
+                     WHEN d >= ra + rb OR d <= rb - ra THEN -1
+                     ELSE 0 END AS INTEGER) AS cmp_boundary
+    FROM rel
+    ORDER BY pair_id
+    """
