@@ -145,6 +145,9 @@ class IntLatLngSnapFunction(SnapFunction):
             else self.min_snap_radius_for_exponent(exponent)
         )
 
+    MIN_EXPONENT = 0
+    MAX_EXPONENT = 10
+
     @staticmethod
     def min_snap_radius_for_exponent(exponent: int) -> float:
         power = 1.0
@@ -153,6 +156,22 @@ class IntLatLngSnapFunction(SnapFunction):
         return math.radians(math.sqrt(0.5) / power) + (
             9 * math.sqrt(2) + 1.5
         ) * DBL_EPSILON
+
+    @staticmethod
+    def exponent_for_max_snap_radius(snap_radius_rad: float) -> int:
+        """s2builderutil_snap_functions.cc:279-293: inverse of
+        min_snap_radius_for_exponent (subtracts its error bound, then a
+        2-ulp tolerance so the round trip is exact)."""
+        r = snap_radius_rad - (9 * math.sqrt(2) + 1.5) * DBL_EPSILON
+        r = max(r, 1e-30)
+        exponent = math.log10(math.sqrt(0.5) / math.degrees(r))
+        return max(
+            IntLatLngSnapFunction.MIN_EXPONENT,
+            min(
+                IntLatLngSnapFunction.MAX_EXPONENT,
+                int(math.ceil(exponent - 2 * DBL_EPSILON)),
+            ),
+        )
 
     def min_vertex_separation(self) -> float:
         return max(
@@ -559,4 +578,139 @@ def snap_polylines_with_separation(
                     continue
                 chain_pts.append(s)
         out.append(np.asarray(chain_pts).reshape(-1, 3))
+    return out
+
+
+def simplify_snapped_polylines(
+    polylines: list[np.ndarray], snap: SnapFunction
+) -> list[np.ndarray]:
+    """S2Builder's simplify_edge_chains for polyline layers
+    (s2builder.h:119, options s2builder.h:425-426), one layer per input
+    polyline, all layers merged into a single multigraph exactly as
+    S2Builder::SimplifyEdgeChains does (s2builder.cc:1516-1546) so that
+    opposite-direction and backtracking chains simplify consistently.
+
+    Pipeline: snap with full separation guarantees
+    (snap_polylines_with_separation), build the merged site multigraph,
+    run the EdgeChainSimplifier port (kernel/simplifier.py) with
+
+      - target discs of edge_snap_radius around every INPUT vertex that
+        snapped to a removed site (TargetInputVertices,
+        s2builder.cc:1856-1865);
+      - avoid discs of min_edge_vertex_separation around all other
+        nearby sites, on the topologically correct side (AvoidSites,
+        s2builder.cc:1867-1940);
+      - interior-vertex eligibility via the per-layer
+        InteriorVertexMatcher (s2builder.cc:1706-1787),
+
+    then reassemble each layer's polyline by walking its output edges in
+    input-edge-id order (the S2PolylineLayer assembly rule)."""
+    from .simplifier import EdgeChainSimplifier
+
+    chains = snap_polylines_with_separation(polylines, snap)
+    chains = [np.asarray(c, float).reshape(-1, 3) for c in chains]
+    if not chains:
+        return chains
+
+    # ---- shared site table (bit-exact keying) -------------------------
+    all_sites: list[np.ndarray] = []
+    site_ids: dict[bytes, int] = {}
+    chain_sids: list[list[int]] = []
+    for c in chains:
+        sids = []
+        for v in c:
+            key = v.tobytes()
+            if key not in site_ids:
+                site_ids[key] = len(all_sites)
+                all_sites.append(v)
+            sids.append(site_ids[key])
+        chain_sids.append(sids)
+    S = np.asarray(all_sites).reshape(-1, 3)
+    # sites_ is ordered by leaf cell id, ties lexicographic (the builder's
+    # SortInputVertices order, s2builder.cc:615) — the edge sort below and
+    # hence the chain-walk start point depend on this ordering
+    if len(S) > 1:
+        leafs = K.from_point(S[:, 0], S[:, 1], S[:, 2])
+        order = sorted(
+            range(len(S)),
+            key=lambda i: (int(leafs[i]), S[i, 0], S[i, 1], S[i, 2]),
+        )
+        remap = np.empty(len(S), dtype=np.int64)
+        remap[np.asarray(order, dtype=np.int64)] = np.arange(len(S))
+        S = S[np.asarray(order, dtype=np.int64)]
+        chain_sids = [[int(remap[s]) for s in sids] for sids in chain_sids]
+
+    # ---- merged multigraph: one layer per polyline, global input ids --
+    raw: list[tuple[tuple[int, int], int, list[int]]] = []
+    next_input_id = 0
+    for layer, sids in enumerate(chain_sids):
+        for i in range(len(sids) - 1):
+            raw.append(((sids[i], sids[i + 1]), layer, [next_input_id]))
+            next_input_id += 1
+    # MergeLayerEdges (s2builder.cc:1546-1570): sort lexicographically by
+    # (edge, input id) — this fixes the graph's edge-id order and hence
+    # which endpoint each chain walk starts from (stable across the
+    # direction the input polylines happened to be drawn in)
+    raw.sort(key=lambda t: (t[0], t[2]))
+    edges = [t[0] for t in raw]
+    layers = [t[1] for t in raw]
+    input_ids = [t[2] for t in raw]
+
+    # ---- input vertices snapped to each site (site_vertices_) ---------
+    edge_snap_r2 = _angle2chord2(snap.snap_radius)
+    site_inputs: dict[int, list[np.ndarray]] = {}
+    for p in polylines:
+        v = np.asarray(p, float).reshape(-1, 3)
+        if len(v) == 0 or len(S) == 0:
+            continue
+        d2 = ((v[:, None, :] - S[None, :, :]) ** 2).sum(-1)
+        nearest = d2.argmin(axis=1)
+        for i, sid in enumerate(nearest.tolist()):
+            if d2[i, sid] <= edge_snap_r2 * (1 + 1e-9) + 1e-30:
+                site_inputs.setdefault(sid, []).append(v[i])
+
+    sep = min_edge_vertex_separation(snap)
+    simplifier = EdgeChainSimplifier(
+        S,
+        edges,
+        layers,
+        input_ids,
+        site_inputs,
+        edge_snap_r2=edge_snap_r2,
+        min_sep_r2=_angle2chord2(sep),
+        near_r2=_angle2chord2(max_edge_deviation(snap.snap_radius) + sep),
+        max_len2=_angle2chord2(min_edge_length_to_split_rad(snap.snap_radius)),
+    )
+    new_edges, new_layers, new_input_ids = simplifier.run()
+
+    # ---- per-layer polyline reassembly (input-edge-id order) ----------
+    out: list[np.ndarray] = []
+    for layer, sids in enumerate(chain_sids):
+        if len(sids) < 2:
+            out.append(S[np.asarray(sids, dtype=np.int64)])
+            continue
+        pool = [
+            (min(new_input_ids[k]) if new_input_ids[k] else 1 << 60, e0, e1, k)
+            for k, ((e0, e1), lyr) in enumerate(zip(new_edges, new_layers))
+            if lyr == layer
+        ]
+        pool.sort()
+        used = [False] * len(pool)
+        # start from the output edge carrying the smallest input edge id
+        # (for open polylines this is the original start vertex; for
+        # closed ones the original start may have been simplified away)
+        cur = pool[0][1] if pool else sids[0]
+        verts = [cur]
+        for _ in range(len(pool)):
+            nxt = None
+            for idx, (_mid, e0, e1, _k) in enumerate(pool):
+                if not used[idx] and e0 == cur:
+                    nxt = idx
+                    break
+            if nxt is None:
+                break  # disconnected residue (should not happen)
+            used[nxt] = True
+            cur = pool[nxt][2]
+            verts.append(cur)
+        out.append(S[np.asarray(verts, dtype=np.int64)])
     return out

@@ -211,6 +211,13 @@ class S1Interval:
             return self
         return S1Interval.empty()
 
+    def complement(self) -> "S1Interval":
+        """S1Interval::Complement (s1interval.cc): singleton → full;
+        otherwise swap endpoints (handles empty and full)."""
+        if self.lo == self.hi:
+            return S1Interval.full()
+        return S1Interval(self.hi, self.lo, checked=True)
+
     def union(self, y: "S1Interval") -> "S1Interval":
         if y.is_empty():
             return S1Interval(self.lo, self.hi, checked=True)

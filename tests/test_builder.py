@@ -488,3 +488,77 @@ class TestExactVoronoiPredicates:
                 swap = {V.FIRST: V.SECOND, V.SECOND: V.FIRST, V.NEITHER: V.NEITHER}
                 assert res2 == swap[res], (lat, lng)
         assert n_checked == 40
+
+
+class TestSnapFunctionMatrix:
+    """Deterministic rows of the snap-function matrix
+    (s2builderutil_snap_functions_test.cc:76-135)."""
+
+    def test_cellid_level_to_from_snap_radius(self):
+        # s2builderutil_snap_functions_test.cc:76-89
+        for level in range(31):
+            radius = S2CellIdSnapFunction.min_snap_radius_for_level(level)
+            assert S2CellIdSnapFunction.level_for_max_snap_radius(radius) == level
+            assert S2CellIdSnapFunction.level_for_max_snap_radius(
+                0.999 * radius
+            ) == min(level + 1, 30)
+        assert S2CellIdSnapFunction.level_for_max_snap_radius(5.0) == 0
+        assert S2CellIdSnapFunction.level_for_max_snap_radius(1e-30) == 30
+
+    def test_cellid_snap_point_fixed_points(self):
+        # s2builderutil_snap_functions_test.cc:91-104: cell centers are
+        # fixed points of snapping at their own level (seeded rng points
+        # per FIXTURES.md policy).
+        import numpy as np
+
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+        rng = np.random.default_rng(42)
+        for level in range(0, 31, 3):
+            f = S2CellIdSnapFunction(level)
+            lat = rng.uniform(-80, 80, 50)
+            lng = rng.uniform(-180, 180, 50)
+            x, y, z = latlng_to_xyz(lat, lng)
+            p = np.stack([x, y, z], -1)
+            centers = f.snap(p)
+            again = f.snap(centers)
+            assert np.array_equal(centers, again), level
+
+    def test_intlatlng_exponent_to_from_snap_radius(self):
+        # s2builderutil_snap_functions_test.cc:105-121
+        for exponent in range(
+            IntLatLngSnapFunction.MIN_EXPONENT, IntLatLngSnapFunction.MAX_EXPONENT + 1
+        ):
+            radius = IntLatLngSnapFunction.min_snap_radius_for_exponent(exponent)
+            assert (
+                IntLatLngSnapFunction.exponent_for_max_snap_radius(radius) == exponent
+            )
+            assert IntLatLngSnapFunction.exponent_for_max_snap_radius(
+                0.999 * radius
+            ) == min(exponent + 1, IntLatLngSnapFunction.MAX_EXPONENT)
+        assert (
+            IntLatLngSnapFunction.exponent_for_max_snap_radius(5.0)
+            == IntLatLngSnapFunction.MIN_EXPONENT
+        )
+        assert (
+            IntLatLngSnapFunction.exponent_for_max_snap_radius(1e-30)
+            == IntLatLngSnapFunction.MAX_EXPONENT
+        )
+
+    def test_intlatlng_snap_point_fixed_points(self):
+        # s2builderutil_snap_functions_test.cc:122-135: points already on
+        # the E5/E6/E7 grid are fixed points of snapping.
+        import numpy as np
+
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+
+        rng = np.random.default_rng(42)
+        lat = rng.uniform(-89, 89, 100)
+        lng = rng.uniform(-180, 180, 100)
+        x, y, z = latlng_to_xyz(lat, lng)
+        p = np.stack([x, y, z], -1)
+        for exponent in (5, 6, 7):
+            f = IntLatLngSnapFunction(exponent)
+            on_grid = f.snap(p)
+            again = f.snap(on_grid)
+            assert np.array_equal(on_grid, again), exponent
