@@ -525,6 +525,59 @@ _MIXED_FIXTURES = [
 ]
 
 
+def _simplify_fixtures():
+    """Simplification jobs: the reference's simplify_edge_chains
+    fixtures (s2builder_test.cc:866-1019) plus two generated
+    stress shapes.  Each job = (name, snap_kind, snap_param,
+    polylines-as-latlng-lists)."""
+    import math
+
+    arc = [
+        (0.4 * math.sin(i * math.pi / 40), i * 0.25) for i in range(201)
+    ]
+    jitter = [(0.02 * ((i * 2654435761) % 7 - 3), i * 0.2) for i in range(101)]
+    return [
+        ("one_edge", "identity", math.radians(1),
+         [[(0, 0), (1, 0.5), (2, -0.5), (3, 0.5), (4, -0.5), (5, 0)]]),
+        ("backtrack", "identity", math.radians(0.5),
+         [[(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (4, 0),
+           (3, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 0), (7, 0)]]),
+        ("opposite", "identity", math.radians(0.5),
+         [[(-4, 0.83), (-3, 0.46), (-2, 0.2), (-1, 0.05), (0, 0),
+           (1, 0.5), (2, 0.2), (3, 0.46), (4, 0.83)],
+          [(4, 0.83), (3, 0.46), (2, 0.2), (1, 0.05), (0, 0),
+           (-1, 0.5), (-2, 0.2), (-3, 0.46), (-4, 0.83)]]),
+        ("keeps_sep", "identity", math.radians(1.0),
+         [[(0, -10), (0.99, 0), (0, 10)], [(-5, -5), (-0.2, 0), (-5, 5)]]),
+        ("avoid_backtrack", "identity", math.radians(1.0),
+         [[(0, 0), (1, 0.1), (1, 2)], [(0, 1.05), (-10, 1.05)]]),
+        ("limits_deviation", "intlatlng", 0,
+         [[(-30.49, -29.51), (29.51, 30.49)]]),
+        ("arc200", "identity", math.radians(0.5), [arc]),
+        ("cellid_jitter", "cellid", 8, [jitter]),
+    ]
+
+
+def _q_geo_polyline_simplify(spark, sf_dir):
+    """S2Builder simplify_edge_chains (s2builder.h:119,425) as a
+    distributed job table: each job (a group of polylines sharing one
+    snap function) snaps + simplifies on an executor via the
+    EdgeChainSimplifier port (kernel/simplifier.py) inside ONE
+    applyInPandas — the only shuffle is the groupBy(job).  Output is
+    per-polyline vertex counts and the canonical simplified-chain
+    digest; the oracle pins the kernel's values, whose semantics are
+    pinned against the reference's own fixtures in
+    tests/test_simplifier.py."""
+    from s2geometry_spark.operators.polyline_ops import (
+        simplify_jobs_df,
+        simplify_polylines_join,
+    )
+
+    jobs = simplify_jobs_df(spark, _simplify_fixtures())
+    out = simplify_polylines_join(jobs)
+    return out.orderBy("job", "line_idx")
+
+
 def _q_geo_mixed_ops(spark, sf_dir):
     """Mixed-dimension S2BooleanOperation (points x polylines x
     polygons) with the full PolygonModel x PolylineModel boundary-model
@@ -1222,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_buffer": _q_geo_buffer,
         "geo_cap_filter": _q_geo_cap_filter,
         "geo_polyline_interpolate": _q_geo_polyline_interpolate,
+        "geo_polyline_simplify": _q_geo_polyline_simplify,
         "geo_hausdorff": _q_geo_hausdorff,
         "geo_polyline_alignment": _q_geo_polyline_alignment,
         "shape_nesting_join": _q_shape_nesting,
@@ -1449,6 +1503,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         "geo_polyline_interpolate": OR.polyline_interpolate_sql(
             _project_polyline_vertices()
         ),
+        "geo_polyline_simplify": OR.simplify_fixture_sql(_simplify_fixtures()),
         "geo_hausdorff": _hausdorff_oracle(),
         "geo_polyline_alignment": OR.dtw_fixture_sql(_alignment_fixture()),
         "shape_nesting_join": OR.nesting_fixture_sql(

@@ -1477,3 +1477,41 @@ def loop_relations_fixture_sql(pairs, guard: float = 0.05) -> str:
     FROM rel
     ORDER BY pair_id
     """
+
+
+# -------------------------------------------------- polyline simplify
+def simplify_fixture_sql(fixtures) -> str:
+    """Oracle for operators/polyline_ops.simplify_polylines_join: per
+    (job, line) the kernel's input/output vertex counts and canonical
+    simplified-chain digest as pinned VALUES.  The simplify SEMANTICS
+    are pinned independently against the reference's own fixtures
+    (tests/test_simplifier.py ports s2builder_test.cc:866-1019 and
+    s2polyline_simplifier_test.cc); this oracle then gates the
+    DISTRIBUTED applyInPandas path row-for-row."""
+    import numpy as np
+
+    from ..kernel.builder import simplify_snapped_polylines
+    from ..kernel.coords import latlng_to_xyz
+    from ..operators.polyline_ops import _make_snap, simplify_digest
+
+    rows = []
+    for name, kind, param, polys in fixtures:
+        arrs = []
+        for poly in polys:
+            lat = np.array([p[0] for p in poly], np.float64)
+            lng = np.array([p[1] for p in poly], np.float64)
+            x, y, z = latlng_to_xyz(lat, lng)
+            arrs.append(np.stack([x, y, z], -1))
+        out = simplify_snapped_polylines(arrs, _make_snap(kind, float(param)))
+        for li, (p, c) in enumerate(zip(arrs, out)):
+            rows.append(
+                f"('{name}', {li}, {len(p)}, {len(c)}, '{simplify_digest(c)}')"
+            )
+    values = ", ".join(rows)
+    return f"""
+    SELECT job, CAST(line_idx AS INTEGER) AS line_idx,
+           CAST(n_in AS INTEGER) AS n_in,
+           CAST(n_out AS INTEGER) AS n_out, digest
+    FROM (VALUES {values}) AS t(job, line_idx, n_in, n_out, digest)
+    ORDER BY job, line_idx
+    """

@@ -55,6 +55,40 @@ def wedge_intersects(a0, ab1, a2, b0, b2) -> bool:
     )
 
 
+WEDGE_EQUALS = "WEDGE_EQUALS"
+WEDGE_PROPERLY_CONTAINS = "WEDGE_PROPERLY_CONTAINS"
+WEDGE_IS_PROPERLY_CONTAINED = "WEDGE_IS_PROPERLY_CONTAINED"
+WEDGE_PROPERLY_OVERLAPS = "WEDGE_PROPERLY_OVERLAPS"
+WEDGE_IS_DISJOINT = "WEDGE_IS_DISJOINT"
+
+
+def get_wedge_relation(a0, ab1, a2, b0, b2) -> str:
+    """GetWedgeRelation (s2wedge_relations.cc:47-80): classify the six
+    circular edge orderings at a shared vertex into the five-value
+    relation, taking the most specific answer when edges overlap."""
+    import numpy as np
+
+    if np.array_equal(a0, b0) and np.array_equal(a2, b2):
+        return WEDGE_EQUALS
+    if P.ordered_ccw(a0, a2, b2, ab1):
+        # cases 1, 5, 6 (or 2 if a2 == b2)
+        if P.ordered_ccw(b2, b0, a0, ab1):
+            return WEDGE_PROPERLY_CONTAINS
+        return (
+            WEDGE_IS_PROPERLY_CONTAINED
+            if np.array_equal(a2, b2)
+            else WEDGE_PROPERLY_OVERLAPS
+        )
+    # cases 2, 3, 4
+    if P.ordered_ccw(a0, b0, b2, ab1):
+        return WEDGE_IS_PROPERLY_CONTAINED
+    return (
+        WEDGE_IS_DISJOINT
+        if P.ordered_ccw(a0, b0, a2, ab1)
+        else WEDGE_PROPERLY_OVERLAPS
+    )
+
+
 def _wedge_contains_semiwedge(a0, ab1, a2, b2, reverse_b: bool) -> bool:
     """WedgeContainsSemiwedge (s2loop.cc:1157-1167)."""
     if (b2 == a0).all() or (b2 == a2).all():

@@ -225,6 +225,27 @@ def triangle_true_centroid(a, b, c) -> np.ndarray:
     return out
 
 
+def planar_centroid(a, b, c) -> np.ndarray:
+    """S2::PlanarCentroid (s2centroids.cc:28-30): centroid of the planar
+    triangle — not normalized, norm < 1."""
+    return (np.asarray(a, float) + np.asarray(b, float) + np.asarray(c, float)) / 3.0
+
+
+def edge_true_centroid(a, b) -> np.ndarray:
+    """S2::TrueCentroid(a, b) (s2centroids.cc:74-85): edge centroid
+    times edge length — additive over chains, so polyline centroids sum
+    per-edge terms."""
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    vdiff = a - b
+    vsum = a + b
+    sin2 = (vdiff * vdiff).sum(-1)
+    cos2 = (vsum * vsum).sum(-1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        scale = np.where(cos2 == 0, 0.0, np.sqrt(np.where(cos2 == 0, 1.0, sin2 / cos2)))
+    return scale[..., None] * vsum if scale.ndim else scale * vsum
+
+
 def loop_centroid(vertices: np.ndarray) -> np.ndarray:
     """Area-weighted true centroid of a loop (fan from the north pole;
     S2::GetCentroid semantics, s2loop_measures.h:100-114)."""

@@ -78,3 +78,104 @@ def project_points_onto_polyline(
     return points.select(
         *point_cols, proj(F.col("lat"), F.col("lng")).alias("_p")
     ).select(*point_cols, "_p.*")
+
+
+# ------------------------------------------------------------------
+# simplify_edge_chains as a distributed job table
+# ------------------------------------------------------------------
+
+def simplify_jobs_df(
+    spark: SparkSession,
+    fixtures: list[tuple[str, str, float, list[list[tuple[float, float]]]]],
+    partitions: int = 4,
+) -> DataFrame:
+    """Explode simplification jobs into rows.  Each fixture is one JOB
+    (name, snap_kind, snap_param, polylines-as-latlng-lists): a group of
+    polylines snapped and simplified together over one shared site set,
+    exactly the unit S2Builder processes per Build() call.  At scale the
+    table holds millions of independent jobs (e.g. one per road/track),
+    so the one groupBy(job) shuffle is the whole plan."""
+    rows = []
+    for name, kind, param, polys in fixtures:
+        for li, poly in enumerate(polys):
+            for vi, (lat, lng) in enumerate(poly):
+                rows.append((name, kind, float(param), li, vi, float(lat), float(lng)))
+    return spark.createDataFrame(
+        rows,
+        "job string, snap_kind string, snap_param double,"
+        " line_idx int, vertex_idx int, lat double, lng double",
+    ).repartition(partitions)
+
+
+def _make_snap(kind: str, param: float):
+    from ..kernel.builder import (
+        IdentitySnapFunction,
+        IntLatLngSnapFunction,
+        S2CellIdSnapFunction,
+    )
+
+    if kind == "identity":
+        return IdentitySnapFunction(param)
+    if kind == "intlatlng":
+        return IntLatLngSnapFunction(int(param))
+    if kind == "cellid":
+        return S2CellIdSnapFunction(int(param))
+    raise ValueError(f"unknown snap kind {kind!r}")
+
+
+def simplify_digest(chain: np.ndarray, digits: int = 6) -> str:
+    """Canonical digest of a simplified chain: md5 over rounded lat/lng
+    rows (shared by the distributed operator and the pinned oracle)."""
+    import hashlib
+
+    from ..kernel.coords import xyz_to_latlng
+
+    c = np.asarray(chain, float).reshape(-1, 3)
+    if len(c) == 0:
+        return hashlib.md5(b"").hexdigest()
+    lat, lng = xyz_to_latlng(c[:, 0], c[:, 1], c[:, 2])
+    txt = ";".join(
+        f"{round(float(a), digits):.6f},{round(float(b), digits):.6f}"
+        for a, b in zip(lat, lng)
+    )
+    return hashlib.md5(txt.encode()).hexdigest()
+
+
+def simplify_polylines_join(jobs: DataFrame) -> DataFrame:
+    """S2Builder simplify_edge_chains per job
+    (kernel/builder.simplify_snapped_polylines): one applyInPandas per
+    (job, snap_kind, snap_param) group; output one row per input
+    polyline with input/output vertex counts and the canonical output
+    digest.  Executors do all geometry; the driver never sees a
+    vertex."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel.builder import simplify_snapped_polylines
+        from ..kernel.coords import latlng_to_xyz
+
+        job, kind, param = key
+        snap = _make_snap(kind, float(param))
+        pdf = pdf.sort_values(["line_idx", "vertex_idx"])
+        polys = []
+        line_ids = []
+        for li, grp in pdf.groupby("line_idx", sort=True):
+            lat = grp["lat"].to_numpy(np.float64)
+            lng = grp["lng"].to_numpy(np.float64)
+            x, y, z = latlng_to_xyz(lat, lng)
+            polys.append(np.stack([x, y, z], -1))
+            line_ids.append(int(li))
+        out = simplify_snapped_polylines(polys, snap)
+        return pd.DataFrame(
+            {
+                "job": job,
+                "line_idx": line_ids,
+                "n_in": [len(p) for p in polys],
+                "n_out": [len(c) for c in out],
+                "digest": [simplify_digest(c) for c in out],
+            }
+        )
+
+    return jobs.groupBy("job", "snap_kind", "snap_param").applyInPandas(
+        run,
+        "job string, line_idx int, n_in int, n_out int, digest string",
+    )

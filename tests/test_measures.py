@@ -94,3 +94,80 @@ def test_spark_distributed_measures_match_kernel(spark):
             [out[name].centroid_x, out[name].centroid_y, out[name].centroid_z],
             cen, atol=1e-9,
         )
+
+
+class TestCentroids:
+    """Port of s2centroids_test.cc:33-108 (PlanarCentroid SemiEquator,
+    TriangleTrueCentroid SmallTriangles, EdgeTrueCentroid SemiEquator +
+    GreatCircles; randomized cases use our own rng per FIXTURES.md)."""
+
+    def test_planar_centroid_semi_equator(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel.measures import planar_centroid
+
+        a = np.array([0.0, -1.0, 0.0])
+        b = np.array([1.0, 0.0, 0.0])
+        c = np.array([0.0, 1.0, 0.0])
+        centroid = planar_centroid(a, b, c)
+        n = np.linalg.norm(centroid)
+        assert abs(n - 1.0 / 3) < 1e-15
+        assert np.linalg.norm(centroid / n - b) < 1e-14
+
+    def test_triangle_true_centroid_small_triangles(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel.measures import triangle_true_centroid
+
+        rng = np.random.default_rng(42)
+        for _ in range(100):
+            # random orthonormal frame (p, x, y)
+            m = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+            p, x, y = m[:, 0], m[:, 1], m[:, 2]
+            d = 10.0 ** rng.uniform(-8, -4)
+            p0 = p - d * x
+            p1 = p + d * x
+            p2 = p + 3 * d * y
+            p0, p1, p2 = (v / np.linalg.norm(v) for v in (p0, p1, p2))
+            c = triangle_true_centroid(p0, p1, p2)
+            c = c / np.linalg.norm(c)
+            expected = p + d * y
+            expected /= np.linalg.norm(expected)
+            # S2Point::Angle is atan2-based (stable near 0, unlike acos)
+            ang = float(np.arctan2(np.linalg.norm(np.cross(c, expected)), c @ expected))
+            assert ang <= 2e-8
+
+    def test_edge_true_centroid_semi_equator(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel.measures import edge_true_centroid
+
+        a = np.array([0.0, -1.0, 0.0])
+        b = np.array([1.0, 0.0, 0.0])
+        c = np.array([0.0, 1.0, 0.0])
+        centroid = edge_true_centroid(a, b) + edge_true_centroid(b, c)
+        n = np.linalg.norm(centroid)
+        assert abs(n - 2.0) < 1e-14
+        assert np.linalg.norm(centroid / n - b) < 1e-14
+
+    def test_edge_true_centroid_great_circles(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel.measures import edge_true_centroid
+
+        rng = np.random.default_rng(42)
+        for _ in range(100):
+            m = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+            x, y = m[:, 0], m[:, 1]
+            centroid = np.zeros(3)
+            v0 = x
+            theta = 0.0
+            # sample BEFORE incrementing (the reference's for-update
+            # order) so the closing arc never double-covers past 2*pi
+            while theta < 2 * np.pi:
+                v1 = np.cos(theta) * x + np.sin(theta) * y
+                centroid += edge_true_centroid(v0, v1)
+                v0 = v1
+                theta += float(rng.uniform(0, 1)) ** 10
+            centroid += edge_true_centroid(v0, x)
+            assert np.linalg.norm(centroid) <= 2e-14
