@@ -53,21 +53,41 @@ def _hull_indices(points: np.ndarray) -> list[int]:
 
 
 def convex_hulls(points: DataFrame, group_col: str = "group_id") -> DataFrame:
-    """(group_id, hull_idx, x, y, z) — per-group spherical convex hull."""
+    """(group_id, hull_idx, x, y, z, status) — per-group spherical convex
+    hull via the exact S2ConvexHullQuery port (kernel/hull.py): valid for
+    ANY point distribution, not just hemispheric groups.  status is
+    'loop' for ordinary hulls; 'full'/'empty' groups emit one marker row
+    with hull_idx = -1 (s2convex_hull_query.cc:117-146 semantics)."""
 
     def hull(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel.hull import EMPTY, FULL, convex_hull_of_points
+
         pts = pdf[["x", "y", "z"]].to_numpy(np.float64)
-        idx = _hull_indices(pts)
+        result = convex_hull_of_points(pts)
+        if isinstance(result, str):
+            return pd.DataFrame(
+                {
+                    group_col: [key[0]],
+                    "hull_idx": [-1],
+                    "x": [0.0],
+                    "y": [0.0],
+                    "z": [0.0],
+                    "status": [FULL if result == FULL else EMPTY],
+                }
+            )
         return pd.DataFrame(
             {
                 group_col: key[0],
-                "hull_idx": range(len(idx)),
-                "x": pts[idx, 0],
-                "y": pts[idx, 1],
-                "z": pts[idx, 2],
+                "hull_idx": range(len(result)),
+                "x": result[:, 0],
+                "y": result[:, 1],
+                "z": result[:, 2],
+                "status": "loop",
             }
         )
 
     return points.groupBy(group_col).applyInPandas(
-        hull, f"{group_col} string, hull_idx int, x double, y double, z double"
+        hull,
+        f"{group_col} string, hull_idx int, x double, y double, z double,"
+        " status string",
     )
