@@ -156,3 +156,131 @@ def subsample_vertices(vertices: np.ndarray, tolerance_rad: float) -> list[int]:
             indices.append(next_index)
         index = next_index
     return indices
+
+
+def point_on_line(a: np.ndarray, b: np.ndarray, angle_rad: float) -> np.ndarray:
+    """S2::GetPointOnLine: the point at `angle_rad` from A along the
+    great circle through A towards B (may extrapolate past B)."""
+    a = np.asarray(a, float).reshape(3)
+    b = np.asarray(b, float).reshape(3)
+    d = b - (b @ a) * a
+    nd = np.linalg.norm(d)
+    if nd == 0:
+        return a.copy()
+    d = d / nd
+    return math.cos(angle_rad) * a + math.sin(angle_rad) * d
+
+
+class ChainInterpolationResult:
+    """S2ChainInterpolationQuery::Result (s2chain_interpolation_query.h)."""
+
+    __slots__ = ("valid", "point", "edge_id", "distance")
+
+    def __init__(self, valid=False, point=None, edge_id=-1, distance=0.0):
+        self.valid = valid
+        self.point = point
+        self.edge_id = edge_id
+        self.distance = distance
+
+
+class ChainInterpolationQuery:
+    """Port of S2ChainInterpolationQuery (s2chain_interpolation_query.cc):
+    locate points at a distance / fraction along the edges of a shape,
+    report cumulative lengths at edge ends, and extract vertex slices.
+
+    `chains` is a list of vertex arrays; `closed=True` treats each chain
+    as a loop (polygon semantics: the closing edge counts).  Edge ids are
+    global across chains in order; `chain_id >= 0` restricts the query to
+    one chain's edge range (s2chain_interpolation_query.cc:28-66)."""
+
+    def __init__(self, chains, closed: bool = False, chain_id: int = -1):
+        if isinstance(chains, np.ndarray):
+            chains = [chains]
+        chains = [np.asarray(c, float).reshape(-1, 3) for c in chains]
+        self._edges: list[tuple[np.ndarray, np.ndarray]] = []
+        chain_ranges = []
+        for c in chains:
+            start = len(self._edges)
+            for i in range(len(c) - 1):
+                self._edges.append((c[i], c[i + 1]))
+            if closed and len(c) >= 2:
+                self._edges.append((c[-1], c[0]))
+            chain_ranges.append((start, len(self._edges)))
+        if chain_id >= 0:
+            self._first, end = chain_ranges[chain_id]
+            self._last = end - 1
+        else:
+            self._first, self._last = 0, len(self._edges) - 1
+        cum = []
+        acc = 0.0
+        from .measures import stable_angle
+
+        for i in range(self._first, self._last + 1):
+            cum.append(acc)
+            a, b = self._edges[i]
+            acc += float(stable_angle(a[None], b[None])[0])
+        if cum:
+            cum.append(acc)
+        self._cum = np.asarray(cum)
+
+    def get_length(self) -> float:
+        return 0.0 if len(self._cum) == 0 else float(self._cum[-1])
+
+    def get_length_at_edge_end(self, edge_id: int) -> float:
+        """s2chain_interpolation_query.cc:76-86: Infinity for edge ids
+        outside the chain's range."""
+        if len(self._cum) == 0:
+            return 0.0
+        if edge_id < self._first or edge_id > self._last:
+            return math.inf
+        return float(self._cum[edge_id - self._first + 1])
+
+    def at_distance(self, distance_rad: float) -> ChainInterpolationResult:
+        """s2chain_interpolation_query.cc:88-117: clamp to [0, length];
+        binary search the cumulative values."""
+        if len(self._cum) == 0:
+            return ChainInterpolationResult()
+        i = int(np.searchsorted(self._cum, distance_rad, side="left"))
+        if i == 0:
+            return ChainInterpolationResult(
+                True, self._edges[self._first][0].copy(), self._first,
+                float(self._cum[0]),
+            )
+        if i == len(self._cum):
+            return ChainInterpolationResult(
+                True, self._edges[self._last][1].copy(), self._last,
+                float(self._cum[-1]),
+            )
+        edge_id = i - 1 + self._first
+        a, b = self._edges[edge_id]
+        return ChainInterpolationResult(
+            True,
+            point_on_line(a, b, distance_rad - float(self._cum[i - 1])),
+            edge_id,
+            float(distance_rad),
+        )
+
+    def at_fraction(self, fraction: float) -> ChainInterpolationResult:
+        return self.at_distance(fraction * self.get_length())
+
+    def slice(self, begin_fraction: float, end_fraction: float) -> np.ndarray:
+        """s2chain_interpolation_query.cc:125-160: the vertex chain
+        between two fractions (reversed when begin > end)."""
+        if len(self._cum) == 0:
+            return np.zeros((0, 3))
+        reverse = begin_fraction > end_fraction
+        if reverse:
+            begin_fraction, end_fraction = end_fraction, begin_fraction
+        res = self.at_fraction(begin_fraction)
+        out = [res.point]
+        last = res.point
+        begin_edge = res.edge_id
+        res_end = self.at_fraction(end_fraction)
+        for edge_id in range(begin_edge, res_end.edge_id):
+            v1 = self._edges[edge_id][1]
+            if not np.array_equal(last, v1):
+                last = v1
+                out.append(v1)
+        out.append(res_end.point)
+        arr = np.asarray(out).reshape(-1, 3)
+        return arr[::-1].copy() if reverse else arr

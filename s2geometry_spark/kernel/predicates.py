@@ -221,6 +221,41 @@ def angle_contains_vertex(a, b, c) -> bool:
     return not ordered_ccw(ortho(b), c, a, b)
 
 
+class ContainsVertexQuery:
+    """S2ContainsVertexQuery (s2contains_vertex_query.h/.cc): decide
+    whether a target vertex of an edge graph is contained, from the
+    signed multiset of edges incident to it.  ContainsSign finds the
+    unmatched edge immediately clockwise from RefDir(target); the result
+    is +1 iff that edge is outgoing (closed at the CCW-first edge, open
+    at the other — the S2::VertexCrossing compatibility convention)."""
+
+    def __init__(self, target: np.ndarray) -> None:
+        self._target = np.asarray(target, float).reshape(3)
+        self._edge_map: dict[tuple, int] = {}
+
+    def add_edge(self, v: np.ndarray, direction: int) -> None:
+        """direction +1 = outgoing edge (target, v); -1 = incoming."""
+        key = tuple(np.asarray(v, float).reshape(3))
+        self._edge_map[key] = self._edge_map.get(key, 0) + direction
+
+    def duplicate_edges(self) -> bool:
+        """True when some incident edge appears more than once in the
+        same direction (net count beyond ±1)."""
+        return any(abs(s) > 1 for s in self._edge_map.values())
+
+    def contains_sign(self) -> int:
+        """s2contains_vertex_query.cc:30-49."""
+        reference_dir = ortho(self._target)
+        best_point, best_sign = reference_dir, 0
+        for key, s in self._edge_map.items():
+            if s == 0:
+                continue  # matched incoming/outgoing pair
+            p = np.asarray(key)
+            if ordered_ccw(reference_dir, best_point, p, self._target):
+                best_point, best_sign = p, s
+        return best_sign
+
+
 def vertex_crossing(a, b, c, d) -> bool:
     """VertexCrossing (s2edge_crossings.cc), scalar — requires a shared vertex."""
     a, b, c, d = (tuple(v) for v in (a, b, c, d))
