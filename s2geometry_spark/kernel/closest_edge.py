@@ -41,7 +41,9 @@ def parse_index(s: str) -> list[Shape]:
     sid = 0
     pts_str = sections[0].strip()
     if pts_str:
-        pts = parse_points(pts_str)
+        # the reference DSL separates points with '|' (s2text_format.h);
+        # they still form ONE S2PointVectorShape
+        pts = parse_points(pts_str.replace("|", ","))
         # a multipoint is ONE shape of dimension 0 with degenerate edges
         shapes.append(Shape(sid, 0, pts, pts))
         sid += 1
@@ -153,7 +155,11 @@ def closest_to_shape_targets(
 
 
 def find_furthest_edges(
-    shapes: list[Shape], targets: np.ndarray, k: int = 1
+    shapes: list[Shape],
+    targets: np.ndarray,
+    k: int = 1,
+    include_interiors: bool = False,
+    min_distance_rad: float | None = None,
 ) -> list[list[tuple[int, int, float]]]:
     """S2FurthestEdgeQuery analog.
 
@@ -164,16 +170,54 @@ def find_furthest_edges(
     |x−v|² + |−x−v|² = 4 exactly, so the vertex-maximum case is covered
     by the same identity, and an edge whose interior passes near the
     target's antipode (angle > 90°) reports the true interior maximum
-    the old vertex-only formula missed."""
+    the old vertex-only formula missed.
+
+    include_interiors (s2furthest_edge_query.h Options): a polygon whose
+    interior contains the target's ANTIPODE reports
+    (shape_id, edge_id=-1, Straight = 4.0).  min_distance_rad keeps only
+    results with distance strictly greater (set_min_distance)."""
+    import math
+
     targets = np.asarray(targets, dtype=np.float64).reshape(-1, 3)
     cand: list[list[tuple[float, int, int]]] = [[] for _ in range(len(targets))]
     for shape in shapes:
+        if include_interiors and shape.dim == 2 and shape.polygon is not None:
+            inside = shape.polygon.contains(-targets)
+            for i in range(len(targets)):
+                if inside[i]:
+                    cand[i].append((4.0, shape.shape_id, -1))
         if len(shape.edges_c):
             d2 = 4.0 - point_edge_dist2(-targets, shape.edges_c, shape.edges_d)
             for i in range(len(targets)):
                 for e in range(d2.shape[1]):
                     cand[i].append((float(d2[i, e]), shape.shape_id, e))
+    if min_distance_rad is not None:
+        s = 2 * math.sin(0.5 * min(math.pi, min_distance_rad))
+        min_d2 = s * s
+        cand = [[t for t in c if t[0] > min_d2] for c in cand]
     return [
         [(sid, eid, d) for d, sid, eid in sorted(c, reverse=True)[:k]]
         for c in cand
     ]
+
+
+def get_crossing_edges(
+    shapes: list[Shape], a0: np.ndarray, a1: np.ndarray, interior_only: bool = False
+) -> list[tuple[int, int]]:
+    """S2CrossingEdgeQuery::GetCrossingEdges (s2crossing_edge_query.h:47-92):
+    all indexed edges that cross the query edge (a0, a1).
+    CrossingType::ALL includes shared-vertex crossings (sign >= 0);
+    INTERIOR keeps proper crossings only (sign > 0).  Vectorized
+    crossing_sign per shape — the distributed analog prunes candidates
+    with the covering cell join first (operators/spatial_join.py)."""
+    from .predicates import crossing_sign
+
+    a0 = np.asarray(a0, float).reshape(3)
+    a1 = np.asarray(a1, float).reshape(3)
+    out: list[tuple[int, int]] = []
+    for shape in shapes:
+        for e in range(len(shape.edges_c)):
+            s = crossing_sign(a0, a1, shape.edges_c[e], shape.edges_d[e])
+            if s > 0 or (s == 0 and not interior_only):
+                out.append((shape.shape_id, int(e)))
+    return out
