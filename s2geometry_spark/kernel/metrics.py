@@ -69,3 +69,33 @@ def meters_to_radians(meters: float) -> float:
 
 def radians_to_meters(radians: float) -> float:
     return radians * EARTH_RADIUS_METERS
+
+
+def meters_to_longitude_radians(meters: float, latitude_radians: float) -> float:
+    """S2Earth::MetersToLongitudeRadians (s2earth.h:183-200): radians of
+    longitude spanning `meters` at the given latitude; 2*pi at (or within
+    rounding of) the poles instead of dividing by ~0."""
+    scalar = math.cos(latitude_radians)
+    if scalar == 0:
+        return math.pi * 2
+    return min(meters_to_radians(meters) / scalar, math.pi * 2)
+
+
+def get_initial_bearing(
+    lat1_rad: float, lng1_rad: float, lat2_rad: float, lng2_rad: float
+) -> float:
+    """S2Earth::GetInitialBearing (s2earth.cc): compass bearing in
+    radians (0 = north, pi/2 = east) at the start of the great-circle
+    path from point 1 to point 2."""
+    lat1 = lat1_rad
+    cos_lat2 = math.cos(lat2_rad)
+    lat_diff = lat2_rad - lat1_rad
+    lng_diff = lng2_rad - lng1_rad
+    x = math.sin(lat_diff) + math.sin(lat1) * cos_lat2 * 2 * _haversine(lng_diff)
+    y = math.sin(lng_diff) * cos_lat2
+    return math.atan2(y, x)
+
+
+def _haversine(radians: float) -> float:
+    sin_half = math.sin(radians / 2)
+    return sin_half * sin_half

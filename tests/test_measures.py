@@ -171,3 +171,76 @@ class TestCentroids:
                 theta += float(rng.uniform(0, 1)) ** 10
             centroid += edge_true_centroid(v0, x)
             assert np.linalg.norm(centroid) <= 2e-14
+
+
+class TestS2Earth:
+    """Port of s2earth_test.cc:80-180 (ToLongitudeRadians,
+    GetInitialBearing, GetDistance in meters)."""
+
+    def test_to_longitude_radians(self):
+        import math
+
+        from s2geometry_spark.kernel.metrics import (
+            EARTH_RADIUS_METERS,
+            meters_to_longitude_radians,
+        )
+
+        r = EARTH_RADIUS_METERS
+        assert meters_to_longitude_radians(r, 0) == pytest.approx(1.0, abs=1e-15)
+        assert meters_to_longitude_radians(r, 0.5) > meters_to_longitude_radians(
+            r, 0.4
+        )
+        assert meters_to_longitude_radians(r, math.pi / 2) == 2 * math.pi
+        assert (
+            meters_to_longitude_radians(r, math.pi / 2 - 1e-4) == 2 * math.pi
+        )
+
+    def test_get_initial_bearing(self):
+        import math
+
+        from s2geometry_spark.kernel.metrics import get_initial_bearing
+
+        cases = [
+            # (a_lat, a_lng, b_lat, b_lng, bearing_degrees)
+            (0, 50, 0, 100, 90),            # eastward on equator
+            (0, 50, 0, 0, -90),             # westward on equator
+            (16, 28, 81, 28, 0),            # northward on meridian
+            (24, 64, -27, 64, 180),         # southward on meridian
+            (12, 76, 90, 50, 0),            # towards north pole
+            (-35, 105, -90, -120, 180),     # towards south pole
+            (40.4379332, -3.749576, 35.6733227, 139.6403486, 29.2),
+            (35.6733227, 139.6403486, 40.4379332, -3.749576, -27.2),
+        ]
+        for a_lat, a_lng, b_lat, b_lng, want_deg in cases:
+            got = math.degrees(
+                get_initial_bearing(
+                    math.radians(a_lat),
+                    math.radians(a_lng),
+                    math.radians(b_lat),
+                    math.radians(b_lng),
+                )
+            )
+            diff = abs(math.remainder(got - want_deg, 360.0))
+            assert diff <= 1e-2, (a_lat, a_lng, b_lat, b_lng, got)
+
+    def test_get_distance_meters(self):
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernel.measures import stable_angle
+        from s2geometry_spark.kernel.metrics import (
+            EARTH_RADIUS_METERS,
+            radians_to_meters,
+        )
+
+        north = np.array([[0.0, 0.0, 1.0]])
+        south = np.array([[0.0, 0.0, -1.0]])
+        west = np.array([[0.0, -1.0, 0.0]])
+        assert radians_to_meters(
+            float(stable_angle(north, south)[0])
+        ) == pytest.approx(math.pi * EARTH_RADIUS_METERS, rel=1e-12)
+        assert radians_to_meters(float(stable_angle(west, west)[0])) == 0
+        assert radians_to_meters(
+            float(stable_angle(north, west)[0])
+        ) == pytest.approx(math.pi / 2 * EARTH_RADIUS_METERS, rel=1e-12)
