@@ -198,3 +198,30 @@ def parse_polygon(s: str, normalize: bool = False) -> Polygon:
             fixed.append(loop)
         loops = fixed
     return Polygon(loops)
+
+
+def format_point(p, roundtrip_precision: bool = False) -> str:
+    """s2textformat ToString vertex (s2text_format.cc:251-265):
+    "%.15g:%.15g" lat:lng degrees ("%.17g" for exact round trips)."""
+    from .coords import xyz_to_latlng
+
+    p = np.asarray(p, float).reshape(3)
+    lat, lng = xyz_to_latlng(
+        np.array([p[0]]), np.array([p[1]]), np.array([p[2]])
+    )
+    fmt = "%.17g:%.17g" if roundtrip_precision else "%.15g:%.15g"
+    return fmt % (float(lat[0]), float(lng[0]))
+
+
+def format_points(points, roundtrip_precision: bool = False) -> str:
+    """s2textformat ToString point list (s2text_format.cc:267-285)."""
+    pts = np.asarray(points, float).reshape(-1, 3)
+    return ", ".join(format_point(p, roundtrip_precision) for p in pts)
+
+
+def format_polygon(polygon: "Polygon", roundtrip_precision: bool = False) -> str:
+    """s2textformat ToString polygon: loops joined with '; '."""
+    return "; ".join(
+        format_points(loop.vertices, roundtrip_precision)
+        for loop in polygon.loops
+    )
