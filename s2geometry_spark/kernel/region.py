@@ -52,6 +52,18 @@ def _chord_angle2(x, y) -> float:
     return min(4.0, float(d @ d))
 
 
+def _chord2_add(a2: float, b2: float) -> float:
+    """S1ChordAngle operator+ (s1chord_angle.cc): squared chord of the
+    angle sum, clamped to Straight."""
+    if b2 == 0:
+        return a2
+    if a2 + b2 >= 4.0:
+        return 4.0
+    x = a2 * (1 - 0.25 * b2)
+    y = b2 * (1 - 0.25 * a2)
+    return min(4.0, x + y + 2 * math.sqrt(x * y))
+
+
 def _vertex_neighbors(p: np.ndarray, level: int) -> list[CID]:
     from . import cellid as K
 
@@ -116,9 +128,100 @@ class Cap:
         else:
             self.length2 = max(self.length2, _chord_angle2(self.center, p))
 
+    # ---- cap-vs-cap algebra (s2cap.cc:48-146)
+    def get_area(self) -> float:
+        """S2Cap::GetArea (s2cap.cc:48-50)."""
+        return 2 * PI * max(0.0, self.height())
+
+    def get_centroid(self) -> np.ndarray:
+        """S2Cap::GetCentroid (s2cap.cc:52-63): radial midpoint of the
+        spanned distances times the cap area."""
+        if self.is_empty():
+            return np.zeros(3)
+        r = 1.0 - 0.5 * self.height()
+        return r * self.get_area() * self.center
+
+    def contains_cap(self, other: "Cap") -> bool:
+        """S2Cap::Contains(S2Cap) (s2cap.cc:73-76)."""
+        if self.is_full() or other.is_empty():
+            return True
+        return self.length2 >= _chord2_add(
+            _chord_angle2(self.center, other.center), max(other.length2, 0.0)
+        )
+
+    def intersects_cap(self, other: "Cap") -> bool:
+        """S2Cap::Intersects(S2Cap) (s2cap.cc:78-81)."""
+        if self.is_empty() or other.is_empty():
+            return False
+        return (
+            _chord2_add(max(self.length2, 0.0), max(other.length2, 0.0))
+            >= _chord_angle2(self.center, other.center)
+        )
+
+    def interior_intersects_cap(self, other: "Cap") -> bool:
+        """S2Cap::InteriorIntersects (s2cap.cc:83-87)."""
+        if self.length2 <= 0 or other.is_empty():
+            return False
+        return (
+            _chord2_add(max(self.length2, 0.0), max(other.length2, 0.0))
+            > _chord_angle2(self.center, other.center)
+        )
+
+    def expanded(self, radians: float) -> "Cap":
+        """S2Cap::Expanded (s2cap.cc:115-119)."""
+        assert radians >= 0
+        if self.is_empty():
+            return Cap.empty()
+        s = 2 * math.sin(0.5 * min(math.pi, radians))
+        return Cap(self.center, _chord2_add(self.length2, s * s))
+
+    def union(self, other: "Cap") -> "Cap":
+        """S2Cap::Union (s2cap.cc:121-145)."""
+        if self.length2 < other.length2:
+            return other.union(self)
+        if self.is_full() or other.is_empty():
+            return Cap(self.center, self.length2)
+        this_radius = self.radius_radians()
+        other_radius = other.radius_radians()
+        distance = math.atan2(
+            float(np.linalg.norm(np.cross(self.center, other.center))),
+            float(self.center @ other.center),
+        )
+        if this_radius >= distance + other_radius:
+            return Cap(self.center, self.length2)
+        result_radius = 0.5 * (distance + this_radius + other_radius)
+        # GetPointOnLine towards the other center
+        d = other.center - (other.center @ self.center) * self.center
+        nd = float(np.linalg.norm(d))
+        if nd == 0:
+            result_center = self.center
+        else:
+            ang = 0.5 * (distance - this_radius + other_radius)
+            result_center = (
+                math.cos(ang) * self.center + math.sin(ang) * (d / nd)
+            )
+        return Cap.from_center_angle(result_center, result_radius)
+
+    def approx_equals(self, other: "Cap", max_error_rad: float = 1e-14) -> bool:
+        """S2Cap::ApproxEquals (s2cap.cc:312-322)."""
+        r2 = max_error_rad * max_error_rad
+        return (
+            _chord_angle2(self.center, other.center) <= r2
+            and abs(self.length2 - other.length2) <= r2
+        ) or (
+            (self.is_empty() and other.length2 <= r2)
+            or (other.is_empty() and self.length2 <= r2)
+            or (self.is_full() and other.length2 >= 2 * (2 - r2))
+            or (other.is_full() and self.length2 >= 2 * (2 - r2))
+        )
+
     # ---- region interface
     def contains_point(self, p) -> bool:
         return _chord_angle2(self.center, p) <= self.length2
+
+    def interior_contains_point(self, p) -> bool:
+        """S2Cap::InteriorContains (s2cap.cc:301-304)."""
+        return self.is_full() or _chord_angle2(self.center, p) < self.length2
 
     def _intersects(self, cell: Cell, vertices) -> bool:
         """S2Cap::Intersects (s2cap.cc:225-268): cell interior vs cap."""

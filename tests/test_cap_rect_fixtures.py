@@ -127,3 +127,179 @@ def test_cap_expanded():
     grown = cap.expanded(math.radians(5))
     assert abs(math.degrees(grown.radius_radians()) - 15) < 1e-12
     assert Cap.empty().expanded(1.0).is_empty()
+
+
+class TestCapAlgebra:
+    """Port of s2cap_test.cc Basic :56-171, Expanded :315-325,
+    GetCentroid :326-343 (seeded rng), Union :344-391."""
+
+    def test_basic(self):
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernel.region import Cap
+
+        empty = Cap.empty()
+        full = Cap.full()
+        assert empty.is_empty() and empty.complement().is_full()
+        assert full.is_full() and full.complement().is_empty()
+        assert full.height() == 2
+        assert math.degrees(full.radius_radians()) == pytest.approx(180.0)
+
+        # out-of-range radius constructor
+        assert Cap.from_center_angle(np.array([1.0, 0, 0]), -20).is_empty()
+        assert Cap.from_center_angle(np.array([1.0, 0, 0]), 5).is_full()
+
+        # containment / intersection of empty and full
+        assert empty.contains_cap(empty)
+        assert full.contains_cap(empty)
+        assert full.contains_cap(full)
+        assert not empty.interior_intersects_cap(empty)
+        assert full.interior_intersects_cap(full)
+        assert not full.interior_intersects_cap(empty)
+
+        # singleton caps
+        xaxis = Cap.from_point(np.array([1.0, 0, 0]))
+        yaxis = Cap.from_point(np.array([0.0, 1, 0]))
+        assert xaxis.contains_point(np.array([1.0, 0, 0]))
+        p = np.array([1.0, 1e-20, 0])
+        assert not xaxis.contains_point(p)
+        assert xaxis.radius_radians() == 0
+        assert not yaxis.contains_point(xaxis.center)
+        xcomp = xaxis.complement()
+        assert xcomp.is_full()
+        assert xcomp.contains_point(xaxis.center)
+        assert xcomp.complement().is_empty()
+
+        # tiny cap
+        k_tiny = 1e-10
+        c = np.array([1.0, 2.0, 3.0])
+        c /= np.linalg.norm(c)
+        tiny = Cap.from_center_angle(c, k_tiny)
+        tangent = np.cross(c, np.array([3.0, 2.0, 1.0]))
+        tangent /= np.linalg.norm(tangent)
+        assert tiny.contains_point(c + 0.99 * k_tiny * tangent)
+        assert not tiny.contains_point(c + 1.01 * k_tiny * tangent)
+
+        # hemispherical cap
+        h = np.array([1.0, 0, 1.0])
+        h /= np.linalg.norm(h)
+        hemi = Cap(h, 2.0)
+        assert np.allclose(hemi.complement().center, -hemi.center)
+        assert hemi.complement().height() == 1.0
+        assert hemi.contains_point(np.array([1.0, 0, 0]))
+        assert not hemi.complement().contains_point(np.array([1.0, 0, 0]))
+
+        # cap containment
+        k_eps = 1e-14
+        assert not empty.contains_cap(xaxis)
+        assert full.contains_cap(xaxis)
+        assert not xaxis.contains_cap(full)
+        assert xaxis.contains_cap(xaxis)
+        assert xaxis.contains_cap(empty)
+        assert not xaxis.interior_intersects_cap(xaxis)
+        assert hemi.contains_cap(tiny)
+        assert hemi.contains_cap(
+            Cap.from_center_angle(np.array([1.0, 0, 0]), math.pi / 4 - k_eps)
+        )
+        assert not hemi.contains_cap(
+            Cap.from_center_angle(np.array([1.0, 0, 0]), math.pi / 4 + k_eps)
+        )
+
+    def test_expanded(self):
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernel.region import Cap
+
+        assert Cap.empty().expanded(2.0).is_empty()
+        assert Cap.full().expanded(2.0).is_full()
+        cap50 = Cap.from_center_angle(np.array([1.0, 0, 0]), math.radians(50))
+        cap51 = Cap.from_center_angle(np.array([1.0, 0, 0]), math.radians(51))
+        assert cap50.expanded(0).approx_equals(cap50)
+        assert cap50.expanded(math.radians(1)).approx_equals(cap51)
+        assert not cap50.expanded(math.radians(129.99)).is_full()
+        assert cap50.expanded(math.radians(130.01)).is_full()
+
+    def test_get_centroid(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel.region import Cap
+
+        assert np.array_equal(Cap.empty().get_centroid(), np.zeros(3))
+        assert np.linalg.norm(Cap.full().get_centroid()) <= 1e-15
+        rng = np.random.default_rng(42)
+        for _ in range(100):
+            center = rng.normal(size=3)
+            center /= np.linalg.norm(center)
+            height = float(rng.uniform(0.0, 2.0))
+            cap = Cap(center, 2.0 * height)
+            centroid = cap.get_centroid()
+            expected = center * (1.0 - height / 2.0) * cap.get_area()
+            assert np.linalg.norm(expected - centroid) <= 1e-15
+
+    def test_union(self):
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+        from s2geometry_spark.kernel.region import Cap
+
+        def pt(lat, lng):
+            x, y, z = latlng_to_xyz(np.float64(lat), np.float64(lng))
+            return np.array([x, y, z])
+
+        def lat_lng_of(p):
+            return (
+                math.degrees(math.atan2(p[2], math.hypot(p[0], p[1]))),
+                math.degrees(math.atan2(p[1], p[0])),
+            )
+
+        a = Cap.from_center_angle(pt(50, 10), math.radians(0.2))
+        b = Cap.from_center_angle(pt(50, 10), math.radians(0.3))
+        assert b.contains_cap(a)
+        assert a.union(b).approx_equals(b)
+        assert a.union(Cap.full()).is_full()
+        assert a.union(Cap.empty()).approx_equals(a)
+
+        # c entirely encompasses a
+        c = Cap.from_center_angle(pt(51, 11), math.radians(1.5))
+        assert c.contains_cap(a)
+        assert np.array_equal(a.union(c).center, c.center)
+        assert a.union(c).length2 == c.length2
+
+        # disjoint caps
+        d = Cap.from_center_angle(pt(51, 11), math.radians(0.1))
+        assert not d.contains_cap(a)
+        assert not d.intersects_cap(a)
+        assert a.union(d).approx_equals(d.union(a), 1e-9)
+        lat, lng = lat_lng_of(a.union(d).center)
+        assert lat == pytest.approx(50.4588, abs=0.001)
+        assert lng == pytest.approx(10.4525, abs=0.001)
+        assert math.degrees(a.union(d).radius_radians()) == pytest.approx(
+            0.7425, abs=0.001
+        )
+
+        # partially overlapping caps
+        e = Cap.from_center_angle(pt(50.3, 10.3), math.radians(0.2))
+        assert not e.contains_cap(a)
+        assert e.intersects_cap(a)
+        assert a.union(e).approx_equals(e.union(a), 1e-9)
+        lat, lng = lat_lng_of(a.union(e).center)
+        assert lat == pytest.approx(50.1500, abs=0.001)
+        assert lng == pytest.approx(10.1495, abs=0.001)
+        assert math.degrees(a.union(e).radius_radians()) == pytest.approx(
+            0.3781, abs=0.001
+        )
+
+        # radius sum exceeding 180 degrees
+        f = Cap.from_center_angle(np.array([0.0, 0, 1.0]), math.radians(150))
+        g = Cap.from_center_angle(np.array([0.0, 1.0, 0.0]), math.radians(150))
+        assert f.union(g).is_full()
+
+        # antipodal hemispheres
+        hemi = Cap(np.array([0.0, 0, 1.0]), 2.0)
+        assert hemi.union(hemi.complement()).is_full()
