@@ -88,9 +88,13 @@ class S1Interval:
 
     def __init__(self, lo: float, hi: float, checked: bool = False):
         if not checked:
-            if lo == -PI and hi != PI:
+            # both conditions test the ORIGINAL arguments (s1interval.h
+            # constructor): S1Interval(-Pi, -Pi) normalizes to [Pi, Pi],
+            # not to the empty interval
+            orig_lo, orig_hi = lo, hi
+            if orig_lo == -PI and orig_hi != PI:
                 lo = PI
-            if hi == -PI and lo != PI:
+            if orig_hi == -PI and orig_lo != PI:
                 hi = PI
         self.lo = lo
         self.hi = hi
@@ -191,7 +195,9 @@ class S1Interval:
         hi = math.remainder(self.hi + margin, 2 * PI)
         if lo <= -PI:
             lo = PI
-        return S1Interval(lo, hi, checked=True)
+        # the reference returns through the normalizing constructor
+        # (s1interval.cc Expanded), so a -Pi endpoint flips to +Pi
+        return S1Interval(lo, hi)
 
     def intersection(self, y: "S1Interval") -> "S1Interval":
         """S1Interval::Intersection (s1interval.cc:257-281)."""
@@ -210,6 +216,26 @@ class S1Interval:
         if y._fast_contains(self.lo):
             return self
         return S1Interval.empty()
+
+    def interior_contains_interval(self, y: "S1Interval") -> bool:
+        """S1Interval::InteriorContains(S1Interval) (s1interval.cc)."""
+        if self.is_inverted():
+            if not y.is_inverted():
+                return y.lo > self.lo or y.hi < self.hi
+            return (y.lo > self.lo and y.hi < self.hi) or y.is_empty()
+        if y.is_inverted():
+            return self.is_full() or y.is_empty()
+        return (y.lo > self.lo and y.hi < self.hi) or self.is_full()
+
+    def interior_intersects(self, y: "S1Interval") -> bool:
+        """S1Interval::InteriorIntersects (s1interval.cc)."""
+        if self.is_empty() or y.is_empty() or self.lo == self.hi:
+            return False
+        if self.is_inverted():
+            return y.is_inverted() or y.lo < self.hi or y.hi > self.lo
+        if y.is_inverted():
+            return y.lo < self.hi or y.hi > self.lo
+        return (y.lo < self.hi and y.hi > self.lo) or self.is_full()
 
     def complement(self) -> "S1Interval":
         """S1Interval::Complement (s1interval.cc): singleton → full;
