@@ -67,12 +67,42 @@ class R1Interval:
             return R1Interval(self.lo, self.hi)
         return R1Interval(min(self.lo, y.lo), max(self.hi, y.hi))
 
+    def interior_contains_interval(self, y: "R1Interval") -> bool:
+        """R1Interval::InteriorContains(R1Interval) (r1interval.h)."""
+        if y.is_empty():
+            return True
+        return y.lo > self.lo and y.hi < self.hi
+
+    def interior_intersects(self, y: "R1Interval") -> bool:
+        """R1Interval::InteriorIntersects (r1interval.h)."""
+        return (
+            y.lo < self.hi
+            and self.lo < y.hi
+            and self.lo < self.hi
+            and y.lo <= y.hi
+        )
+
+    def project(self, p: float) -> float:
+        """R1Interval::Project (r1interval.h): clamp to the interval."""
+        assert not self.is_empty()
+        return max(self.lo, min(self.hi, p))
+
     def add_point(self, p: float) -> None:
         if self.is_empty():
             self.lo = self.hi = p
         else:
             self.lo = min(self.lo, p)
             self.hi = max(self.hi, p)
+
+    def add_interval(self, y: "R1Interval") -> None:
+        """R1Interval::AddInterval (r1interval.h)."""
+        if y.is_empty():
+            return
+        if self.is_empty():
+            self.lo, self.hi = y.lo, y.hi
+        else:
+            self.lo = min(self.lo, y.lo)
+            self.hi = max(self.hi, y.hi)
 
 
 def _positive_distance(a: float, b: float) -> float:

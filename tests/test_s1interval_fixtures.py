@@ -304,3 +304,102 @@ def test_expanded():
     assert _eq(quad123.expanded(-PI_2), quad2)
     assert _eq(quad341.expanded(-PI_2), quad4)
     assert _eq(quad412.expanded(-PI_2), quad1)
+
+
+class TestR1Interval:
+    """Port of r1interval_test.cc TestBasic :49-156 (accessors,
+    predicates, point/interval ops table, AddPoint, Project,
+    FromPointPair, Expanded, Union, Intersection)."""
+
+    @staticmethod
+    def _ops(x, y, expected):
+        # TestIntervalOps (r1interval_test.cc:29-47)
+        from s2geometry_spark.kernel.intervals import R1Interval
+
+        assert x.contains_interval(y) == (expected[0] == "T")
+        assert x.interior_contains_interval(y) == (expected[1] == "T")
+        assert x.intersects(y) == (expected[2] == "T")
+        assert x.interior_intersects(y) == (expected[3] == "T")
+        u = x.union(y)
+        assert x.contains_interval(y) == (
+            (u.lo, u.hi) == (x.lo, x.hi)
+            or (u.is_empty() and x.is_empty())
+        )
+        assert x.intersects(y) == (not x.intersection(y).is_empty())
+        z = R1Interval(x.lo, x.hi)
+        z.add_interval(y)
+        assert (z.lo, z.hi) == (u.lo, u.hi) or (
+            z.is_empty() and u.is_empty()
+        )
+
+    def test_basic(self):
+        from s2geometry_spark.kernel.intervals import R1Interval
+
+        unit = R1Interval(0, 1)
+        negunit = R1Interval(-1, 0)
+        half = R1Interval(0.5, 0.5)
+        empty = R1Interval.empty()
+
+        assert unit.lo == 0 and unit.hi == 1
+        assert not unit.is_empty() and not half.is_empty()
+        assert empty.is_empty()
+
+        assert unit.get_center() == 0.5
+        assert half.get_center() == 0.5
+        assert negunit.get_length() == 1.0
+        assert half.get_length() == 0
+        assert empty.get_length() < 0
+
+        assert unit.contains(0.5) and unit.interior_contains(0.5)
+        assert unit.contains(0) and not unit.interior_contains(0)
+        assert unit.contains(1) and not unit.interior_contains(1)
+
+        self._ops(empty, empty, "TTFF")
+        self._ops(empty, unit, "FFFF")
+        self._ops(unit, half, "TTTT")
+        self._ops(unit, unit, "TFTT")
+        self._ops(unit, empty, "TTFF")
+        self._ops(unit, negunit, "FFTF")
+        self._ops(unit, R1Interval(0, 0.5), "TFTT")
+        self._ops(half, R1Interval(0, 0.5), "FFTF")
+
+        r = R1Interval.empty()
+        r.add_point(5)
+        assert (r.lo, r.hi) == (5, 5)
+        r.add_point(-1)
+        assert (r.lo, r.hi) == (-1, 5)
+        r.add_point(0)
+        assert (r.lo, r.hi) == (-1, 5)
+
+        assert R1Interval(0.1, 0.4).project(0.3) == 0.3
+        assert R1Interval(0.1, 0.4).project(-7.0) == 0.1
+        assert R1Interval(0.1, 0.4).project(0.6) == 0.4
+
+        assert (R1Interval.from_point_pair(4, 4).lo,
+                R1Interval.from_point_pair(4, 4).hi) == (4, 4)
+        assert (R1Interval.from_point_pair(-1, -2).lo,
+                R1Interval.from_point_pair(-1, -2).hi) == (-2, -1)
+        assert (R1Interval.from_point_pair(-5, 3).lo,
+                R1Interval.from_point_pair(-5, 3).hi) == (-5, 3)
+
+        assert empty.expanded(0.45).is_empty()
+        assert (unit.expanded(0.5).lo, unit.expanded(0.5).hi) == (-0.5, 1.5)
+        assert (unit.expanded(-0.5).lo, unit.expanded(-0.5).hi) == (0.5, 0.5)
+        assert unit.expanded(-0.51).is_empty()
+
+        assert (R1Interval(99, 100).union(empty).lo,
+                R1Interval(99, 100).union(empty).hi) == (99, 100)
+        assert (empty.union(R1Interval(99, 100)).lo,
+                empty.union(R1Interval(99, 100)).hi) == (99, 100)
+        assert R1Interval(5, 3).union(R1Interval(0, -2)).is_empty()
+        assert R1Interval(0, -2).union(R1Interval(5, 3)).is_empty()
+        u = unit.union(negunit)
+        assert (u.lo, u.hi) == (-1, 1)
+        assert (half.union(unit).lo, half.union(unit).hi) == (0, 1)
+        i = unit.intersection(half)
+        assert (i.lo, i.hi) == (0.5, 0.5)
+        i = unit.intersection(negunit)
+        assert (i.lo, i.hi) == (0, 0)
+        assert negunit.intersection(half).is_empty()
+        assert unit.intersection(empty).is_empty()
+        assert empty.intersection(unit).is_empty()
