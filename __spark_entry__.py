@@ -578,6 +578,93 @@ def _q_geo_polyline_simplify(spark, sf_dir):
     return out.orderBy("job", "line_idx")
 
 
+def _hull_fixtures():
+    """Deterministic point clusters for the convex-hull contract query:
+    compact clouds (ordinary hulls), a collinear-ish band, a cluster
+    spanning more than a hemisphere (full marker), and a singleton."""
+    import math
+
+    clusters = []
+    # compact jittered clouds at three latitudes
+    for gi, (lat0, lng0) in enumerate([(10, 20), (-35, 100), (55, -120)]):
+        pts = []
+        for i in range(40):
+            # deterministic low-discrepancy jitter
+            a = (i * 2654435761 % 1000) / 1000.0 - 0.5
+            b = (i * 40503 % 1000) / 1000.0 - 0.5
+            pts.append((lat0 + 4 * a, lng0 + 4 * b))
+        clusters.append((f"cloud{gi}", pts))
+    # near-collinear band along a parallel
+    clusters.append(
+        ("band", [(20 + 0.001 * ((i * 7) % 5), i * 1.5) for i in range(30)])
+    )
+    # spans more than a hemisphere → full
+    clusters.append(
+        ("wide", [(0, lng) for lng in (0, 90, -135)] + [(45, 45), (-45, -45)])
+    )
+    # a single repeated point → 3-vertex degenerate loop
+    clusters.append(("single", [(5, 5)] * 4))
+    return clusters
+
+
+def _q_geo_convex_hull(spark, sf_dir):
+    """S2ConvexHullQuery per group (s2convex_hull_query.cc) as a
+    distributed applyInPandas over (group_id, x, y, z) rows — ONE
+    groupBy shuffle; each group runs the exact monotone-chain kernel
+    (kernel/hull.py).  Output is the per-group hull size, status
+    (loop/full/empty), and canonical vertex digest; the oracle pins the
+    kernel's values, whose semantics are reference-gated in
+    tests/test_hull_query.py."""
+    import hashlib
+
+    from s2geometry_spark.kernel.coords import latlng_to_xyz
+    from s2geometry_spark.operators.hull import convex_hulls
+
+    rows = []
+    for gid, pts in _hull_fixtures():
+        import numpy as np
+
+        lat = np.array([p[0] for p in pts], float)
+        lng = np.array([p[1] for p in pts], float)
+        x, y, z = latlng_to_xyz(lat, lng)
+        for i in range(len(pts)):
+            rows.append((gid, float(x[i]), float(y[i]), float(z[i])))
+    df = spark.createDataFrame(
+        rows, "group_id string, x double, y double, z double"
+    ).repartition(4)
+    hulls = convex_hulls(df)
+
+    @F.pandas_udf("string")
+    def _latlng9(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from s2geometry_spark.kernel.coords import xyz_to_latlng
+
+        lat, lng = xyz_to_latlng(
+            x.to_numpy(float), y.to_numpy(float), z.to_numpy(float)
+        )
+        return pd.Series(
+            [f"{round(a, 9):.9f},{round(b, 9):.9f}" for a, b in zip(lat, lng)]
+        )
+
+    out = (
+        hulls.withColumn("ll", _latlng9("x", "y", "z"))
+        .groupBy("group_id")
+        .agg(
+            F.max("status").alias("status"),
+            F.sum(F.when(F.col("hull_idx") >= 0, 1).otherwise(0)).alias(
+                "n_vertices"
+            ),
+            F.md5(
+                F.concat_ws(
+                    ";", F.array_sort(F.collect_list(F.concat_ws("@", F.col("hull_idx").cast("string"), "ll")))
+                )
+            ).alias("digest"),
+        )
+    )
+    return out.orderBy("group_id")
+
+
 def _q_geo_mixed_ops(spark, sf_dir):
     """Mixed-dimension S2BooleanOperation (points x polylines x
     polygons) with the full PolygonModel x PolylineModel boundary-model
@@ -1276,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cap_filter": _q_geo_cap_filter,
         "geo_polyline_interpolate": _q_geo_polyline_interpolate,
         "geo_polyline_simplify": _q_geo_polyline_simplify,
+        "geo_convex_hull": _q_geo_convex_hull,
         "geo_hausdorff": _q_geo_hausdorff,
         "geo_polyline_alignment": _q_geo_polyline_alignment,
         "shape_nesting_join": _q_shape_nesting,
@@ -1504,6 +1592,7 @@ def _oracle_sql_impl() -> dict[str, str]:
             _project_polyline_vertices()
         ),
         "geo_polyline_simplify": OR.simplify_fixture_sql(_simplify_fixtures()),
+        "geo_convex_hull": OR.convex_hull_fixture_sql(_hull_fixtures()),
         "geo_hausdorff": _hausdorff_oracle(),
         "geo_polyline_alignment": OR.dtw_fixture_sql(_alignment_fixture()),
         "shape_nesting_join": OR.nesting_fixture_sql(

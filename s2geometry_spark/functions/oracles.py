@@ -1515,3 +1515,44 @@ def simplify_fixture_sql(fixtures) -> str:
     FROM (VALUES {values}) AS t(job, line_idx, n_in, n_out, digest)
     ORDER BY job, line_idx
     """
+
+
+# ---------------------------------------------------- convex hull
+def convex_hull_fixture_sql(fixtures) -> str:
+    """Oracle for the geo_convex_hull contract query: per group the
+    kernel's hull size, status, and canonical digest as pinned VALUES
+    (hull SEMANTICS are reference-gated in tests/test_hull_query.py;
+    this gates the distributed applyInPandas path row-for-row)."""
+    import hashlib
+
+    import numpy as np
+
+    from ..kernel.coords import latlng_to_xyz, xyz_to_latlng
+    from ..kernel.hull import EMPTY, FULL, convex_hull_of_points
+
+    rows = []
+    for gid, pts in fixtures:
+        lat = np.array([p[0] for p in pts], float)
+        lng = np.array([p[1] for p in pts], float)
+        x, y, z = latlng_to_xyz(lat, lng)
+        result = convex_hull_of_points(np.stack([x, y, z], -1))
+        if isinstance(result, str):
+            status = FULL if result == FULL else EMPTY
+            n_vertices = 0
+            entries = ["-1@0.000000000,0.000000000"]
+        else:
+            status = "loop"
+            n_vertices = len(result)
+            hlat, hlng = xyz_to_latlng(result[:, 0], result[:, 1], result[:, 2])
+            entries = [
+                f"{i}@{round(float(a), 9):.9f},{round(float(b), 9):.9f}"
+                for i, (a, b) in enumerate(zip(hlat, hlng))
+            ]
+        digest = hashlib.md5(";".join(sorted(entries)).encode()).hexdigest()
+        rows.append(f"('{gid}', '{status}', {n_vertices}, '{digest}')")
+    values = ", ".join(rows)
+    return f"""
+    SELECT group_id, status, CAST(n_vertices AS BIGINT) AS n_vertices, digest
+    FROM (VALUES {values}) AS t(group_id, status, n_vertices, digest)
+    ORDER BY group_id
+    """

@@ -52,10 +52,14 @@ def plate_carree_unproject(x, y, x_scale: float = math.pi):
 
 
 def mercator_project(lat_deg, lng_deg, max_x: float = math.pi):
-    """Spherical Mercator: y = ln(tan(π/4 + φ/2)) (s2projections.cc)."""
+    """Spherical Mercator (s2projections.cc:91-97): the
+    0.5·ln((1+sinφ)/(1−sinφ)) form — more accurate near zero than
+    ln(tan(π/4+φ/2)) and exactly ±inf at the poles."""
     f = max_x / math.pi
     phi = np.radians(np.asarray(lat_deg, float))
-    y = np.log(np.tan(math.pi / 4 + 0.5 * phi))
+    with np.errstate(divide="ignore"):
+        sin_phi = np.sin(phi)
+        y = 0.5 * np.log((1 + sin_phi) / (1 - sin_phi))
     return np.radians(np.asarray(lng_deg, float)) * f, y * f
 
 

@@ -136,3 +136,101 @@ def test_raster_roundtrip_pole_crossing_distributed(spark):
     a = {tuple(r) for r in r1.collect()}
     b = {tuple(r) for r in r2.collect()}
     assert a == b
+
+
+class TestProjectionFixtures:
+    """Port of s2projections_test.cc:31-81 (PlateCarree Interpolate +
+    ProjectUnproject, Mercator ProjectUnproject with the pinned
+    70.2555... value)."""
+
+    def test_plate_carree_interpolate(self):
+        # s2projections_test.cc:31-46 — plate carree interpolates
+        # linearly in projected space
+        def interp(t, a, b):
+            return ((1 - t) * a[0] + t * b[0], (1 - t) * a[1] + t * b[1])
+
+        assert interp(0.25, (1, 5), (3, 9)) == (1.5, 6.0)
+        assert interp(-2, (1, 0), (3, 0)) == (-3.0, 0.0)
+        a, b = (1.234, -5.456e-20), (2.1234e-20, 7.456)
+        assert interp(0, a, b) == a
+        assert interp(1, a, b) == b
+
+    @staticmethod
+    def _xyz_latlng(p):
+        import math
+
+        import numpy as np
+
+        p = np.asarray(p, float)
+        p = p / np.linalg.norm(p)
+        return (
+            math.degrees(math.atan2(p[2], math.hypot(p[0], p[1]))),
+            math.degrees(math.atan2(p[1], p[0])),
+        )
+
+    def test_plate_carree_project_unproject(self):
+        # s2projections_test.cc:57-65, scale 180 => x = lng, y = lat
+        import numpy as np
+
+        from s2geometry_spark.operators.tiling import (
+            plate_carree_project,
+            plate_carree_unproject,
+        )
+
+        cases = [
+            ((0, 0), (1, 0, 0)),
+            ((180, 0), (-1, 0, 0)),
+            ((90, 0), (0, 1, 0)),
+            ((-90, 0), (0, -1, 0)),
+            ((0, 90), (0, 0, 1)),
+            ((0, -90), (0, 0, -1)),
+        ]
+        for (px, py), xyz in cases:
+            lat, lng = self._xyz_latlng(xyz)
+            x, y = plate_carree_project(lat, lng, x_scale=180.0)
+            assert (round(float(x), 12), round(float(y), 12)) == (px, py)
+            lat2, lng2 = plate_carree_unproject(px, py, x_scale=180.0)
+            p2 = np.asarray(self._to_xyz(lat2, lng2))
+            assert np.linalg.norm(p2 - np.asarray(xyz, float)) < 1e-14
+
+    @staticmethod
+    def _to_xyz(lat, lng):
+        from s2geometry_spark.kernel.coords import latlng_to_xyz
+        import numpy as np
+
+        x, y, z = latlng_to_xyz(np.float64(lat), np.float64(lng))
+        return [float(x), float(y), float(z)]
+
+    def test_mercator_project_unproject(self):
+        # s2projections_test.cc:67-81, max_x 180
+        import math
+
+        import numpy as np
+
+        from s2geometry_spark.operators.tiling import (
+            mercator_project,
+            mercator_unproject,
+        )
+
+        cases = [
+            ((0.0, 0.0), (1, 0, 0)),
+            ((180.0, 0.0), (-1, 0, 0)),
+            ((90.0, 0.0), (0, 1, 0)),
+            ((-90.0, 0.0), (0, -1, 0)),
+        ]
+        for (px, py), xyz in cases:
+            lat, lng = self._xyz_latlng(xyz)
+            x, y = mercator_project(lat, lng, max_x=180.0)
+            assert (round(float(x), 9), round(float(y), 9)) == (px, py)
+            lat2, lng2 = mercator_unproject(px, py, max_x=180.0)
+            p2 = np.asarray(self._to_xyz(lat2, lng2))
+            assert np.linalg.norm(p2 - np.asarray(xyz, float)) < 1e-14
+
+        # poles map to infinity
+        _, y = mercator_project(90.0, 0.0, max_x=180.0)
+        assert math.isinf(float(y))
+        # the pinned arbitrary point: lat = 1 radian
+        x, y = mercator_project(math.degrees(1.0), 0.0, max_x=180.0)
+        assert float(y) == pytest.approx(70.255578967830246, abs=1e-9)
+        lat2, _ = mercator_unproject(0.0, 70.255578967830246, max_x=180.0)
+        assert math.radians(float(lat2)) == pytest.approx(1.0, abs=1e-12)
