@@ -303,3 +303,78 @@ class TestCapAlgebra:
         # antipodal hemispheres
         hemi = Cap(np.array([0.0, 0, 1.0]), 2.0)
         assert hemi.union(hemi.complement()).is_full()
+
+
+class TestCellGeometry:
+    """Port of s2cell_test.cc TestFaces :83-113 and the
+    GetDistanceToPoint brute-force property :685-719 (seeded rng)."""
+
+    def test_faces(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel.cell import Cell
+        from s2geometry_spark.kernel.cid import CID
+
+        edge_counts: dict[tuple, int] = {}
+        vertex_counts: dict[tuple, int] = {}
+        for face in range(6):
+            cell = Cell(CID.from_face(face))
+            for k in range(4):
+                e = cell.get_edge_raw(k)
+                v = cell.get_vertex_raw(k)
+                v_next = cell.get_vertex_raw((k + 1) % 4)
+                edge_counts[tuple(np.round(e, 12))] = (
+                    edge_counts.get(tuple(np.round(e, 12)), 0) + 1
+                )
+                vertex_counts[tuple(np.round(v, 12))] = (
+                    vertex_counts.get(tuple(np.round(v, 12)), 0) + 1
+                )
+                # edge normal is orthogonal to both endpoints
+                assert abs(float(v @ e)) < 1e-15
+                assert abs(float(v_next @ e)) < 1e-15
+                # and equals the normalized cross product of the vertices
+                cr = np.cross(v, v_next)
+                cr /= np.linalg.norm(cr)
+                en = np.asarray(e, float)
+                en = en / np.linalg.norm(en)
+                assert abs(float(cr @ en) - 1.0) < 1e-14
+        # each cube edge is shared by 2 faces, each vertex by 3
+        assert all(c == 2 for c in edge_counts.values())
+        assert all(c == 3 for c in vertex_counts.values())
+
+    def test_get_distance_to_point_brute_force(self):
+        import numpy as np
+
+        from s2geometry_spark.kernel import cellid as K
+        from s2geometry_spark.kernel.cell import (
+            Cell,
+            _cell_vertices,
+            cell_distance2,
+        )
+        from s2geometry_spark.kernel.cid import CID
+        from s2geometry_spark.kernel.distance import point_edge_dist2
+
+        rng = np.random.default_rng(42)
+        n_interior = 0
+        for _ in range(300):
+            lat = rng.uniform(-80, 80)
+            lng = rng.uniform(-180, 180)
+            level = int(rng.integers(0, 31))
+            leaf = K.from_latlng(np.array([lat]), np.array([lng]))
+            cell = Cell(CID(int(leaf[0])).parent(level))
+
+            target = rng.normal(size=3)
+            target /= np.linalg.norm(target)
+
+            got = cell_distance2(cell, target)
+            # brute force: 0 if contained, else min distance to the
+            # 4 boundary edges (s2cell_test.cc:662-684)
+            if cell.contains_point(target):
+                assert got == 0.0
+                n_interior += 1
+                continue
+            v = _cell_vertices(cell)
+            d = np.roll(v, -1, axis=0)
+            want = float(point_edge_dist2(target[None], v, d).min())
+            assert got == pytest.approx(want, abs=1e-15)
+        assert n_interior >= 1  # at least one level-0 cell contains it
