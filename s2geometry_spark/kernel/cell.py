@@ -258,3 +258,44 @@ def cell_distance2(cell: "Cell", p) -> float:
     v = _cell_vertices(cell)
     d = _np.roll(v, -1, axis=0)
     return float(point_edge_dist2(_np.asarray(p, float)[None], v, d).min())
+
+
+def cell_edge_distance2(cell: "Cell", a, b) -> float:
+    """Min squared-chord distance from edge (a, b) to the cell —
+    S2Cell::GetDistance(a, b) (s2cell.cc:460-499): endpoint distances,
+    then boundary crossings, then cell-vertex-to-edge-interior."""
+    import numpy as _np
+
+    from .distance import point_edge_dist2
+    from .predicates import crossing_sign
+
+    a = _np.asarray(a, float)
+    b = _np.asarray(b, float)
+    min_d2 = min(cell_distance2(cell, a), cell_distance2(cell, b))
+    if min_d2 == 0.0:
+        return 0.0
+    v = _cell_vertices(cell)
+    for i in range(4):
+        if crossing_sign(a, b, v[i - 1], v[i]) >= 0:
+            return 0.0
+    d2 = point_edge_dist2(v, a[None], b[None])[:, 0].min()
+    return float(min(min_d2, d2))
+
+
+def cell_cell_distance2(cell: "Cell", target: "Cell") -> float:
+    """Min squared-chord distance between two cells —
+    S2Cell::GetDistance(S2Cell) general form (s2cell.cc:575-590): zero
+    when the id ranges intersect, else the 32 (vertex, edge) pairs.
+    (The reference's same-face UV pruning is a fast path, not a
+    semantic difference.)"""
+    import numpy as _np
+
+    from .distance import point_edge_dist2
+
+    if cell.id.intersects(target.id):
+        return 0.0
+    va = _cell_vertices(cell)
+    vb = _cell_vertices(target)
+    d1 = point_edge_dist2(va, vb, _np.roll(vb, -1, axis=0)).min()
+    d2 = point_edge_dist2(vb, va, _np.roll(va, -1, axis=0)).min()
+    return float(min(d1, d2))

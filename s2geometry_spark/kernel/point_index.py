@@ -29,7 +29,12 @@ from typing import Sequence
 import numpy as np
 
 from . import cellid as cid_np
-from .cell import Cell, cell_distance2
+from .cell import (
+    Cell,
+    cell_cell_distance2,
+    cell_distance2,
+    cell_edge_distance2,
+)
 from .cid import CID
 from .closest_edge import Shape
 from .distance import (
@@ -57,6 +62,9 @@ class PointTarget:
     def min_angle_to_point(self, c: np.ndarray) -> float:
         return float(chord2_to_angle(chord2(c, self.p)))
 
+    def dist2_to_cell(self, cell: Cell) -> float:
+        return cell_distance2(cell, self.p)
+
 
 class EdgeTarget:
     """S2ClosestPointQueryEdgeTarget: closest points to a great-circle
@@ -74,6 +82,9 @@ class EdgeTarget:
             np.asarray(c, float)[None], self.a[None], self.b[None]
         )[0, 0]
         return float(chord2_to_angle(d2))
+
+    def dist2_to_cell(self, cell: Cell) -> float:
+        return cell_edge_distance2(cell, self.a, self.b)
 
 
 class CellTarget:
@@ -97,6 +108,9 @@ class CellTarget:
 
     def min_angle_to_point(self, c: np.ndarray) -> float:
         return float(chord2_to_angle(cell_distance2(self.cell, c)))
+
+    def dist2_to_cell(self, cell: Cell) -> float:
+        return cell_cell_distance2(cell, self.cell)
 
 
 class ShapeIndexTarget:
@@ -124,6 +138,29 @@ class ShapeIndexTarget:
     def min_angle_to_point(self, c: np.ndarray) -> float:
         d2 = self.dist2_to_points(np.asarray(c, float)[None])[0]
         return float(chord2_to_angle(d2)) if np.isfinite(d2) else _INF
+
+    def dist2_to_cell(self, cell: Cell) -> float:
+        """include_interiors makes any cell overlapping a polygon's
+        interior distance 0: a crossing boundary is caught by the edge
+        distance, full containment either way by the vertex probes
+        (s2min_distance_targets.cc ShapeIndexTarget)."""
+        if not self.shapes:
+            return _INF
+        from .cell import _cell_vertices
+
+        best = _INF
+        for sh in self.shapes:
+            for a, b in zip(sh.edges_c, sh.edges_d):
+                best = min(best, cell_edge_distance2(cell, a, b))
+                if best == 0.0:
+                    return 0.0
+            if self.include_interiors and sh.polygon is not None:
+                if sh.polygon.contains(_cell_vertices(cell)).any():
+                    return 0.0
+                for loop in sh.polygon.loops:
+                    if any(cell.contains_point(v) for v in loop.vertices):
+                        return 0.0
+        return best
 
 
 # ----------------------------------------------------------------- index
