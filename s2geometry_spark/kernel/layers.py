@@ -1,0 +1,312 @@
+"""S2Builder output layers (s2builderutil_s2polyline_layer.cc,
+s2builderutil_s2polyline_vector_layer.cc,
+s2builderutil_s2point_vector_layer.cc) plus the Builder facade that
+feeds them: snap input edges to a shared site set (reusing the exact
+Voronoi machinery in kernel/builder.py), normalize with
+Graph.process_edges under each layer's GraphOptions, then assemble.
+
+A layer is any object with `graph_options() -> GraphOptions` and
+`build(graph) -> None` that records its output; Builder.build() returns
+an error string (or None) like the reference's S2Error codes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .builder import IdentitySnapFunction, SnapFunction, choose_sites, snap_edge_chain
+from .graph import (
+    DIRECTED,
+    DISCARD,
+    KEEP,
+    UNDIRECTED,
+    Graph,
+    GraphOptions,
+    IdSetLexicon,
+    LabelFetcher,
+    PATH,
+    WALK,
+    process_edges,
+)
+
+
+class Builder:
+    """S2Builder facade: collects labeled input edges/points, snaps, and
+    hands a Graph to the layer.  Labels follow the reference's
+    set_label/push_label/clear_labels surface (s2builder.h:730-760)."""
+
+    def __init__(self, snap: SnapFunction | None = None,
+                 split_crossing_edges: bool = False):
+        self.snap = snap or IdentitySnapFunction(0.0)
+        self.split_crossing_edges = split_crossing_edges
+        self._labels: list[int] = []
+        self._edges: list[tuple[np.ndarray, np.ndarray]] = []
+        self._edge_labels: list[tuple[int, ...]] = []
+        self._layer = None
+
+    # ---- labels
+    def set_label(self, label: int) -> None:
+        self._labels = [label]
+
+    def push_label(self, label: int) -> None:
+        self._labels.append(label)
+
+    def pop_label(self) -> None:
+        self._labels.pop()
+
+    def clear_labels(self) -> None:
+        self._labels = []
+
+    # ---- geometry
+    def start_layer(self, layer) -> None:
+        self._layer = layer
+
+    def add_point(self, p) -> None:
+        p = np.asarray(p, float)
+        self._edges.append((p, p))
+        self._edge_labels.append(tuple(self._labels))
+
+    def add_edge(self, a, b) -> None:
+        self._edges.append((np.asarray(a, float), np.asarray(b, float)))
+        self._edge_labels.append(tuple(self._labels))
+
+    def add_polyline(self, vertices: np.ndarray) -> None:
+        v = np.asarray(vertices, float).reshape(-1, 3)
+        for i in range(len(v) - 1):
+            self.add_edge(v[i], v[i + 1])
+
+    def add_loop(self, vertices: np.ndarray) -> None:
+        v = np.asarray(vertices, float).reshape(-1, 3)
+        for i in range(len(v)):
+            self.add_edge(v[i], v[(i + 1) % len(v)])
+
+    # ---- build
+    def build(self) -> str | None:
+        layer = self._layer
+        assert layer is not None
+        opts = layer.graph_options()
+
+        verts = []
+        for a, b in self._edges:
+            verts.append(a)
+            verts.append(b)
+        extra: list[np.ndarray] = []
+        if self.split_crossing_edges:
+            extra = self._crossing_sites()
+        all_v = (
+            np.asarray(verts + extra).reshape(-1, 3)
+            if verts
+            else np.zeros((0, 3))
+        )
+        sites, vmap = choose_sites(all_v, self.snap)
+
+        lexicon = IdSetLexicon()
+        label_sets: dict[int, tuple[int, ...]] = {}
+        graph_edges: list[tuple[int, int]] = []
+        input_ids: list[int] = []
+
+        undirected = opts.edge_type == UNDIRECTED
+
+        def emit(v0: int, v1: int, iid: int) -> None:
+            graph_edges.append((v0, v1))
+            input_ids.append(lexicon.add([iid]))
+            if undirected:
+                # the reference adds the unlabeled reverse IMMEDIATELY
+                # after each forward edge (s2builder.cc AddEdge); this
+                # insertion order decides sibling pairing among
+                # duplicate edges (stable sort), which the walk
+                # assembler's used-marking depends on
+                graph_edges.append((v1, v0))
+                input_ids.append(IdSetLexicon.EMPTY_SET_ID)
+
+        for iid, (a, b) in enumerate(self._edges):
+            if self._edge_labels[iid]:
+                label_sets[iid] = self._edge_labels[iid]
+            va, vb = int(vmap[2 * iid]), int(vmap[2 * iid + 1])
+            if np.all(a == b):
+                emit(va, va, iid)
+                continue
+            if self.snap.snap_radius == 0.0 and not self.split_crossing_edges:
+                # snapping not needed (s2builder.cc snapping_needed_): with
+                # radius 0 edges map verbatim — an exactly-collinear vertex
+                # does NOT split an edge unless split_crossing_edges is set
+                emit(va, vb, iid)
+                continue
+            chain = snap_edge_chain(a, b, sites, self.snap.snap_radius)
+            if len(chain) <= 1:
+                s = chain[0] if chain else va
+                emit(int(s), int(s), iid)
+            else:
+                for k in range(len(chain) - 1):
+                    emit(int(chain[k]), int(chain[k + 1]), iid)
+
+        out_opts, out_edges, out_ids, error = process_edges(
+            opts, graph_edges, input_ids, lexicon
+        )
+        if error:
+            return error
+        order = sorted(range(len(out_edges)), key=lambda i: (out_edges[i], i))
+        g = Graph(
+            out_opts,
+            sites,
+            [out_edges[i] for i in order],
+            [out_ids[i] for i in order],
+            lexicon,
+            label_sets,
+        )
+        return layer.build(g)
+
+    def _crossing_sites(self) -> list[np.ndarray]:
+        """split_crossing_edges (s2builder.h:250-290): add the
+        intersection point of every proper edge crossing as a site."""
+        from .booleans import _intersection_point
+        from .predicates import crossing_sign
+
+        pts: list[np.ndarray] = []
+        n = len(self._edges)
+        for i in range(n):
+            a, b = self._edges[i]
+            if np.all(a == b):
+                continue
+            for j in range(i + 1, n):
+                c, d = self._edges[j]
+                if np.all(c == d):
+                    continue
+                if crossing_sign(a, b, c, d) > 0:
+                    pts.append(_intersection_point(a, b, c, d))
+        return pts
+
+
+# ------------------------------------------------------------- validation
+def polyline_validation_error(vertices: np.ndarray) -> str | None:
+    """S2Polyline::FindValidationError (s2polyline.cc): unit vertices, no
+    identical or antipodal adjacent pairs."""
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    for i in range(len(v)):
+        if abs(float((v[i] * v[i]).sum()) - 1.0) > 1e-10:
+            return "NOT_UNIT_LENGTH"
+    for i in range(len(v) - 1):
+        if np.all(v[i] == v[i + 1]):
+            return "DUPLICATE_VERTICES"
+        if np.all(v[i] == -v[i + 1]):
+            return "ANTIPODAL_VERTICES"
+    return None
+
+
+# ------------------------------------------------------------------ layers
+class PolylineLayer:
+    """S2PolylineLayer: assembles edges into ONE polyline via WALK
+    (s2builderutil_s2polyline_layer.cc:74-115).  Output in
+    self.polyline (M,3); labels in self.label_set_ids/lexicon when
+    with_labels."""
+
+    def __init__(self, edge_type: str = DIRECTED, validate: bool = False,
+                 with_labels: bool = False):
+        self.edge_type = edge_type
+        self.validate = validate
+        self.with_labels = with_labels
+        self.polyline: np.ndarray | None = None
+        self.label_set_ids: list[int] = []
+        self.label_set_lexicon = IdSetLexicon()
+
+    def graph_options(self) -> GraphOptions:
+        return GraphOptions(self.edge_type, DISCARD, KEEP, KEEP)
+
+    def build(self, g: Graph) -> str | None:
+        if g.num_edges() == 0:
+            self.polyline = np.zeros((0, 3))
+            return None
+        edge_polylines = g.get_polylines(WALK)
+        if len(edge_polylines) != 1:
+            return "BUILDER_EDGES_DO_NOT_FORM_POLYLINE"
+        ep = edge_polylines[0]
+        verts = [g.vertex(g.edge(ep[0])[0])]
+        verts.extend(g.vertex(g.edge(e)[1]) for e in ep)
+        if self.with_labels:
+            fetcher = LabelFetcher(g, self.edge_type)
+            for e in ep:
+                self.label_set_ids.append(
+                    self.label_set_lexicon.add(fetcher.fetch(e))
+                )
+        self.polyline = np.asarray(verts)
+        if self.validate:
+            return polyline_validation_error(self.polyline)
+        return None
+
+
+class PolylineVectorLayer:
+    """S2PolylineVectorLayer (s2builderutil_s2polyline_vector_layer.cc):
+    assembles edges into as few polylines as possible; options mirror
+    the reference (polyline_type PATH|WALK, duplicate_edges,
+    sibling_pairs, validate)."""
+
+    def __init__(
+        self,
+        edge_type: str = DIRECTED,
+        polyline_type: str = PATH,
+        duplicate_edges: str = KEEP,
+        sibling_pairs: str = KEEP,
+        validate: bool = False,
+        with_labels: bool = False,
+    ):
+        self.edge_type = edge_type
+        self.polyline_type = polyline_type
+        self.duplicate_edges = duplicate_edges
+        self.sibling_pairs = sibling_pairs
+        self.validate = validate
+        self.with_labels = with_labels
+        self.polylines: list[np.ndarray] = []
+        self.label_set_ids: list[list[int]] = []
+        self.label_set_lexicon = IdSetLexicon()
+
+    def graph_options(self) -> GraphOptions:
+        return GraphOptions(self.edge_type, DISCARD, self.duplicate_edges,
+                            self.sibling_pairs)
+
+    def build(self, g: Graph) -> str | None:
+        error = None
+        for ep in g.get_polylines(self.polyline_type):
+            verts = [g.vertex(g.edge(ep[0])[0])]
+            verts.extend(g.vertex(g.edge(e)[1]) for e in ep)
+            pl = np.asarray(verts)
+            if self.validate:
+                error = polyline_validation_error(pl) or error
+            self.polylines.append(pl)
+            if self.with_labels:
+                fetcher = LabelFetcher(g, self.edge_type)
+                self.label_set_ids.append(
+                    [self.label_set_lexicon.add(fetcher.fetch(e)) for e in ep]
+                )
+        return error
+
+
+class PointVectorLayer:
+    """S2PointVectorLayer (s2builderutil_s2point_vector_layer.cc):
+    collects degenerate edges as points; non-degenerate edges are an
+    error."""
+
+    def __init__(self, duplicate_edges: str = "MERGE",
+                 with_labels: bool = False):
+        self.duplicate_edges = duplicate_edges
+        self.with_labels = with_labels
+        self.points: list[np.ndarray] = []
+        self.label_set_ids: list[int] = []
+        self.label_set_lexicon = IdSetLexicon()
+
+    def graph_options(self) -> GraphOptions:
+        return GraphOptions(DIRECTED, KEEP, self.duplicate_edges, KEEP)
+
+    def build(self, g: Graph) -> str | None:
+        error = None
+        fetcher = LabelFetcher(g, DIRECTED)
+        for e in range(g.num_edges()):
+            v0, v1 = g.edge(e)
+            if v0 != v1:
+                error = "INVALID_ARGUMENT: Found non-degenerate edges"
+                continue
+            self.points.append(g.vertex(v0))
+            if self.with_labels:
+                self.label_set_ids.append(
+                    self.label_set_lexicon.add(fetcher.fetch(e))
+                )
+        return error
