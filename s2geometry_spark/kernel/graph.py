@@ -512,3 +512,227 @@ class _PolylineBuilder:
                     polyline[i:i] = loop
                     break
             i += 1
+
+
+# ---------------------------------------------------------------- loops
+SIMPLE, CIRCUIT = "SIMPLE", "CIRCUIT"
+DEGENERATE_DISCARD, DEGENERATE_KEEP = "DISCARD", "KEEP"
+
+
+class _VertexEdge:
+    __slots__ = ("incoming", "index", "endpoint", "rank")
+
+    def __init__(self, incoming: bool, index: int, endpoint: int, rank: int):
+        self.incoming = incoming
+        self.index = index
+        self.endpoint = endpoint
+        self.rank = rank
+
+
+def _add_vertex_edges(out_begin, out_end, in_begin, in_end, v1, v0_edges):
+    """AddVertexEdges (s2builder_graph.cc:196-233): interleave duplicate
+    outgoing/incoming edges into as many 2-edge loops as possible."""
+    rank = 0
+    while in_end - in_begin > out_end - out_begin:
+        in_end -= 1
+        v0_edges.append(_VertexEdge(True, in_end, v1, rank))
+        rank += 1
+    while in_end > in_begin:
+        v0_edges.append(_VertexEdge(False, out_begin, v1, rank))
+        out_begin += 1
+        rank += 1
+        in_end -= 1
+        v0_edges.append(_VertexEdge(True, in_end, v1, rank))
+        rank += 1
+    while out_end > out_begin:
+        v0_edges.append(_VertexEdge(False, out_begin, v1, rank))
+        out_begin += 1
+        rank += 1
+
+
+def get_left_turn_map(g: Graph, in_edge_ids: list[int]
+                      ) -> tuple[list[int], str | None]:
+    """Graph::GetLeftTurnMap (s2builder_graph.cc:236-320): for each
+    incoming edge, the outgoing edge that makes the sharpest left turn,
+    i.e. the next edge in CLOCKWISE order around the shared vertex."""
+    import functools
+
+    from .predicates import ordered_ccw
+
+    error: str | None = None
+    n = g.num_edges()
+    left_turn_map = [-1] * n
+    if n == 0:
+        return left_turn_map, None
+    out = in_ = 0
+    SENT = (g.num_vertices(), g.num_vertices())
+
+    def out_e():
+        return g.edges[out] if out < n else SENT
+
+    def in_e():
+        return _reverse(g.edges[in_edge_ids[in_]]) if in_ < n else SENT
+
+    min_edge = min(out_e(), in_e())
+    v0_edges: list[_VertexEdge] = []
+    while min_edge != SENT:
+        v0 = min_edge[0]
+        while min_edge[0] == v0:
+            v1 = min_edge[1]
+            out_begin, in_begin = out, in_
+            while out_e() == min_edge:
+                out += 1
+            while in_e() == min_edge:
+                in_ += 1
+            if v0 != v1:
+                _add_vertex_edges(out_begin, out, in_begin, in_, v1, v0_edges)
+            else:
+                # each degenerate edge becomes its own loop
+                for k in range(in_begin, in_):
+                    left_turn_map[k] = k
+            min_edge = min(out_e(), in_e())
+        if not v0_edges:
+            continue
+        min_endpoint = v0_edges[0].endpoint
+
+        def cmp(a: _VertexEdge, b: _VertexEdge) -> int:
+            def less(x, y):
+                if x.endpoint == y.endpoint:
+                    return x.rank < y.rank
+                if x.endpoint == min_endpoint:
+                    return True
+                if y.endpoint == min_endpoint:
+                    return False
+                return not ordered_ccw(
+                    g.vertex(x.endpoint), g.vertex(y.endpoint),
+                    g.vertex(min_endpoint), g.vertex(v0),
+                )
+
+            if less(a, b):
+                return -1
+            if less(b, a):
+                return 1
+            return 0
+
+        v0_edges[1:] = sorted(v0_edges[1:], key=functools.cmp_to_key(cmp))
+        e_in: list[int] = []
+        e_out: list[int] = []
+        for ve in v0_edges:
+            if ve.incoming:
+                e_in.append(in_edge_ids[ve.index])
+            elif e_in:
+                left_turn_map[e_in.pop()] = ve.index
+            else:
+                e_out.append(ve.index)
+        e_out.reverse()
+        while e_out and e_in:
+            left_turn_map[e_in.pop()] = e_out.pop()
+        if e_in and error is None:
+            error = "BUILDER_EDGES_DO_NOT_FORM_LOOPS"
+        e_in.clear()
+        e_out.clear()
+        v0_edges.clear()
+    return left_turn_map, error
+
+
+def get_directed_loops(g: Graph, loop_type: str
+                       ) -> tuple[list[list[int]], str | None]:
+    """Graph::GetDirectedLoops (s2builder_graph.cc:368-420)."""
+    left_turn_map, error = get_left_turn_map(g, g.get_in_edge_ids())
+    if error:
+        return [], error
+    min_input_ids = g.get_min_input_edge_ids()
+    path_index = [-1] * g.num_vertices() if loop_type == SIMPLE else None
+    loops: list[list[int]] = []
+    path: list[int] = []
+    for start in range(g.num_edges()):
+        if left_turn_map[start] < 0:
+            continue
+        e = start
+        while left_turn_map[e] >= 0:
+            path.append(e)
+            nxt = left_turn_map[e]
+            left_turn_map[e] = -1
+            if loop_type == SIMPLE:
+                path_index[g.edge(e)[0]] = len(path) - 1
+                loop_start = path_index[g.edge(e)[1]]
+                if loop_start >= 0:
+                    loop = path[loop_start:]
+                    del path[loop_start:]
+                    for e2 in loop:
+                        path_index[g.edge(e2)[0]] = -1
+                    Graph.canonicalize_loop_order(min_input_ids, loop)
+                    loops.append(loop)
+            e = nxt
+        if loop_type == SIMPLE:
+            assert not path
+        else:
+            Graph.canonicalize_loop_order(min_input_ids, path)
+            loops.append(path)
+            path = []
+    Graph.canonicalize_vector_order(min_input_ids, loops)
+    return loops, None
+
+
+def _mark_edge_used(slot: int) -> int:
+    return -1 - slot
+
+
+def get_undirected_components(g: Graph, loop_type: str
+                              ) -> tuple[list, str | None]:
+    """Graph::GetUndirectedComponents (s2builder_graph.cc:513-607): each
+    component is a pair of complementary loop sets; slot 0 is the one
+    whose first loop best follows the input edge ordering."""
+    sibling_map = g.get_in_edge_ids()
+    left_turn_map, error = get_left_turn_map(g, sibling_map)
+    if error:
+        return [], error
+    sibling_map = g.make_sibling_map(sibling_map)
+    min_input_ids = g.get_min_input_edge_ids()
+    components: list[list[list[list[int]]]] = []
+    frontier: list[tuple[int, int]] = []
+    path_index = [-1] * g.num_vertices() if loop_type == SIMPLE else None
+    for min_start in range(g.num_edges()):
+        if left_turn_map[min_start] < 0:
+            continue
+        component: list[list[list[int]]] = [[], []]
+        frontier.append((min_start, 0))
+        while frontier:
+            start, slot = frontier.pop()
+            if left_turn_map[start] < 0:
+                continue
+            path: list[int] = []
+            e = start
+            while left_turn_map[e] >= 0:
+                path.append(e)
+                nxt = left_turn_map[e]
+                left_turn_map[e] = _mark_edge_used(slot)
+                sibling = sibling_map[e]
+                if left_turn_map[sibling] >= 0:
+                    frontier.append((sibling, 1 - slot))
+                elif left_turn_map[sibling] != _mark_edge_used(1 - slot):
+                    return [], "BUILDER_EDGES_DO_NOT_FORM_LOOPS"
+                if loop_type == SIMPLE:
+                    path_index[g.edge(e)[0]] = len(path) - 1
+                    loop_start = path_index[g.edge(e)[1]]
+                    if loop_start >= 0:
+                        loop = path[loop_start:]
+                        del path[loop_start:]
+                        for e2 in loop:
+                            path_index[g.edge(e2)[0]] = -1
+                        Graph.canonicalize_loop_order(min_input_ids, loop)
+                        component[slot].append(loop)
+                e = nxt
+            if loop_type == SIMPLE:
+                assert not path
+            else:
+                Graph.canonicalize_loop_order(min_input_ids, path)
+                component[slot].append(path)
+        Graph.canonicalize_vector_order(min_input_ids, component[0])
+        Graph.canonicalize_vector_order(min_input_ids, component[1])
+        if (min_input_ids[component[0][0][0]]
+                > min_input_ids[component[1][0][0]]):
+            component[0], component[1] = component[1], component[0]
+        components.append(component)
+    components.sort(key=lambda c: min_input_ids[c[0][0][0]])
+    return components, None

@@ -43,6 +43,7 @@ class Builder:
         self._edges: list[tuple[np.ndarray, np.ndarray]] = []
         self._edge_labels: list[tuple[int, ...]] = []
         self._layer = None
+        self._is_full = False
 
     # ---- labels
     def set_label(self, label: int) -> None:
@@ -79,6 +80,13 @@ class Builder:
         v = np.asarray(vertices, float).reshape(-1, 3)
         for i in range(len(v)):
             self.add_edge(v[i], v[(i + 1) % len(v)])
+
+    def add_polygon(self, loops: list[np.ndarray]) -> None:
+        for lv in loops:
+            self.add_loop(lv)
+
+    def add_is_full_polygon_predicate(self, is_full: bool) -> None:
+        self._is_full = is_full
 
     # ---- build
     def build(self) -> str | None:
@@ -154,6 +162,7 @@ class Builder:
             lexicon,
             label_sets,
         )
+        g.is_full_polygon = self._is_full
         return layer.build(g)
 
     def _crossing_sites(self) -> list[np.ndarray]:
@@ -310,3 +319,101 @@ class PointVectorLayer:
                     self.label_set_lexicon.add(fetcher.fetch(e))
                 )
         return error
+
+
+class PolygonLayer:
+    """S2PolygonLayer (s2builderutil_s2polygon_layer.cc:60-205): directed
+    loops via the left-turn map (SIMPLE), undirected via complementary
+    components (slot 0), each loop normalized to enclose at most half
+    the sphere.  Output: self.loops (list of (N,3) vertex arrays, each
+    CCW-normalized); per-loop per-edge labels in self.label_set_ids when
+    with_labels.  validate maps reference error codes:
+    LOOP_SELF_INTERSECTION / POLYGON_LOOPS_SHARE_EDGE /
+    OVERLAPPING_GEOMETRY."""
+
+    def __init__(self, edge_type: str = DIRECTED, validate: bool = False,
+                 with_labels: bool = False):
+        self.edge_type = edge_type
+        self.validate = validate
+        self.with_labels = with_labels
+        self.loops: list[np.ndarray] = []
+        self.is_full = False
+        self.label_set_ids: list[list[int]] = []
+        self.label_set_lexicon = IdSetLexicon()
+
+    def graph_options(self) -> GraphOptions:
+        # prevent degenerate edges and sibling pairs; keep duplicates for
+        # more comprehensible validation errors (layer .cc:82-89)
+        from .graph import DISCARD as _D
+
+        return GraphOptions(self.edge_type, _D, KEEP, _D)
+
+    def build(self, g: Graph) -> str | None:
+        from .graph import (
+            SIMPLE,
+            get_directed_loops,
+            get_undirected_components,
+        )
+        from .measures import loop_signed_area
+
+        if g.num_edges() == 0:
+            self.is_full = bool(getattr(g, "is_full_polygon", False))
+            return None
+        if g.options.edge_type == DIRECTED:
+            edge_loops, error = get_directed_loops(g, SIMPLE)
+            if error:
+                return error
+            loop_sets = [edge_loops]
+        else:
+            components, error = get_undirected_components(g, SIMPLE)
+            if error:
+                return error
+            loop_sets = [c[0] for c in components]
+        fetcher = LabelFetcher(g, self.edge_type) if self.with_labels else None
+        for edge_loops in loop_sets:
+            for ep in edge_loops:
+                verts = np.asarray([g.vertex(g.edge(e)[0]) for e in ep])
+                labels = (
+                    [self.label_set_lexicon.add(fetcher.fetch(e)) for e in ep]
+                    if fetcher
+                    else None
+                )
+                if loop_signed_area(verts) < 0:
+                    # S2Loop::Normalize: invert so the loop encloses at
+                    # most half the sphere; Invert reverses all edges
+                    # except the last, so labels reverse the same way
+                    verts = verts[::-1]
+                    if labels:
+                        labels = labels[-2::-1] + [labels[-1]]
+                self.loops.append(verts)
+                if labels is not None:
+                    self.label_set_ids.append(labels)
+        if self.validate:
+            return self._validation_error()
+        return None
+
+    def _validation_error(self) -> str | None:
+        from .contains import Loop, Polygon
+        from .validation import find_loop_validation_error
+
+        for lv in self.loops:
+            if find_loop_validation_error(lv) is not None:
+                return "LOOP_SELF_INTERSECTION"
+        # duplicate edges shared between loops (undirected: either way)
+        seen: set[tuple] = set()
+        for lv in self.loops:
+            for i in range(len(lv)):
+                a = tuple(lv[i])
+                b = tuple(lv[(i + 1) % len(lv)])
+                if (a, b) in seen or (b, a) in seen:
+                    return "POLYGON_LOOPS_SHARE_EDGE"
+                seen.add((a, b))
+        from .relations import _proper_crossing
+
+        for i in range(len(self.loops)):
+            for j in range(i + 1, len(self.loops)):
+                a = Polygon([Loop(self.loops[i])])
+                b = Polygon([Loop(self.loops[j])])
+                if _proper_crossing(a, b):
+                    return "OVERLAPPING_GEOMETRY"
+        return None
