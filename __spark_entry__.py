@@ -429,6 +429,24 @@ def _q_cell_density_rollup(spark, sf_dir):
     return density_rollup(pts, [4, 6, 8]).orderBy("level", "cell_id_s")
 
 
+def _q_cell_density_tree(spark, sf_dir):
+    """S2DensityTree distributed build (s2density_tree.cc
+    BreadthFirstTreeBuilder): a cell is in the tree iff every coarser
+    ancestor's weight exceeds the split threshold — one explode+agg
+    plus a cascade of broadcast joins between adjacent LEVEL AGGREGATES
+    (the fact table never re-shuffles).  Kernel parity is gated in
+    tests/test_density_tree_spark.py; here the oracle re-derives the
+    prune with the same int64 bit algebra in SQL."""
+    from s2geometry_spark.operators.cellops import synth_cell_expr
+    from s2geometry_spark.plans.density import density_tree
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(synth_cell_expr("c_custkey").alias("cell_id_s"))
+    return density_tree(pts, [0, 2, 4, 6], split_weight=10).orderBy(
+        "level", "cell_id_s"
+    )
+
+
 def _q_cell_index_labels(spark, sf_dir):
     from s2geometry_spark.functions import columns as CC
     from s2geometry_spark.operators.cell_index import (
@@ -1345,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiling_web_tiles": _q_tiling_web_tiles,
         "cell_index_labels": _q_cell_index_labels,
         "cell_density_rollup": _q_cell_density_rollup,
+        "cell_density_tree": _q_cell_density_tree,
         "geo_rect_filter": _q_geo_rect_filter,
         "geo_loop_measures": _q_geo_loop_measures,
         "geo_cellunion_ops": _q_geo_cellunion_ops,
@@ -1656,6 +1675,31 @@ def _oracle_sql_impl() -> dict[str, str]:
               FROM pts CROSS JOIN lv)
             SELECT level, cell_id_s, count(*) AS weight
             FROM rolled GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cell_density_tree": f"""
+            WITH pts AS (SELECT {synth_cell_sql('c_custkey')} AS cell_id_s FROM customer),
+            lv(level) AS (VALUES (0), (2), (4), (6)),
+            rolled AS (
+              SELECT level,
+                     (cell_id_s & -((1::BIGINT << (2 * (30 - level)))))
+                       | (1::BIGINT << (2 * (30 - level))) AS cell_id_s
+              FROM pts CROSS JOIN lv),
+            w AS (SELECT level, cell_id_s, count(*) AS weight
+                  FROM rolled GROUP BY 1, 2),
+            q0 AS (SELECT * FROM w WHERE level = 0),
+            q2 AS (SELECT w.* FROM w JOIN q0 p
+                   ON w.level = 2 AND p.weight > 10
+                  AND ((w.cell_id_s & -(1::BIGINT << 60)) | (1::BIGINT << 60)) = p.cell_id_s),
+            q4 AS (SELECT w.* FROM w JOIN q2 p
+                   ON w.level = 4 AND p.weight > 10
+                  AND ((w.cell_id_s & -(1::BIGINT << 56)) | (1::BIGINT << 56)) = p.cell_id_s),
+            q6 AS (SELECT w.* FROM w JOIN q4 p
+                   ON w.level = 6 AND p.weight > 10
+                  AND ((w.cell_id_s & -(1::BIGINT << 52)) | (1::BIGINT << 52)) = p.cell_id_s)
+            SELECT level, cell_id_s, weight FROM (
+              SELECT * FROM q0 UNION ALL SELECT * FROM q2
+              UNION ALL SELECT * FROM q4 UNION ALL SELECT * FROM q6)
+            ORDER BY level, cell_id_s
         """,
         "cell_histogram": cell_histogram_oracle(),
         "text_token_stats": f"""

@@ -139,3 +139,71 @@ def salted_candidate_join(
         "inner",
     )
     return out.drop("_term", "_salt", "_cov_cell")
+
+
+def density_tree(
+    points: DataFrame, levels: list[int], split_weight: int
+) -> DataFrame:
+    """Distributed S2DensityTree build (s2density_tree.cc
+    BreadthFirstTreeBuilder re-expressed relationally): a cell at
+    level L is in the tree iff every coarser listed ancestor's weight
+    exceeds `split_weight` — the subdivision rule, with a weight
+    threshold standing in for the reference's encoded-size budget
+    (the budget is a single-machine memory knob; a weight floor is the
+    scale-out equivalent and keeps the tree size bounded by
+    total_weight/split_weight).
+
+    One explode+groupBy computes all level weights (map-side partial
+    agg); the prune is a cascade of equi joins between ADJACENT level
+    aggregates — each join input is an aggregate, never the fact
+    table, so the cascade is cheap at any scale.
+    Returns (level, cell_id_s, weight) sorted by the caller."""
+    levels = sorted(levels)
+    roll = density_rollup(points, levels).cache()
+    frontier = roll.filter(F.col("level") == levels[0])
+    out = frontier
+    for prev, cur in zip(levels, levels[1:]):
+        parents = (
+            frontier.filter(F.col("weight") > split_weight)
+            .select(F.col("cell_id_s").alias("p_cell"))
+        )
+        frontier = (
+            roll.filter(F.col("level") == cur)
+            .join(
+                F.broadcast(parents),
+                CC.parent("cell_id_s", prev) == F.col("p_cell"),
+            )
+            .drop("p_cell")
+        )
+        out = out.unionByName(frontier)
+    return out
+
+
+def equal_weight_partitions(
+    tree_rows: list, max_weight: int
+) -> list[tuple[int, int, int]]:
+    """S2DensityTree::GetPartitioning over a collected (level,
+    cell_id_s, weight) tree: returns (shard_id, range_min_s,
+    range_max_s) rows ready to broadcast-range-join against any
+    cell-keyed fact table.  The tree is small by construction
+    (≤ total_weight/split_weight cells), so this runs on the driver
+    like the reference; the fact table itself never moves."""
+    from ..kernel.density_tree import DensityTree
+
+    weights = {}
+    for row in tree_rows:
+        cid = CID((int(row["cell_id_s"]) + (1 << 63)) % (1 << 64))
+        weights[cid.id] = int(row["weight"])
+    # enforce the ancestors-present invariant for face gaps
+    tree = DensityTree(weights)
+    out = []
+    for shard_id, cover in enumerate(tree.get_partitioning(max_weight)):
+        for cid in cover:
+            out.append(
+                (
+                    shard_id,
+                    int(cid.range_min().id) - (1 << 63),
+                    int(cid.range_max().id) - (1 << 63),
+                )
+            )
+    return out
