@@ -746,3 +746,100 @@ def cell_cap_bound(cell: Cell) -> Cap:
     for k in range(4):
         cap.add_point(cell.get_vertex(k))
     return cap
+
+
+class ShapeIndexBufferedRegion:
+    """S2ShapeIndexBufferedRegion (s2shape_index_buffered_region.h/.cc):
+    the set of points within `radius` of any point of the indexed
+    geometry (interiors included).  Distance predicates use
+    radius.Successor() so that "≤ radius" semantics hold even at
+    radius 0 (h:34-58)."""
+
+    def __init__(self, shapes: list, radius_rad: float):
+        from .closest_edge import Shape  # noqa: F401 (type of `shapes`)
+        from .distance import angle_to_chord2, chord2_successor
+        from .point_index import ShapeIndexTarget
+
+        self.shapes = shapes
+        self.radius_rad = radius_rad
+        self.radius2 = float(angle_to_chord2(radius_rad))
+        self.radius2_successor = float(chord2_successor(self.radius2))
+        self._target = ShapeIndexTarget(shapes, include_interiors=True)
+        # the unbuffered region, for the Contains fast path
+        self._shape_regions = []
+        for sh in shapes:
+            if sh.dim == 0:
+                self._shape_regions.append(ShapeRegion(points=sh.edges_c))
+            elif sh.dim == 1:
+                v = np.concatenate([sh.edges_c, sh.edges_d[-1:]])
+                self._shape_regions.append(ShapeRegion(polylines=[v]))
+            else:
+                self._shape_regions.append(ShapeRegion(polygon=sh.polygon))
+
+    def contains_point(self, p) -> bool:
+        d2 = self._target.dist2_to_points(np.asarray(p, float)[None])[0]
+        return d2 < self.radius2_successor
+
+    def contains_cell(self, cell: Cell) -> bool:
+        """cc:90-115: unbuffered containment, else the cell's bounding
+        cap must fit within radius of the center's closest point."""
+        if self.radius2_successor > 4.0 or (
+            self.radius2_successor == 4.0 and self.radius2 < 4.0
+        ):
+            # successor beyond Straight ⇒ covers the sphere
+            return True
+        if any(r.contains_cell(cell) for r in self._shape_regions):
+            return True
+        cap = cell_cap_bound(cell)
+        cap_angle = cap.radius_radians()
+        if self.radius_rad < cap_angle:
+            return False
+        from .distance import angle_to_chord2, chord2_to_angle
+
+        limit_angle = float(chord2_to_angle(self.radius2_successor)) - cap_angle
+        limit2 = float(angle_to_chord2(max(0.0, limit_angle)))
+        d2 = self._target.dist2_to_points(cell.get_center()[None])[0]
+        return d2 < limit2
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        d2 = self._target.dist2_to_cell(cell)
+        return d2 < self.radius2_successor
+
+    def get_cap_bound(self) -> Cap:
+        cap = Cap.empty()
+        for r in self._shape_regions:
+            orig = r.get_cap_bound()
+            if not orig.is_empty():
+                cap = cap.union(orig)
+        if cap.is_empty():
+            return cap
+        return Cap.from_center_angle(
+            cap.center, cap.radius_radians() + self.radius_rad
+        )
+
+    def get_cell_union_bound(self) -> list[CID]:
+        """cc:60-88: expand each unbuffered bound cell with its vertex
+        neighbors at a level sized to the buffer radius."""
+        from .metrics import MIN_WIDTH
+
+        max_level = MIN_WIDTH.get_level_for_min_value(self.radius_rad) - 1
+        if max_level < 0:
+            return [CID.from_face(f) for f in range(6)]
+        orig: list[CID] = []
+        for r in self._shape_regions:
+            orig.extend(r.get_cell_union_bound())
+        out: list[CID] = []
+        for cid in orig:
+            if cid.is_face():
+                return [CID.from_face(f) for f in range(6)]
+            lvl = min(max_level, cid.level() - 1)
+            out.extend(_vertex_neighbors_of_cell(cid, lvl))
+        return out
+
+
+def _vertex_neighbors_of_cell(cid: CID, level: int) -> list[CID]:
+    """S2CellId::AppendVertexNeighbors at `level` (cellid kernel)."""
+    from . import cellid as _K
+
+    rows = _K.vertex_neighbors(np.array([cid.id], dtype=np.uint64), level)
+    return [CID(int(v)) for v in np.unique(rows[0])]
