@@ -13,7 +13,12 @@ from fractions import Fraction
 
 import numpy as np
 
-from .cell import face_xyz_to_uvw, get_uvw_face, _valid_face_xyz_to_uv
+from .cell import (
+    _face_uv_to_xyz,
+    _valid_face_xyz_to_uv,
+    face_xyz_to_uvw,
+    get_uvw_face,
+)
 from .coords import get_face
 from .predicates import ortho
 
@@ -163,3 +168,156 @@ def intersects_rect(a_uv, b_uv, rect) -> bool:
     mx = n[0] * (us[i] - a_uv[0]) + n[1] * (vs[j] - a_uv[1])
     mn = n[0] * (us[1 - i] - a_uv[0]) + n[1] * (vs[1 - j] - a_uv[1])
     return mx >= 0 and mn <= 0
+
+
+# -------------------------------------------- face segments (cc:147-248)
+def _move_origin_to_valid_face(face: int, a: np.ndarray, ab: np.ndarray,
+                               a_uv) -> tuple[int, tuple[float, float]]:
+    """MoveOriginToValidFace (s2edge_clipping.cc:147-178)."""
+    max_safe = 1 - FACE_CLIP_ERROR_UV_COORD
+    if max(abs(a_uv[0]), abs(a_uv[1])) <= max_safe:
+        return face, a_uv
+    n = face_xyz_to_uvw(face, ab)
+    if _intersects_face(n):
+        exit_uv = _get_exit_point(n, _get_exit_axis(n))
+        exit_xyz = _face_uv_to_xyz(face, exit_uv[0], exit_uv[1])
+        a_tangent = np.cross(ab / np.linalg.norm(ab), a)
+        exit_xyz = exit_xyz / np.linalg.norm(exit_xyz)
+        if float((exit_xyz - a) @ a_tangent) >= -FACE_CLIP_ERROR_RADIANS:
+            return face, a_uv
+    if abs(a_uv[0]) >= abs(a_uv[1]):
+        face = get_uvw_face(face, 0, 1 if a_uv[0] > 0 else 0)
+    else:
+        face = get_uvw_face(face, 1, 1 if a_uv[1] > 0 else 0)
+    u, v = _valid_face_xyz_to_uv(face, a)
+    return face, (max(-1.0, min(1.0, u)), max(-1.0, min(1.0, v)))
+
+
+def _sum_equals_exact(u: float, v: float, w: float) -> bool:
+    return Fraction(u) + Fraction(v) == Fraction(w)
+
+
+def _get_next_face(face: int, exit_uv, axis: int, n, target_face: int) -> int:
+    """GetNextFace (s2edge_clipping.cc:185-206): corner exits advance
+    straight to the target face when exact."""
+    if (
+        abs(exit_uv[1 - axis]) == 1
+        and get_uvw_face(face, 1 - axis, 1 if exit_uv[1 - axis] > 0 else 0)
+        == target_face
+        and _sum_equals_exact(exit_uv[0] * n[0], exit_uv[1] * n[1], -n[2])
+    ):
+        return target_face
+    return get_uvw_face(face, axis, 1 if exit_uv[axis] > 0 else 0)
+
+
+def get_face_segments(a: np.ndarray, b: np.ndarray) -> list[tuple]:
+    """GetFaceSegments (s2edge_clipping.cc:208-260): (face, a_uv, b_uv)
+    per face crossed by edge AB, chained exactly at face boundaries."""
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    a_face = int(get_face(a[0], a[1], a[2]))
+    b_face = int(get_face(b[0], b[1], b[2]))
+    a_uv = _valid_face_xyz_to_uv(a_face, a)
+    b_uv = _valid_face_xyz_to_uv(b_face, b)
+    if a_face == b_face:
+        return [(a_face, a_uv, b_uv)]
+    ab = robust_cross_prod(a, b)
+    a_face, a_uv = _move_origin_to_valid_face(a_face, a, ab, a_uv)
+    b_face, b_uv = _move_origin_to_valid_face(b_face, b, -ab, b_uv)
+    segments = []
+    face = a_face
+    seg_a = a_uv
+    while face != b_face:
+        n = face_xyz_to_uvw(face, ab)
+        exit_axis = _get_exit_axis(n)
+        ep = _get_exit_point(n, exit_axis)
+        seg_b = (float(ep[0]), float(ep[1]))
+        segments.append((face, seg_a, seg_b))
+        exit_xyz = _face_uv_to_xyz(face, seg_b[0], seg_b[1])
+        face = _get_next_face(face, seg_b, exit_axis, n, b_face)
+        exit_uvw = face_xyz_to_uvw(face, exit_xyz)
+        seg_a = (float(exit_uvw[0]), float(exit_uvw[1]))
+    segments.append((face, seg_a, b_uv))
+    return segments
+
+
+# ------------------------------------------------ 2D edge clip (cc:382-452)
+def interpolate_double(x, a, b, a1, b1) -> float:
+    """InterpolateDouble (s2edge_clipping.h:178-194)."""
+    if a == b:
+        return a1
+    if abs(a - x) <= abs(b - x):
+        return a1 + (b1 - a1) * ((x - a) / (b - a))
+    return b1 + (a1 - b1) * ((x - b) / (a - b))
+
+
+def _update_endpoint(bound: list, end: int, value: float) -> bool:
+    if end == 0:
+        if bound[1] < value:
+            return False
+        if bound[0] < value:
+            bound[0] = value
+    else:
+        if bound[0] > value:
+            return False
+        if bound[1] > value:
+            bound[1] = value
+    return True
+
+
+def _clip_bound_axis(a0, b0, bound0, a1, b1, bound1, diag, clip0) -> bool:
+    if bound0[0] < clip0[0]:
+        if bound0[1] < clip0[0]:
+            return False
+        bound0[0] = clip0[0]
+        if not _update_endpoint(
+            bound1, diag, interpolate_double(clip0[0], a0, b0, a1, b1)
+        ):
+            return False
+    if bound0[1] > clip0[1]:
+        if bound0[0] > clip0[1]:
+            return False
+        bound0[1] = clip0[1]
+        if not _update_endpoint(
+            bound1, 1 - diag, interpolate_double(clip0[1], a0, b0, a1, b1)
+        ):
+            return False
+    return True
+
+
+def clip_edge_bound(a, b, clip, bound) -> bool:
+    """ClipEdgeBound (s2edge_clipping.cc:425-436); `bound` is
+    [[u_lo,u_hi],[v_lo,v_hi]] lists mutated in place."""
+    diag = int((a[0] > b[0]) != (a[1] > b[1]))
+    return _clip_bound_axis(
+        a[0], b[0], bound[0], a[1], b[1], bound[1], diag, clip[0]
+    ) and _clip_bound_axis(
+        a[1], b[1], bound[1], a[0], b[0], bound[0], diag, clip[1]
+    )
+
+
+def get_clipped_edge_bound(a, b, clip):
+    """GetClippedEdgeBound (cc:418-423) → bound or None."""
+    bound = [
+        [min(a[0], b[0]), max(a[0], b[0])],
+        [min(a[1], b[1]), max(a[1], b[1])],
+    ]
+    if clip_edge_bound(a, b, clip, bound):
+        return bound
+    return None
+
+
+def clip_edge(a, b, clip):
+    """ClipEdge (cc:438-450) → (a_clipped, b_clipped) or None."""
+    bound = [
+        [min(a[0], b[0]), max(a[0], b[0])],
+        [min(a[1], b[1]), max(a[1], b[1])],
+    ]
+    if clip_edge_bound(a, b, clip, bound):
+        ai = int(a[0] > b[0])
+        aj = int(a[1] > b[1])
+        return (
+            (bound[0][ai], bound[1][aj]),
+            (bound[0][1 - ai], bound[1][1 - aj]),
+        )
+    return None
