@@ -153,6 +153,15 @@ class S1Interval:
             return S1Interval(p1, p2, checked=True)
         return S1Interval(p2, p1, checked=True)
 
+    def is_valid(self) -> bool:
+        # s1interval.h: |lo|,|hi| <= Pi, and -Pi is only allowed paired
+        return (
+            abs(self.lo) <= PI
+            and abs(self.hi) <= PI
+            and not (self.lo == -PI and self.hi != PI)
+            and not (self.hi == -PI and self.lo != PI)
+        )
+
     def is_full(self) -> bool:
         return self.lo == -PI and self.hi == PI
 

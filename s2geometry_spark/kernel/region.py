@@ -359,6 +359,211 @@ class LatLngRect:
     def union(self, o: "LatLngRect") -> "LatLngRect":
         return LatLngRect(self.lat.union(o.lat), self.lng.union(o.lng))
 
+    @staticmethod
+    def from_center_size(center: LatLng, size: LatLng) -> "LatLngRect":
+        """FromCenterSize (s2latlng_rect.cc:50-54)."""
+        return LatLngRect.from_point(center).expanded_radians(
+            0.5 * size.lat, 0.5 * size.lng
+        )
+
+    @staticmethod
+    def from_point(p: LatLng) -> "LatLngRect":
+        return LatLngRect(R1Interval(p.lat, p.lat), S1Interval(p.lng, p.lng))
+
+    def is_valid(self) -> bool:
+        """s2latlng_rect.h: |lat| ≤ π/2, |lng| ≤ π, both-or-neither empty."""
+        return (
+            abs(self.lat.lo) <= PI / 2
+            and abs(self.lat.hi) <= PI / 2
+            and self.lng.is_valid()
+            and self.lat.is_empty() == self.lng.is_empty()
+        )
+
+    def is_point(self) -> bool:
+        return self.lat.lo == self.lat.hi and self.lng.lo == self.lng.hi
+
+    def get_size(self) -> LatLng:
+        return LatLng(self.lat.get_length(), self.lng.get_length())
+
+    def add_point_ll(self, ll: LatLng) -> None:
+        self.lat.add_point(ll.lat)
+        self.lng.add_point(ll.lng)
+
+    def add_point(self, p) -> None:
+        self.add_point_ll(LatLng(_latitude(p), _longitude(p)))
+
+    def interior_contains_latlng(self, ll: LatLng) -> bool:
+        return self.lat.interior_contains(ll.lat) and self.lng.interior_contains(
+            ll.lng
+        )
+
+    def interior_contains_point(self, p) -> bool:
+        return self.interior_contains_latlng(LatLng(_latitude(p), _longitude(p)))
+
+    def interior_contains_rect(self, o: "LatLngRect") -> bool:
+        return self.lat.interior_contains_interval(
+            o.lat
+        ) and self.lng.interior_contains_interval(o.lng)
+
+    def interior_intersects_rect(self, o: "LatLngRect") -> bool:
+        return self.lat.interior_intersects(o.lat) and self.lng.interior_intersects(
+            o.lng
+        )
+
+    def boundary_intersects(self, v0, v1) -> bool:
+        """BoundaryIntersects (s2latlng_rect.cc:194-209)."""
+        if self.is_empty():
+            return False
+        if not self.lng.is_full():
+            if _intersects_lng_edge(v0, v1, self.lat, self.lng.lo):
+                return True
+            if _intersects_lng_edge(v0, v1, self.lat, self.lng.hi):
+                return True
+        if self.lat.lo != -PI / 2 and _intersects_lat_edge(
+            v0, v1, self.lat.lo, self.lng
+        ):
+            return True
+        if self.lat.hi != PI / 2 and _intersects_lat_edge(
+            v0, v1, self.lat.hi, self.lng
+        ):
+            return True
+        return False
+
+    def intersection(self, o: "LatLngRect") -> "LatLngRect":
+        lat = self.lat.intersection(o.lat)
+        lng = self.lng.intersection(o.lng)
+        if lat.is_empty() or lng.is_empty():
+            return LatLngRect.empty()
+        return LatLngRect(lat, lng)
+
+    def expanded_by_distance(self, distance_rad: float) -> "LatLngRect":
+        """ExpandedByDistance (s2latlng_rect.cc:251-296)."""
+        if distance_rad >= 0:
+            r = self
+            for k in range(4):
+                cap = Cap.from_center_angle(
+                    self.get_vertex(k).to_point(), distance_rad
+                )
+                r = r.union(_cap_get_rect_bound(cap))
+            return r
+        lat_lo = (
+            -PI / 2
+            if self.lat.lo <= -PI / 2 and self.lng.is_full()
+            else self.lat.lo - distance_rad
+        )
+        lat_hi = (
+            PI / 2
+            if self.lat.hi >= PI / 2 and self.lng.is_full()
+            else self.lat.hi + distance_rad
+        )
+        lat_result = R1Interval(lat_lo, lat_hi)
+        if lat_result.is_empty():
+            return LatLngRect.empty()
+        max_abs_lat = max(-lat_result.lo, lat_result.hi)
+        sin_a = math.sin(-distance_rad)
+        sin_c = math.cos(max_abs_lat)
+        max_lng_margin = math.asin(sin_a / sin_c) if sin_a < sin_c else PI / 2
+        lng_result = self.lng.expanded(-max_lng_margin)
+        if lng_result.is_empty():
+            return LatLngRect.empty()
+        return LatLngRect(lat_result, lng_result)
+
+    def area(self) -> float:
+        """Area (s2latlng_rect.cc:94-99)."""
+        if self.is_empty():
+            return 0.0
+        return self.lng.get_length() * (
+            math.sin(self.lat.hi) - math.sin(self.lat.lo)
+        )
+
+    def get_centroid(self) -> np.ndarray:
+        """GetCentroid (s2latlng_rect.cc:101-155): area-scaled."""
+        if self.is_empty():
+            return np.zeros(3)
+        z1, r1 = math.sin(self.lat.lo), math.cos(self.lat.lo)
+        z2, r2 = math.sin(self.lat.hi), math.cos(self.lat.hi)
+        alpha = 0.5 * self.lng.get_length()
+        r = math.sin(alpha) * (r2 * z2 - r1 * z1 + self.lat.get_length())
+        lng = self.lng.get_center()
+        z = alpha * (z2 + z1) * (z2 - z1)
+        return np.array([r * math.cos(lng), r * math.sin(lng), z])
+
+    def get_distance_rect(self, b: "LatLngRect") -> float:
+        """GetDistance(S2LatLngRect) (s2latlng_rect.cc:507-560), radians."""
+        from .distance import chord2_to_angle, point_edge_dist2
+
+        a = self
+        assert not a.is_empty() and not b.is_empty()
+        if a.lng.intersects(b.lng):
+            if a.lat.intersects(b.lat):
+                return 0.0
+            if a.lat.lo > b.lat.hi:
+                lo, hi = b.lat.hi, a.lat.lo
+            else:
+                lo, hi = a.lat.hi, b.lat.lo
+            return hi - lo
+        lo_hi = S1Interval.from_point_pair(a.lng.lo, b.lng.hi)
+        hi_lo = S1Interval.from_point_pair(a.lng.hi, b.lng.lo)
+        if lo_hi.get_length() < hi_lo.get_length():
+            a_lng, b_lng = a.lng.lo, b.lng.hi
+        else:
+            a_lng, b_lng = a.lng.hi, b.lng.lo
+        a_lo = _ll_to_point(a.lat.lo, a_lng)
+        a_hi = _ll_to_point(a.lat.hi, a_lng)
+        b_lo = _ll_to_point(b.lat.lo, b_lng)
+        b_hi = _ll_to_point(b.lat.hi, b_lng)
+        X = np.array([a_lo, a_hi, b_lo, b_hi])
+        d2 = min(
+            float(point_edge_dist2(X[:2], b_lo[None], b_hi[None]).min()),
+            float(point_edge_dist2(X[2:], a_lo[None], a_hi[None]).min()),
+        )
+        return float(chord2_to_angle(d2))
+
+    def get_distance_latlng(self, p: LatLng) -> float:
+        """GetDistance(S2LatLng) (s2latlng_rect.cc:562-586), radians."""
+        from .distance import chord2_to_angle, point_edge_dist2
+
+        a = self
+        if a.lng.contains(p.lng):
+            return max(0.0, max(p.lat - a.lat.hi, a.lat.lo - p.lat))
+        # GetComplementCenter (s1interval.h): center of the complement
+        comp_center = math.remainder(a.lng.get_center() + PI, 2 * PI)
+        interval = S1Interval(a.lng.hi, comp_center)
+        a_lng = a.lng.hi if interval.contains(p.lng) else a.lng.lo
+        lo = _ll_to_point(a.lat.lo, a_lng)
+        hi = _ll_to_point(a.lat.hi, a_lng)
+        d2 = float(point_edge_dist2(p.to_point()[None], lo[None], hi[None])[0, 0])
+        return float(chord2_to_angle(d2))
+
+    def approx_equals(self, o: "LatLngRect", max_error: float = 1e-15) -> bool:
+        """ApproxEquals (s2latlng_rect.cc:733-741): per-interval, where
+        an empty interval approx-equals any interval of length
+        ≤ 2·max_error (r1interval.h / s1interval.h semantics)."""
+        def r1_eq(x: R1Interval, y: R1Interval) -> bool:
+            if x.is_empty():
+                return y.get_length() <= 2 * max_error
+            if y.is_empty():
+                return x.get_length() <= 2 * max_error
+            return (abs(x.lo - y.lo) <= max_error
+                    and abs(x.hi - y.hi) <= max_error)
+
+        def s1_eq(x: S1Interval, y: S1Interval) -> bool:
+            if x.is_empty():
+                return y.get_length() <= 2 * max_error
+            if y.is_empty():
+                return x.get_length() <= 2 * max_error
+            if x.is_full():
+                return y.get_length() >= 2 * (PI - max_error)
+            if y.is_full():
+                return x.get_length() >= 2 * (PI - max_error)
+            return (
+                abs(math.remainder(y.lo - x.lo, 2 * PI)) <= max_error
+                and abs(math.remainder(y.hi - x.hi, 2 * PI)) <= max_error
+                and abs(x.get_length() - y.get_length()) <= 2 * max_error
+            )
+
+        return r1_eq(self.lat, o.lat) and s1_eq(self.lng, o.lng)
+
     # ---- region interface
     def contains_cell(self, cell: Cell) -> bool:
         return self.contains_rect(cell.get_rect_bound())
