@@ -299,3 +299,76 @@ def cell_cell_distance2(cell: "Cell", target: "Cell") -> float:
     d1 = point_edge_dist2(va, vb, _np.roll(vb, -1, axis=0)).min()
     d2 = point_edge_dist2(vb, va, _np.roll(va, -1, axis=0)).min()
     return float(min(d1, d2))
+
+
+def edge_point_max_dist2(x, a, b) -> float:
+    """UpdateMaxDistance for a point vs an edge (s2edge_distances.cc):
+    max at an endpoint unless the antipode's projection lands in the
+    edge interior, in which case it is π − d(−x, ab).  Uses the exact
+    identity chord²(π−θ) = 4 − chord²(θ)."""
+    import numpy as _np
+
+    from .distance import chord2, point_edge_dist2
+
+    x = _np.asarray(x, float)
+    a = _np.asarray(a, float)
+    b = _np.asarray(b, float)
+    d2 = max(float(chord2(x, a)), float(chord2(x, b)))
+    if d2 > 2.0:
+        d2 = 4.0 - float(point_edge_dist2((-x)[None], a[None], b[None])[0, 0])
+    return d2
+
+
+def cell_point_max_distance2(cell: "Cell", p) -> float:
+    """S2Cell::GetMaxDistance(S2Point) (s2cell.cc:442-458)."""
+    import numpy as _np
+
+    from .distance import chord2
+
+    p = _np.asarray(p, float)
+    v = _cell_vertices(cell)
+    d2 = float(chord2(v, p).max())
+    if d2 <= 2.0:
+        return d2
+    return 4.0 - cell_distance2(cell, -p)
+
+
+def cell_edge_max_distance2(cell: "Cell", a, b) -> float:
+    """S2Cell::GetMaxDistance(a, b) (s2cell.cc:501-511)."""
+    import numpy as _np
+
+    a = _np.asarray(a, float)
+    b = _np.asarray(b, float)
+    d2 = max(cell_point_max_distance2(cell, a),
+             cell_point_max_distance2(cell, b))
+    if d2 <= 2.0:
+        return d2
+    return 4.0 - cell_edge_distance2(cell, -a, -b)
+
+
+def cell_cell_max_distance2(cell: "Cell", target: "Cell") -> float:
+    """S2Cell::GetMaxDistance(S2Cell) (s2cell.cc:601-630): Straight when
+    the antipodal target intersects; else the 32 (vertex, edge) pairs
+    under UpdateMaxDistance."""
+    import numpy as _np
+
+    opposite_face = target.face - 3 if target.face >= 3 else target.face + 3
+    if cell.face == opposite_face:
+        # antipodal UV is the TRANSPOSE of the original UV
+        au = (cell.u_lo, cell.u_hi)
+        av = (cell.v_lo, cell.v_hi)
+        bu = (target.v_lo, target.v_hi)
+        bv = (target.u_lo, target.u_hi)
+        if au[0] <= bu[1] and bu[0] <= au[1] and av[0] <= bv[1] and bv[0] <= av[1]:
+            return 4.0
+    va = _cell_vertices(cell)
+    vb = _cell_vertices(target)
+    best = -1.0
+    for i in range(4):
+        for j in range(4):
+            best = max(
+                best,
+                edge_point_max_dist2(va[i], vb[j], vb[(j + 1) & 3]),
+                edge_point_max_dist2(vb[i], va[j], va[(j + 1) & 3]),
+            )
+    return best
