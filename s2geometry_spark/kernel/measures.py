@@ -278,3 +278,135 @@ def polyline_interpolate(vertices: np.ndarray, fraction: float) -> np.ndarray:
             return out / np.linalg.norm(out)
         acc += d
     return v[-1]
+
+
+# ------------------------------------------ curvature (s2loop_measures.cc)
+def turn_angle(a, b, c) -> float:
+    """S2::TurnAngle (s2measures.cc:45-57): exterior angle at b, positive
+    for left (CCW) turns, via RobustCrossProd + Sign."""
+    import math as _math
+
+    import numpy as _np
+
+    from .clipping import robust_cross_prod
+    from .predicates import sign as _sign
+
+    u = robust_cross_prod(_np.asarray(a, float), _np.asarray(b, float))
+    v = robust_cross_prod(_np.asarray(b, float), _np.asarray(c, float))
+    angle = _math.atan2(
+        float(_np.linalg.norm(_np.cross(u, v))), float(u @ v)
+    )
+    return angle if int(_sign(
+        _np.asarray(a, float)[None], _np.asarray(b, float)[None],
+        _np.asarray(c, float)[None],
+    )[0]) > 0 else -angle
+
+
+def prune_degeneracies(loop) -> "np.ndarray":
+    """PruneDegeneracies (s2loop_measures.cc:155-203): AA → A and
+    ABA → A, including wraparound pairs."""
+    import numpy as _np
+
+    rows = [tuple(v) for v in _np.asarray(loop, float).reshape(-1, 3)]
+    out: list[tuple] = []
+    for v in rows:
+        if out:
+            if v == out[-1]:
+                continue
+            if len(out) >= 2 and v == out[-2]:
+                out.pop()
+                continue
+        out.append(v)
+    if len(out) >= 2 and out[0] == out[-1]:
+        out.pop()
+    if len(out) < 3:
+        return _np.zeros((0, 3))
+    k = 0
+    while (out[k + 1] == out[-(k + 1)] or out[k] == out[-(k + 2)]):
+        k += 1
+    trimmed = out[k: len(out) - k]
+    return _np.asarray(trimmed, float)
+
+
+def get_canonical_loop_order(loop) -> tuple[int, int]:
+    """GetCanonicalLoopOrder (s2loop_measures.cc:290-324): (first, dir)
+    minimizing the vertex sequence."""
+    import numpy as _np
+
+    rows = [tuple(v) for v in _np.asarray(loop, float).reshape(-1, 3)]
+    n = len(rows)
+    if n == 0:
+        return (0, 1)
+
+    def seq_less(o1, o2):
+        if o1 == o2:
+            return False
+        i1, d1 = o1
+        i2, d2 = o2
+        for _ in range(n - 1):
+            i1 += d1
+            i2 += d2
+            a, b = rows[i1 % n], rows[i2 % n]
+            if a < b:
+                return True
+            if a > b:
+                return False
+        return False
+
+    min_indices = [0]
+    for i in range(1, n):
+        if rows[i] <= rows[min_indices[0]]:
+            if rows[i] < rows[min_indices[0]]:
+                min_indices = []
+            min_indices.append(i)
+    min_order = (min_indices[0], 1)
+    for mi in min_indices:
+        for cand in ((mi, 1), (mi + n, -1)):
+            if seq_less(cand, min_order):
+                min_order = cand
+    return min_order
+
+
+def loop_curvature(loop) -> float:
+    """GetCurvature (s2loop_measures.cc:205-244): canonical-order Kahan
+    sum of turn angles; empty span → −2π (full sphere), fully
+    degenerate → +2π."""
+    import math as _math
+
+    import numpy as _np
+
+    v = _np.asarray(loop, float).reshape(-1, 3)
+    if len(v) == 0:
+        return -2 * _math.pi
+    v = prune_degeneracies(v)
+    if len(v) == 0:
+        return 2 * _math.pi
+    first, direction = get_canonical_loop_order(v)
+    i, n = first, len(v)
+    total = turn_angle(
+        v[(i + n - direction) % n], v[i % n], v[(i + direction) % n]
+    )
+    compensation = 0.0
+    m = n
+    while m > 1:
+        m -= 1
+        i += direction
+        angle = turn_angle(
+            v[(i - direction) % n], v[i % n], v[(i + direction) % n]
+        )
+        old = total
+        angle += compensation
+        total += angle
+        compensation = (old - total) + angle
+    k_max = 2 * _math.pi - 4 * 2.220446049250313e-16
+    total += compensation
+    return max(-k_max, min(k_max, direction * total))
+
+
+def curvature_max_error(loop) -> float:
+    """GetCurvatureMaxError (s2loop_measures.cc:246-263)."""
+    import numpy as _np
+
+    return 11.25 * 2.220446049250313e-16 * len(
+        _np.asarray(loop, float).reshape(-1, 3)
+    )
