@@ -175,3 +175,58 @@ def is_edge_b_near_edge_a(a0, a1, b0, b1, tolerance_rad: float) -> bool:
         )
 
     return not (on_b(furthest) or on_b(furthest_inv))
+
+
+def chord2_add(a2: float, b2: float) -> float:
+    """S1ChordAngle operator+ (s1chord_angle.cc:75-112)."""
+    if b2 == 0:
+        return a2
+    if a2 + b2 >= 4.0:
+        return 4.0
+    x = a2 * (1 - 0.25 * b2)
+    y = b2 * (1 - 0.25 * a2)
+    return min(4.0, x + y + 2 * math.sqrt(x * y))
+
+
+def chord2_sub(a2: float, b2: float) -> float:
+    """S1ChordAngle operator- (s1chord_angle.cc:114-128): two square
+    roots to avoid cancellation."""
+    if b2 == 0:
+        return a2
+    if a2 <= b2:
+        return 0.0
+    x = a2 * (1 - 0.25 * b2)
+    y = b2 * (1 - 0.25 * a2)
+    c = max(0.0, math.sqrt(x) - math.sqrt(y))
+    return c * c
+
+
+def chord2_sin2(l2: float) -> float:
+    """sin²(θ) = l²(1 − l²/4) (s1chord_angle.h Sin2)."""
+    return l2 * (1 - 0.25 * l2)
+
+
+def chord2_sin(l2: float) -> float:
+    return math.sqrt(chord2_sin2(l2))
+
+
+def chord2_cos(l2: float) -> float:
+    """cos(θ) = 1 − l²/2."""
+    return 1 - 0.5 * l2
+
+
+def chord2_tan(l2: float) -> float:
+    s, c = chord2_sin(l2), chord2_cos(l2)
+    if c == 0:
+        return math.inf if s > 0 else -math.inf
+    return s / c
+
+
+def chord2_plus_error(l2: float, error: float) -> float:
+    """S1ChordAngle::PlusError (s1chord_angle.cc): specials unchanged,
+    else clamp l² + error to [0, 4]."""
+    if l2 < 0 or l2 == math.inf:
+        return l2
+    if l2 == 4.0 and error > 0:
+        return 4.0
+    return max(0.0, min(4.0, l2 + error))

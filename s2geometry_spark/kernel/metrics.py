@@ -99,3 +99,8 @@ def get_initial_bearing(
 def _haversine(radians: float) -> float:
     sin_half = math.sin(radians / 2)
     return sin_half * sin_half
+
+
+# cell aspect-ratio bounds (s2metrics.cc:115-123, quadratic projection)
+MAX_EDGE_ASPECT = 1.442615274452682920
+MAX_DIAG_ASPECT = math.sqrt(3)
