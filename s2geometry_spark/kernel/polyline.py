@@ -284,3 +284,72 @@ class ChainInterpolationQuery:
         out.append(res_end.point)
         arr = np.asarray(out).reshape(-1, 3)
         return arr[::-1].copy() if reverse else arr
+
+
+def get_length(vertices: np.ndarray) -> float:
+    """S2::GetLength (s2polyline_measures.cc:28-34), radians."""
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    if len(v) < 2:
+        return 0.0
+    a, b = v[:-1], v[1:]
+    cross = np.linalg.norm(np.cross(a, b), axis=1)
+    dots = (a * b).sum(1)
+    return float(np.arctan2(cross, dots).sum())
+
+
+def get_centroid(vertices: np.ndarray) -> np.ndarray:
+    """S2::GetCentroid over a polyline (s2polyline_measures.cc:36-43):
+    sum of edge TrueCentroids (not normalized)."""
+    from .measures import edge_true_centroid
+
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    out = np.zeros(3)
+    for i in range(1, len(v)):
+        out = out + edge_true_centroid(v[i - 1], v[i])
+    return out
+
+
+def get_suffix(vertices: np.ndarray, fraction: float) -> tuple[np.ndarray, int]:
+    """S2Polyline::GetSuffix (s2polyline.cc): the interpolated point and
+    the next vertex index."""
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    n = len(v)
+    if fraction <= 0:
+        return v[0], 1
+    target = fraction * get_length(v)
+    for i in range(1, n):
+        a, b = v[i - 1], v[i]
+        length = math.atan2(
+            float(np.linalg.norm(np.cross(a, b))), float(a @ b)
+        )
+        if target < length:
+            result = point_on_line(a, b, target)
+            nxt = i + 1 if np.array_equal(result, b) else i
+            return result, nxt
+        target -= length
+    return v[n - 1], n
+
+
+def interpolate(vertices: np.ndarray, fraction: float) -> np.ndarray:
+    return get_suffix(vertices, fraction)[0]
+
+
+def is_on_right(vertices: np.ndarray, point: np.ndarray) -> bool:
+    """S2Polyline::IsOnRight (s2polyline.cc): locally right of the
+    polyline; polyline vertices themselves are not on the right."""
+    from .predicates import ordered_ccw, sign
+
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    p = np.asarray(point, float)
+    closest, next_vertex = project(v, p)
+    if (np.array_equal(closest, v[next_vertex - 1]) and 1 < next_vertex
+            < len(v)):
+        if np.array_equal(p, v[next_vertex - 1]):
+            return False
+        return ordered_ccw(
+            v[next_vertex - 2], p, v[next_vertex], v[next_vertex - 1]
+        )
+    if next_vertex == len(v):
+        next_vertex -= 1
+    return int(sign(p[None], v[next_vertex][None],
+                    v[next_vertex - 1][None])[0]) > 0

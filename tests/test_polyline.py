@@ -139,3 +139,83 @@ def test_subsample_guarantees():
     _check_subsample("10:10, 10:20, 10:30, 10:15, 10:40", 5.0, "0,2,3,4")
     _check_subsample("10:10, 10:20, 10:30, 10:10, 10:30, 10:40", 5.0, "0,2,3,5")
     _check_subsample("10:10, 12:12, 9:9, 10:20, 10:30", 5.0, "0,4")
+
+
+def test_get_length_and_centroid():
+    """s2polyline_test.cc GetLengthAndCentroid: random great circles
+    split into random segments."""
+    import math
+
+    from s2geometry_spark.kernel.fractal import frame_at, random_point
+    from s2geometry_spark.kernel.polyline import get_centroid, get_length
+
+    rng = np.random.RandomState(81)
+    for _ in range(50):
+        frame = frame_at(rng, random_point(rng))
+        x, y = frame[:, 0], frame[:, 1]
+        vertices = []
+        theta = 0.0
+        while theta < 2 * math.pi:
+            p = math.cos(theta) * x + math.sin(theta) * y
+            if not vertices or not np.array_equal(p, vertices[-1]):
+                vertices.append(p)
+            theta += rng.uniform() ** 10
+        vertices.append(vertices[0])
+        v = np.asarray(vertices)
+        assert abs(get_length(v) - 2 * math.pi) <= 2e-14
+        assert np.linalg.norm(get_centroid(v)) <= 2e-14
+
+
+def test_interpolate():
+    """s2polyline_test.cc Interpolate incl. fraction-near-1 rounding."""
+    import math
+
+    from s2geometry_spark.kernel.polyline import get_suffix, interpolate
+
+    def norm(v):
+        v = np.asarray(v, float)
+        return v / np.linalg.norm(v)
+
+    vertices = np.array([
+        [1.0, 0, 0], [0.0, 1, 0], norm([0, 1, 1]), [0.0, 0, 1],
+    ])
+    assert np.array_equal(interpolate(vertices, -0.1), vertices[0])
+    assert np.allclose(
+        interpolate(vertices, 0.1),
+        norm([1, math.tan(0.2 * math.pi / 2), 0]), atol=1e-14,
+    )
+    assert np.allclose(interpolate(vertices, 0.25), norm([1, 1, 0]),
+                       atol=1e-14)
+    assert np.allclose(interpolate(vertices, 0.5), vertices[1], atol=1e-15)
+    assert np.allclose(interpolate(vertices, 0.75), vertices[2], atol=1e-14)
+    p, nxt = get_suffix(vertices, -0.1)
+    assert np.array_equal(p, vertices[0]) and nxt == 1
+    p, nxt = get_suffix(vertices, 0.75)
+    assert np.allclose(p, vertices[2], atol=1e-14) and nxt == 3
+    p, nxt = get_suffix(vertices, 1.1)
+    assert np.array_equal(p, vertices[3]) and nxt == 4
+
+    short = np.array([
+        norm([1, 1, 1]), norm([1, 1, 1 + 1e-15]), norm([1, 1, 1 + 2e-15]),
+    ])
+    p, nxt = get_suffix(short, 1.0 - 2e-16)
+    assert np.array_equal(p, short[2]) and nxt == 3
+
+
+def test_is_on_right():
+    """s2polyline_test.cc IsOnRight incl. interior-vertex case."""
+    from s2geometry_spark.kernel.contains import parse_points
+    from s2geometry_spark.kernel.polyline import is_on_right
+
+    line = parse_points("0:0, 0:1, 0:2, 1:2")
+    pt = lambda s: parse_points(s)[0]
+    assert is_on_right(line, pt("-0.5:0.5"))
+    assert not is_on_right(line, pt("0.5:-0.5"))
+    assert not is_on_right(line, pt("0.5:0.5"))
+    assert not is_on_right(line, pt("0.5:1"))
+    assert is_on_right(line, pt("-0.5:2.5"))
+    assert is_on_right(line, pt("1.5:2.5"))
+
+    line2 = parse_points("0:0, 0:1, -1:0")
+    assert not is_on_right(line2, pt("-0.5:5"))
+    assert not is_on_right(line2, pt("5.5:5"))
