@@ -208,11 +208,16 @@ def _angle2chord2(rad: float) -> float:
     return s * s
 
 
-def choose_sites(vertices: np.ndarray, snap: SnapFunction) -> tuple[np.ndarray, np.ndarray]:
+def choose_sites(
+    vertices: np.ndarray, snap: SnapFunction, forced=None
+) -> tuple[np.ndarray, np.ndarray]:
     """(sites, vertex→site map): SortInputVertices + ChooseInitialSites +
-    closest-site assignment within snap_radius."""
+    closest-site assignment within snap_radius.  `forced` vertices
+    become sites unconditionally and FIRST (S2Builder::ForceVertex:
+    nearby non-forced candidates are then suppressed by the separation
+    rule)."""
     v = np.asarray(vertices, float).reshape(-1, 3)
-    if len(v) == 0:
+    if len(v) == 0 and not forced:
         return np.zeros((0, 3)), np.zeros(0, dtype=np.int64)
     # sort by leaf cell id, ties by lexicographic point (s2builder.cc:615)
     leafs = K.from_point(v[:, 0], v[:, 1], v[:, 2])
@@ -220,7 +225,9 @@ def choose_sites(vertices: np.ndarray, snap: SnapFunction) -> tuple[np.ndarray, 
         range(len(v)), key=lambda i: (int(leafs[i]), v[i, 0], v[i, 1], v[i, 2])
     )
     min_sep2 = _angle2chord2(snap.min_vertex_separation())
-    sites: list[np.ndarray] = []
+    sites: list[np.ndarray] = [
+        np.asarray(f, float) for f in (forced or [])
+    ]
     for i in order:
         site = snap.snap(v[i][None])[0]
         if snap.snap_radius == 0.0:

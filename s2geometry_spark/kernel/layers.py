@@ -44,6 +44,7 @@ class Builder:
         self._edge_labels: list[tuple[int, ...]] = []
         self._layer = None
         self._is_full = False
+        self._forced: list[np.ndarray] = []
 
     # ---- labels
     def set_label(self, label: int) -> None:
@@ -61,6 +62,14 @@ class Builder:
     # ---- geometry
     def start_layer(self, layer) -> None:
         self._layer = layer
+
+    def force_vertex(self, p) -> None:
+        """S2Builder::ForceVertex: p becomes a site unconditionally."""
+        self._forced.append(np.asarray(p, float))
+
+    def input_edge(self, input_edge_id: int):
+        """S2Builder::input_edge accessor."""
+        return self._edges[input_edge_id]
 
     def add_point(self, p) -> None:
         p = np.asarray(p, float)
@@ -106,7 +115,7 @@ class Builder:
             if verts
             else np.zeros((0, 3))
         )
-        sites, vmap = choose_sites(all_v, self.snap)
+        sites, vmap = choose_sites(all_v, self.snap, forced=self._forced)
 
         lexicon = IdSetLexicon()
         label_sets: dict[int, tuple[int, ...]] = {}

@@ -302,3 +302,38 @@ def edge_or_vertex_crossing(a, b, c, d) -> bool:
     if cs > 0:
         return True
     return vertex_crossing(a, b, c, d)
+
+
+def signed_vertex_crossing(a, b, c, d) -> int:
+    """S2::SignedVertexCrossing (s2edge_crossings.cc:393-412): +1 when
+    both edges are outgoing/incoming at the shared vertex, else -1/0."""
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    c, d = np.asarray(c, float), np.asarray(d, float)
+    if np.array_equal(a, b) or np.array_equal(c, d):
+        return 0
+    if np.array_equal(a, c):
+        return 1 if (np.array_equal(b, d)
+                     or ordered_ccw(ortho(a), d, b, a)) else 0
+    if np.array_equal(b, d):
+        return 1 if ordered_ccw(ortho(b), c, a, b) else 0
+    if np.array_equal(a, d):
+        return -1 if (np.array_equal(b, c)
+                      or ordered_ccw(ortho(a), c, b, a)) else 0
+    if np.array_equal(b, c):
+        return -1 if ordered_ccw(ortho(b), d, a, b) else 0
+    return 0
+
+
+def signed_edge_or_vertex_crossing(a, b, c, d) -> int:
+    """S2EdgeCrosser::SignedEdgeOrVertexCrossing: ±1 per crossing with
+    the sign of Sign(a, b, c) for interior crossings
+    (s2edge_crosser.h:342-347)."""
+    cs = crossing_sign(a, b, c, d)
+    if cs < 0:
+        return 0
+    if cs > 0:
+        return int(sign(
+            np.asarray(a, float)[None], np.asarray(b, float)[None],
+            np.asarray(c, float)[None],
+        )[0])
+    return signed_vertex_crossing(a, b, c, d)
