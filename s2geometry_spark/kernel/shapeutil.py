@@ -1,0 +1,94 @@
+"""s2shapeutil reference-point + brute-force containment
+(s2shapeutil_get_reference_point.cc, s2shapeutil_contains_brute_force.cc)
+over lax polygon shapes (vertex-list loops, degenerate edges allowed,
+the empty loop meaning "full").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .predicates import ContainsVertexQuery, signed_edge_or_vertex_crossing
+from .predicates import edge_or_vertex_crossing
+
+
+class LaxPolygon:
+    """S2LaxPolygonShape: loops as raw vertex lists; every consecutive
+    pair (wrapping) is an edge, so 2-vertex loops give sibling pairs
+    and 1-vertex loops give a degenerate edge; a 0-vertex loop denotes
+    the full polygon (chain with no edges)."""
+
+    dim = 2
+
+    def __init__(self, loops: list):
+        self.loops = [np.asarray(l, float).reshape(-1, 3) for l in loops]
+
+    def edges(self):
+        for loop in self.loops:
+            n = len(loop)
+            for i in range(n):
+                yield loop[i], loop[(i + 1) % n]
+
+    def num_edges(self) -> int:
+        return sum(len(l) for l in self.loops)
+
+    def num_chains(self) -> int:
+        return len(self.loops)
+
+    def chain_lengths(self):
+        return [len(l) for l in self.loops]
+
+
+def _reference_point_at_vertex(shape: LaxPolygon, vtest: np.ndarray):
+    """GetReferencePointAtVertex (cc:15-32)."""
+    q = ContainsVertexQuery(vtest)
+    for v0, v1 in shape.edges():
+        if np.array_equal(v0, vtest):
+            q.add_edge(v1, 1)
+        if np.array_equal(v1, vtest):
+            q.add_edge(v0, -1)
+    s = q.contains_sign()
+    if s == 0:
+        return None
+    return vtest, s > 0
+
+
+def get_reference_point(shape: LaxPolygon):
+    """GetReferencePoint (cc:34-81) → (point, contained); point is None
+    for the empty/full conventions."""
+    if shape.num_edges() == 0:
+        return None, shape.num_chains() > 0
+    first_edge = next(iter(shape.edges()))
+    got = _reference_point_at_vertex(shape, first_edge[0])
+    if got is not None:
+        return got
+    edges = [(tuple(a), tuple(b)) for a, b in shape.edges()]
+    rev = sorted((b, a) for a, b in edges)
+    fwd = sorted(edges)
+    for e_f, e_r in zip(fwd, rev):
+        if e_f < e_r:
+            got = _reference_point_at_vertex(shape, np.array(e_f[0]))
+            assert got is not None
+            return got
+        if e_r < e_f:
+            got = _reference_point_at_vertex(shape, np.array(e_r[0]))
+            assert got is not None
+            return got
+    # all vertices balanced: full iff some chain has no edges
+    return None, any(n == 0 for n in shape.chain_lengths())
+
+
+def contains_brute_force(shape, focus: np.ndarray) -> bool:
+    """ContainsBruteForce (s2shapeutil_contains_brute_force.cc:15-40):
+    xor of edge-or-vertex crossings along ref→focus."""
+    if getattr(shape, "dim", 2) < 2:
+        return False
+    ref_point, contained = get_reference_point(shape)
+    if ref_point is None:
+        return contained
+    if np.array_equal(ref_point, focus):
+        return contained
+    inside = contained
+    for v0, v1 in shape.edges():
+        inside ^= edge_or_vertex_crossing(ref_point, focus, v0, v1)
+    return inside
