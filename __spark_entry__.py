@@ -576,6 +576,58 @@ def _simplify_fixtures():
     ]
 
 
+def _layer_fixtures():
+    """Assembly jobs for the layer contract query: the reference layer
+    suites' segment network + joining polylines (polyline-vector,
+    WALK) and the triangle-pyramid + nested-diamond polygons
+    (left-turn-map loop assembly)."""
+    def pl(s):
+        return [
+            tuple(float(x) for x in v.split(":"))
+            for v in s.split(",")
+        ]
+
+    network = [
+        "0:0, 1:1, 2:2", "2:2, 2:3, 2:4", "2:4, 3:4, 4:4",
+        "2:2, 3:2, 4:2", "4:2, 4:3, 4:4", "1:0, 2:2", "0:1, 2:2",
+        "5:4, 4:4", "4:5, 4:4", "2:4, 2:5, 1:5, 1:4, 2:4",
+        "4:2, 6:1, 5:0", "4:2, 7:0, 6:-1",
+        "11:1, 11:0, 10:0, 10:1, 11:1",
+    ]
+    joining = ["1:1, 2:2", "3:3, 2:2", "0:0, 1:1"]
+    pyramid = [
+        "0:0, 0:2, 0:4, 0:6, 1:5, 2:4, 3:3, 2:2, 1:1",
+        "0:2, 1:1, 1:3", "0:4, 1:3, 1:5", "1:3, 2:2, 2:4",
+    ]
+    diamonds = [
+        "0:10, -10:0, 0:-10, 10:0", "0:-20, -10:0, 0:20, 10:0",
+        "0:-10, -5:0, 0:10, 5:0", "0:5, -5:0, 0:-5, 5:0",
+    ]
+    return [
+        ("network", "polyline_vector", [pl(s) for s in network]),
+        ("joining", "polyline_vector", [pl(s) for s in joining]),
+        ("pyramid", "polygon", [pl(s) for s in pyramid]),
+        ("diamonds", "polygon", [pl(s) for s in diamonds]),
+    ]
+
+
+def _q_geo_layer_assembly(spark, sf_dir):
+    """S2Builder output layers as a distributed job table
+    (s2builderutil_s2polyline_vector_layer.cc + s2polygon_layer.cc):
+    each job assembles an edge soup into polylines (WALK) or polygon
+    loops (left-turn map) in ONE applyInPandas group — the groupBy(job)
+    is the whole plan.  Layer semantics are reference-pinned in
+    tests/test_builder_layers.py + tests/test_polygon_layer.py; the
+    oracle gates this distributed path with kernel-pinned digests."""
+    from s2geometry_spark.operators.layer_ops import (
+        assemble_layers_join,
+        layer_jobs_df,
+    )
+
+    jobs = layer_jobs_df(spark, _layer_fixtures())
+    return assemble_layers_join(jobs).orderBy("job", "piece_idx")
+
+
 def _q_geo_polyline_simplify(spark, sf_dir):
     """S2Builder simplify_edge_chains (s2builder.h:119,425) as a
     distributed job table: each job (a group of polylines sharing one
@@ -1382,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_cap_filter": _q_geo_cap_filter,
         "geo_polyline_interpolate": _q_geo_polyline_interpolate,
         "geo_polyline_simplify": _q_geo_polyline_simplify,
+        "geo_layer_assembly": _q_geo_layer_assembly,
         "geo_convex_hull": _q_geo_convex_hull,
         "geo_hausdorff": _q_geo_hausdorff,
         "geo_polyline_alignment": _q_geo_polyline_alignment,
@@ -1611,6 +1664,7 @@ def _oracle_sql_impl() -> dict[str, str]:
             _project_polyline_vertices()
         ),
         "geo_polyline_simplify": OR.simplify_fixture_sql(_simplify_fixtures()),
+        "geo_layer_assembly": OR.layer_fixture_sql(_layer_fixtures()),
         "geo_convex_hull": OR.convex_hull_fixture_sql(_hull_fixtures()),
         "geo_hausdorff": _hausdorff_oracle(),
         "geo_polyline_alignment": OR.dtw_fixture_sql(_alignment_fixture()),

@@ -1556,3 +1556,36 @@ def convex_hull_fixture_sql(fixtures) -> str:
     FROM (VALUES {values}) AS t(group_id, status, n_vertices, digest)
     ORDER BY group_id
     """
+
+
+def layer_fixture_sql(fixtures) -> str:
+    """Oracle for operators/layer_ops.assemble_layers_join: per (job,
+    piece) the kernel's piece count, vertex count, and canonical digest
+    as pinned VALUES.  The LAYER SEMANTICS are pinned independently
+    against the reference's own fixtures (tests/test_builder_layers.py
+    + tests/test_polygon_layer.py port the three s2builderutil layer
+    suites); this oracle gates the DISTRIBUTED applyInPandas path
+    row-for-row."""
+    import numpy as np
+
+    from ..kernel.coords import latlng_to_xyz
+    from ..operators.layer_ops import assemble_job, piece_digest
+
+    rows = []
+    for name, kind, chains in fixtures:
+        arrs = []
+        for chain in chains:
+            lat = np.array([p[0] for p in chain], np.float64)
+            lng = np.array([p[1] for p in chain], np.float64)
+            x, y, z = latlng_to_xyz(lat, lng)
+            arrs.append(np.stack([x, y, z], -1))
+        pieces = assemble_job(kind, arrs)
+        canon = sorted((piece_digest(p), len(p)) for p in pieces)
+        for pi, (d, n) in enumerate(canon):
+            rows.append(f"('{name}', {pi}, {n}, '{d}')")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(job, piece_idx, n_vertices, digest)"
+        " ORDER BY job, piece_idx"
+    )
