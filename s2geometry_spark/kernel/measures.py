@@ -57,11 +57,35 @@ def triangle_area(a, b, c) -> np.ndarray:
 
 
 def girard_area(a, b, c) -> np.ndarray:
-    """Girard's formula via RobustCrossProd-style normals
-    (s2measures.cc:149-159)."""
-    ab = np.cross(a, b)
-    bc = np.cross(b, c)
-    ac = np.cross(a, c)
+    """Girard's formula via RobustCrossProd normals (s2measures.cc:149-159).
+    Plain cross products vanish for identical/antipodal vertex pairs,
+    which is exactly when RobustCrossProd matters — degenerate rows are
+    recomputed with the robust product."""
+    # the numerically stable core of RobustCrossProd: (b−a)×(b+a) has
+    # relative error ~ε even when a≈b (s2edge_crossings.cc:61-77)
+    ab = np.cross(np.subtract(b, a), np.add(b, a))
+    bc = np.cross(np.subtract(c, b), np.add(c, b))
+    ac = np.cross(np.subtract(c, a), np.add(c, a))
+    norms = np.stack([
+        (ab * ab).sum(-1), (bc * bc).sum(-1), (ac * ac).sum(-1)
+    ], -1)
+    bad = np.asarray(norms == 0).any(-1)
+    if np.any(bad):
+        from .clipping import robust_cross_prod
+
+        a2, b2, c2 = (np.atleast_2d(np.asarray(a, float)),
+                      np.atleast_2d(np.asarray(b, float)),
+                      np.atleast_2d(np.asarray(c, float)))
+        ab2 = np.atleast_2d(ab).copy()
+        bc2 = np.atleast_2d(bc).copy()
+        ac2 = np.atleast_2d(ac).copy()
+        for i in np.nonzero(np.atleast_1d(bad))[0]:
+            ab2[i] = robust_cross_prod(a2[i % len(a2)], b2[i % len(b2)])
+            bc2[i] = robust_cross_prod(b2[i % len(b2)], c2[i % len(c2)])
+            ac2[i] = robust_cross_prod(a2[i % len(a2)], c2[i % len(c2)])
+        ab = ab2.reshape(np.shape(ab))
+        bc = bc2.reshape(np.shape(bc))
+        ac = ac2.reshape(np.shape(ac))
     area = (
         stable_angle(ab, ac) - stable_angle(ab, bc) + stable_angle(bc, ac)
     )
