@@ -192,3 +192,14 @@ def xyz_to_face_siti(
     is_center = (cx == x) & (cy == y) & (cz == z)
     level = np.where(is_center, level, -1)
     return face, si, ti, level
+
+
+def rotate(p: np.ndarray, axis: np.ndarray, angle_rad: float) -> np.ndarray:
+    """S2::Rotate (s2pointutil.cc): rotate p CCW by angle around axis."""
+    p = np.asarray(p, dtype=np.float64)
+    axis = np.asarray(axis, dtype=np.float64)
+    center = float(p @ axis) * axis
+    dx = p - center
+    dy = np.cross(axis, p)
+    out = np.cos(angle_rad) * dx + np.sin(angle_rad) * dy + center
+    return out / np.linalg.norm(out)

@@ -282,6 +282,29 @@ class LatLng:
     def from_degrees(lat: float, lng: float) -> "LatLng":
         return LatLng(math.radians(lat), math.radians(lng))
 
+    def is_valid(self) -> bool:
+        return abs(self.lat) <= PI / 2 and abs(self.lng) <= PI
+
+    def normalized(self) -> "LatLng":
+        """S2LatLng::Normalized (s2latlng.cc): clamp lat, wrap lng."""
+        return LatLng(
+            max(-PI / 2, min(PI / 2, self.lat)),
+            math.remainder(self.lng, 2 * PI),
+        )
+
+    def get_distance(self, o: "LatLng") -> float:
+        """S2LatLng::GetDistance (s2latlng.cc): haversine, radians."""
+        lat1, lat2 = self.lat, o.lat
+        lng1, lng2 = self.lng, o.lng
+        dlat = math.sin(0.5 * (lat2 - lat1))
+        dlng = math.sin(0.5 * (lng2 - lng1))
+        x = dlat * dlat + dlng * dlng * math.cos(lat1) * math.cos(lat2)
+        return 2 * math.asin(math.sqrt(min(1.0, x)))
+
+    def approx_equals(self, o: "LatLng", max_error: float = 1e-15) -> bool:
+        return (abs(self.lat - o.lat) <= max_error
+                and abs(self.lng - o.lng) <= max_error)
+
     def to_point(self) -> np.ndarray:
         return _ll_to_point(self.lat, self.lng)
 
