@@ -1,0 +1,149 @@
+"""s2builder_test.cc snapping tranche over the Builder facade +
+PolygonLayer: vertex merging, S2CellId/IntLatLng snapping, snap-radius
+movement bounds, and per-level cell-center snapping.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from s2geometry_spark.kernel import cellid as cid_np
+from s2geometry_spark.kernel.builder import (
+    IdentitySnapFunction,
+    IntLatLngSnapFunction,
+    S2CellIdSnapFunction,
+)
+from s2geometry_spark.kernel.cid import CID
+from s2geometry_spark.kernel.contains import parse_points
+from s2geometry_spark.kernel.distance import point_edge_dist2
+from s2geometry_spark.kernel.fractal import make_regular_points
+from s2geometry_spark.kernel.layers import Builder, PolygonLayer
+from tests.test_polygon_layer import _canon_polygon
+
+
+def build_polygon_loops(loops, snap=None):
+    b = Builder(snap=snap)
+    layer = PolygonLayer()
+    b.start_layer(layer)
+    for lv in loops:
+        b.add_loop(lv)
+    err = b.build()
+    assert err is None, err
+    return layer.loops
+
+
+def boundary_hausdorff(loops_a, loops_b) -> float:
+    """max over A's vertices of distance to B's boundary edges (rad)."""
+    import numpy as _np
+
+    from s2geometry_spark.kernel.distance import chord2_to_angle
+
+    cs, ds = [], []
+    for lv in loops_b:
+        cs.append(lv)
+        ds.append(_np.roll(lv, -1, axis=0))
+    C, D = _np.concatenate(cs), _np.concatenate(ds)
+    worst = 0.0
+    for lv in loops_a:
+        d2 = point_edge_dist2(lv, C, D).min(axis=1)
+        worst = max(worst, float(chord2_to_angle(d2.max())))
+    return worst
+
+
+def boundary_near(loops_a, loops_b, tol_rad) -> bool:
+    return (boundary_hausdorff(loops_a, loops_b) <= tol_rad
+            and boundary_hausdorff(loops_b, loops_a) <= tol_rad)
+
+
+def test_add_shape():
+    """test.cc AddShape: a polygon with a hole round-trips unchanged."""
+    loops = [parse_points("0:0, 0:5, 5:5, 5:0"),
+             parse_points("1:1, 1:4, 4:4, 4:1")]
+    got = build_polygon_loops(loops)
+    assert _canon_polygon(got) == _canon_polygon(loops)
+
+
+def test_simple_vertex_merging():
+    """test.cc SimpleVertexMerging: vertices within the snap radius
+    merge."""
+    snap_radius = math.radians(0.5)
+    loops = [parse_points(
+        "0:0, 0.2:0.2, 0.1:0.2, 0.1:0.9, 0:1, 0.1:1.1, 0.9:1, 1:1, 1:0.9"
+    )]
+    got = build_polygon_loops(loops, snap=IdentitySnapFunction(snap_radius))
+    expected = [parse_points("0:0, 0:1, 1:0.9")]
+    assert len(got) == 1
+    assert len(got[0]) == 3
+    assert boundary_near(got, expected, snap_radius)
+
+
+def test_simple_s2cellid_snapping():
+    """test.cc SimpleS2CellIdSnapping: every output vertex is a cell
+    center at the chosen level."""
+    level = S2CellIdSnapFunction.level_for_max_snap_radius(math.radians(1))
+    snap = S2CellIdSnapFunction(level)
+    loops = [parse_points("2:2, 3:4, 2:6, 4:5, 6:6, 5:4, 6:2, 4:3")]
+    got = build_polygon_loops(loops, snap=snap)
+    assert len(got) == 1
+    for v in got[0]:
+        leaf = CID(int(cid_np.from_point(
+            np.array([v[0]]), np.array([v[1]]), np.array([v[2]])
+        )[0]))
+        x, y, z = cid_np.to_point_raw(
+            np.array([leaf.parent(level).id], dtype=np.uint64))
+        c = np.array([x[0], y[0], z[0]])
+        c = c / np.linalg.norm(c)
+        assert np.array_equal(c, v)
+    assert boundary_near(got, loops, snap.snap_radius)
+
+
+def test_simple_intlatlng_snapping():
+    """test.cc SimpleIntLatLngSnapping: E0 snapping gives exact integer
+    lat/lng vertices."""
+    loops = [parse_points(
+        "2.01:2.09, 3.24:4.49, 1.78:6.25, 3.51:5.49, 6.11:6.11, "
+        "5.22:3.88, 5.55:2.49, 4.49:2.51"
+    )]
+    expected = [parse_points("2:2, 3:4, 2:6, 4:5, 6:6, 5:4, 6:2, 4:3")]
+    got = build_polygon_loops(loops, snap=IntLatLngSnapFunction(0))
+    assert len(got) == 1
+    assert _canon_polygon(got) == _canon_polygon(expected)
+
+
+def test_vertices_move_less_than_snap_radius():
+    """test.cc VerticesMoveLessThanSnapRadius: a 1000-vertex regular
+    loop thins to ~95 vertices without collapsing."""
+    snap_radius = math.radians(1)
+    verts = make_regular_points(
+        np.array([1.0, 0, 0]), math.radians(20), 1000
+    )
+    got = build_polygon_loops([verts], snap=IdentitySnapFunction(snap_radius))
+    assert len(got) == 1
+    assert 90 <= len(got[0]) <= 100
+    assert boundary_near(got, [verts], snap_radius)
+
+
+def test_s2cellid_snapping_at_all_levels():
+    """test.cc S2CellIdSnappingAtAllLevels (levelled subset)."""
+    loops = [parse_points("0:0, 0:2, 2:2, 2:0")]
+    for level in (4, 8, 12, 16, 20):
+        snap = S2CellIdSnapFunction(level)
+        got = build_polygon_loops(loops, snap=snap)
+        if not got:
+            # the square may legitimately collapse at coarse levels
+            # (the reference only checks BoundaryNear when non-empty)
+            assert snap.snap_radius > math.radians(1)
+            continue
+        for lv in got:
+            for v in lv:
+                leaf = CID(int(cid_np.from_point(
+                    np.array([v[0]]), np.array([v[1]]), np.array([v[2]])
+                )[0]))
+                x, y, z = cid_np.to_point_raw(
+                    np.array([leaf.parent(level).id], dtype=np.uint64))
+                c = np.array([x[0], y[0], z[0]])
+                c = c / np.linalg.norm(c)
+                assert np.array_equal(c, v), level
+        assert boundary_near(got, loops, snap.snap_radius)
