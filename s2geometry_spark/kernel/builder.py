@@ -327,7 +327,10 @@ def snap_edge_chain(
     from . import voronoi as V
     from .distance import point_edge_dist2
 
-    r = max(snap_radius_rad, 1e-15)
+    # the 1e-15 floor is ONLY for radius-0 (exact-duplicate merging);
+    # flooring positive radii would inflate sub-1e-15 radii like
+    # S2::kIntersectionError (8.9e-16) and admit sites beyond them
+    r = snap_radius_rad if snap_radius_rad > 0 else 1e-15
     limit2 = (2 * math.sin(0.5 * min(math.pi, r))) ** 2
     d2 = point_edge_dist2(sites, x[None], y[None])[:, 0]
     # double-precision TRIAGE band, then the EXACT admission gate for
@@ -721,3 +724,76 @@ def simplify_snapped_polylines(
             verts.append(cur)
         out.append(S[np.asarray(verts, dtype=np.int64)])
     return out
+
+
+def add_extra_sites(
+    sites: np.ndarray, edges: list, snap: SnapFunction, max_passes: int = 50
+) -> np.ndarray:
+    """AddExtraSites (s2builder.cc:888-1010) over an explicit edge list:
+    separation sites for any site closer than min_edge_vertex_separation
+    to a snapped chain edge, plus long-edge deviation splits; iterated
+    to a fixed point.  Returns the augmented site array (original sites
+    keep their indices)."""
+    from .distance import is_edge_b_near_edge_a, point_edge_dist2
+    from .polyline import _project_to_edge as _proj
+
+    if snap.snap_radius <= 0 or len(sites) == 0:
+        return np.asarray(sites, float).reshape(-1, 3)
+    site_list = [np.asarray(s, float) for s in np.asarray(sites).reshape(-1, 3)]
+    min_sep = min_edge_vertex_separation(snap)
+    min_sep2 = _angle2chord2(min_sep)
+    max_dev = max_edge_deviation(snap.snap_radius)
+    min_len2 = _angle2chord2(min_edge_length_to_split_rad(snap.snap_radius))
+
+    for _pass in range(max_passes):
+        S = np.asarray(site_list).reshape(-1, 3)
+        added = False
+        for x, y in edges:
+            if np.all(x == y):
+                continue
+            chain = snap_edge_chain(x, y, S, snap.snap_radius)
+            chain_set = set(chain)
+            if len(chain) < 2:
+                continue
+            for k in range(len(chain) - 1):
+                v0, v1 = S[chain[k]], S[chain[k + 1]]
+                if _chord2(v0, v1) < min_len2:
+                    continue
+                if not is_edge_b_near_edge_a(x, y, v0, v1, max_dev):
+                    p0, p1 = _proj(v0, x, y), _proj(v1, x, y)
+                    for w in (0.5, 0.25, 0.75, 0.375, 0.625):
+                        mid = w * p0 + (1.0 - w) * p1
+                        mid = mid / np.linalg.norm(mid)
+                        new_site = _separation_site(mid, v0, v1, x, y, snap)
+                        if not any(np.all(new_site == s) for s in site_list):
+                            site_list.append(new_site)
+                            added = True
+                            break
+                    break
+            if added:
+                break
+            d2_edge = point_edge_dist2(S, x[None], y[None])[:, 0]
+            query_r = 1.1 * snap.snap_radius + min_sep
+            near = np.nonzero(d2_edge <= _angle2chord2(query_r))[0]
+            for sid in near.tolist():
+                if sid in chain_set:
+                    continue
+                avoid = S[sid]
+                for k in range(len(chain) - 1):
+                    v0, v1 = S[chain[k]], S[chain[k + 1]]
+                    d2 = point_edge_dist2(
+                        avoid[None], v0[None], v1[None]
+                    )[0, 0]
+                    if d2 < min_sep2:
+                        new_site = _separation_site(avoid, v0, v1, x, y, snap)
+                        if not any(
+                            np.all(new_site == s) for s in site_list
+                        ):
+                            site_list.append(new_site)
+                            added = True
+                        break
+            if added:
+                break
+        if not added:
+            break
+    return np.asarray(site_list).reshape(-1, 3)

@@ -12,9 +12,17 @@ an error string (or None) like the reference's S2Error codes.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
-from .builder import IdentitySnapFunction, SnapFunction, choose_sites, snap_edge_chain
+from .builder import (
+    IdentitySnapFunction,
+    SnapFunction,
+    add_extra_sites,
+    choose_sites,
+    snap_edge_chain,
+)
 from .graph import (
     DIRECTED,
     DISCARD,
@@ -36,9 +44,11 @@ class Builder:
     set_label/push_label/clear_labels surface (s2builder.h:730-760)."""
 
     def __init__(self, snap: SnapFunction | None = None,
-                 split_crossing_edges: bool = False):
+                 split_crossing_edges: bool = False,
+                 idempotent: bool = True):
         self.snap = snap or IdentitySnapFunction(0.0)
         self.split_crossing_edges = split_crossing_edges
+        self.idempotent = idempotent
         self._labels: list[int] = []
         self._edges: list[tuple[np.ndarray, np.ndarray]] = []
         self._edge_labels: list[tuple[int, ...]] = []
@@ -97,6 +107,64 @@ class Builder:
     def add_is_full_polygon_predicate(self, is_full: bool) -> None:
         self._is_full = is_full
 
+    def _snapping_not_needed(self, all_v) -> bool:
+        """The idempotent short-circuit (s2builder.cc ChooseSites /
+        snapping_needed_): when every input vertex is already at a snap
+        site, sites satisfy min_vertex_separation, and every site is at
+        least min_edge_vertex_separation from every non-incident edge,
+        the input is a valid output of a previous snapping pass and is
+        used verbatim.  Without this, re-snapping valid output can
+        collapse it (a vertex within snap_radius of a non-incident edge
+        splits that edge into a sibling pair)."""
+        if not self.idempotent or self.split_crossing_edges:
+            return False
+        if self._forced:
+            # forced vertices void the idempotency guarantee: they may
+            # sit within min_edge_vertex_separation of existing edges
+            # BY DESIGN (s2builder.h ForceVertex)
+            return False
+        if self.snap.snap_radius == 0.0:
+            return False
+        if len(self._edges) > 10_000:
+            return False  # fixture-scale check; large inputs just snap
+        import numpy as _np
+
+        from .distance import point_edge_dist2 as _ped
+
+        if len(all_v) == 0:
+            return True
+        uniq = _np.unique(all_v.round(20), axis=0)
+        uniq = _np.asarray(
+            sorted({tuple(v) for v in all_v}), float
+        ).reshape(-1, 3)
+        snapped = self.snap.snap(uniq)
+        if not _np.array_equal(snapped, uniq):
+            return False
+        min_sep = self.snap.min_vertex_separation()
+        if len(uniq) > 1:
+            d = uniq[:, None, :] - uniq[None, :, :]
+            d2 = (d * d).sum(-1)
+            _np.fill_diagonal(d2, _np.inf)
+            s = 2 * math.sin(0.5 * min(math.pi, min_sep))
+            if float(d2.min()) < s * s:
+                return False
+        try:
+            min_ev = self.snap.min_edge_vertex_separation()
+        except AttributeError:
+            min_ev = 0.5 * self.snap.snap_radius
+        s = 2 * math.sin(0.5 * min(math.pi, min_ev))
+        lim2 = s * s
+        for a, b in self._edges:
+            if _np.all(a == b):
+                continue
+            d2 = _ped(uniq, a[None], b[None])[:, 0]
+            close = d2 < lim2
+            for i in _np.nonzero(close)[0]:
+                v = uniq[i]
+                if not (_np.array_equal(v, a) or _np.array_equal(v, b)):
+                    return False
+        return True
+
     # ---- build
     def build(self) -> str | None:
         layer = self._layer
@@ -116,6 +184,16 @@ class Builder:
             else np.zeros((0, 3))
         )
         sites, vmap = choose_sites(all_v, self.snap, forced=self._forced)
+        snapping_not_needed = (
+            self.snap.snap_radius == 0.0 and not self.split_crossing_edges
+        ) or self._snapping_not_needed(all_v)
+        if not snapping_not_needed and len(self._edges) <= 10_000:
+            # AddExtraSites: separation sites + deviation splits keep
+            # every site ≥ min_edge_vertex_separation from non-incident
+            # snapped edges (s2builder.cc:888-1010); fixture-scale gate
+            sites = add_extra_sites(
+                sites, [e for e in self._edges], self.snap
+            )
 
         lexicon = IdSetLexicon()
         label_sets: dict[int, tuple[int, ...]] = {}
@@ -143,7 +221,7 @@ class Builder:
             if np.all(a == b):
                 emit(va, va, iid)
                 continue
-            if self.snap.snap_radius == 0.0 and not self.split_crossing_edges:
+            if snapping_not_needed:
                 # snapping not needed (s2builder.cc snapping_needed_): with
                 # radius 0 edges map verbatim — an exactly-collinear vertex
                 # does NOT split an edge unless split_crossing_edges is set
