@@ -434,3 +434,48 @@ def curvature_max_error(loop) -> float:
     return 11.25 * 2.220446049250313e-16 * len(
         _np.asarray(loop, float).reshape(-1, 3)
     )
+
+
+def loop_signed_area_origin(vertices: np.ndarray) -> float:
+    """GetSignedArea (s2loop_measures.cc:87-148): surface integral of
+    triangles anchored at the FIRST LOOP VERTEX (excellent relative
+    accuracy for tiny loops, unlike a fixed-pole anchor), Kahan-summed,
+    normalized to (-2π, 2π], with the curvature sign check when the
+    magnitude is within the error bound.  An empty span is the full
+    loop and returns a tiny negative value per the reference's
+    guarantee."""
+    import math as _math
+
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    if len(v) == 0:
+        return -5e-324  # "full loop has a very small negative area"
+    if len(v) < 3:
+        pass  # degenerate loops still go through the sum (terms are 0)
+    origin = v[0]
+    total = 0.0
+    comp = 0.0
+    for i in range(1, len(v) - 0):
+        j = (i + 1) % len(v)
+        if j == 0:
+            break
+        t = float(signed_triangle_area(
+            origin[None], v[i][None], v[j][None]
+        )[0])
+        t += comp
+        old = total
+        total += t
+        comp = (old - total) + t
+    total += comp
+    area = _math.remainder(total, 4 * _math.pi)
+    if area == -2 * _math.pi:
+        area = 2 * _math.pi
+    max_error = curvature_max_error(v)
+    if abs(area) <= max_error:
+        curv = loop_curvature(v)
+        if curv == 2 * _math.pi:
+            return 0.0
+        if area <= 0 and curv > 0:
+            return 5e-324
+        if area >= 0 and curv < 0:
+            return -5e-324
+    return area

@@ -92,3 +92,71 @@ def contains_brute_force(shape, focus: np.ndarray) -> bool:
     for v0, v1 in shape.edges():
         inside ^= edge_or_vertex_crossing(ref_point, focus, v0, v1)
     return inside
+
+
+# ------------------------------------------------ shape-level measures
+def shape_length(chains: list) -> float:
+    """S2::GetLength over dimension-1 chains (s2shape_measures.cc),
+    radians."""
+    from .polyline import get_length
+
+    return sum(get_length(c) for c in chains)
+
+
+def shape_perimeter(shape: LaxPolygon) -> float:
+    """S2::GetPerimeter: sum of closed-loop perimeters (radians)."""
+    import numpy as _np
+
+    from .measures import loop_perimeter
+
+    total = 0.0
+    for loop in shape.loops:
+        if len(loop) >= 2:
+            total += loop_perimeter(loop)
+    return total
+
+
+def shape_area(shape: LaxPolygon) -> float:
+    """S2::GetArea (s2shape_measures.cc): per-loop SIGNED areas (range
+    [-2π, 2π], so holes don't catastrophically cancel), +4π when the
+    sum is negative."""
+    import math as _math
+
+    from .measures import loop_signed_area_origin
+
+    area = sum(loop_signed_area_origin(l) for l in shape.loops)
+    if area < 0.0:
+        area += 4 * _math.pi
+    return area
+
+
+def shape_approx_area(shape: LaxPolygon) -> float:
+    """S2::GetApproxArea: 2π − curvature per loop."""
+    import math as _math
+
+    from .measures import loop_curvature
+
+    area = sum(2 * _math.pi - loop_curvature(l) for l in shape.loops)
+    if area <= 4 * _math.pi:
+        return area
+    return _math.fmod(area, 4 * _math.pi)
+
+
+def shape_centroid(shape, dim: int) -> np.ndarray:
+    """S2::GetCentroid (s2shape_measures.cc): points sum; polylines
+    length-weighted; polygons area-weighted (none normalized)."""
+    from .measures import loop_centroid
+    from .polyline import get_centroid
+
+    if dim == 0:
+        return np.sum(np.asarray(shape, float).reshape(-1, 3), axis=0)
+    if dim == 1:
+        out = np.zeros(3)
+        for chain in shape:
+            out = out + get_centroid(chain)
+        return out
+    out = np.zeros(3)
+    for loop in shape.loops:
+        if len(loop) >= 3:
+            out = out + loop_centroid(loop)
+    return out
