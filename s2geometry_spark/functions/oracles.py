@@ -200,7 +200,7 @@ def edge_dist2_sql(a: np.ndarray, b: np.ndarray, p=("px", "py", "pz")) -> str:
     s2edge_distances.cc).  Edge constants are precomputed doubles."""
     a = np.asarray(a, float)
     b = np.asarray(b, float)
-    c = np.cross(a, b)
+    c = np.cross(a - b, a + b)  # RobustCrossProd stable tier (2·a×b)
     axc = np.cross(a, c)
     bxc = np.cross(b, c)
     c2 = float((c * c).sum())
@@ -227,7 +227,13 @@ def edge_dist2_sql(a: np.ndarray, b: np.ndarray, p=("px", "py", "pz")) -> str:
     w2 = dot(bxc)
     xdc = dot(c)
     ratio = f"least(greatest(({xdc} * {xdc}) / {c2!r}, 0.0), 1.0)"
-    qr = f"(1.0 - sqrt(least(greatest(1.0 - {ratio}, 0.0), 1.0)))"
+    # cx = c × x per point; qr from |c×x|²/|c|² directly (the kernel's
+    # reference-parity form, s2edge_distances.cc:180-188)
+    cx0 = f"({c[1]!r}*{pz} - ({c[2]!r})*{py})"
+    cx1 = f"({c[2]!r}*{px} - ({c[0]!r})*{pz})"
+    cx2_ = f"({c[0]!r}*{py} - ({c[1]!r})*{px})"
+    cx_n2 = f"({cx0}*{cx0} + {cx1}*{cx1} + {cx2_}*{cx2_})"
+    qr = f"(1.0 - sqrt(least(greatest({cx_n2} / {c2!r}, 0.0), 1.0)))"
     interior_d2 = f"({ratio} + {qr} * {qr})"
     cond = f"({maybe} AND {w1} < 0 AND {w2} > 0 AND {c2!r} > 0)"
     return f"(CASE WHEN {cond} THEN least({interior_d2}, {vertex}) ELSE {vertex} END)"

@@ -120,8 +120,12 @@ def _intersection_stable(a, b, c, d):
     LONGER edge supplies the plane normal (less normal error) and the
     shorter one is interpolated (less interpolation error); the tie-break
     keeps the result invariant under operand swap/reversal."""
-    a_len2 = float((b - a) @ (b - a))
-    b_len2 = float((d - c) @ (d - c))
+    # Norm2 in the reference's addition order (x² + y²) + z² — numpy's
+    # small-vector dot may use FMA, which breaks the exact equal-length
+    # ties the CompareEdges tie-break exists for.
+    va, vb = b - a, d - c
+    a_len2 = (va[0] * va[0] + va[1] * va[1]) + va[2] * va[2]
+    b_len2 = (vb[0] * vb[0] + vb[1] * vb[1]) + vb[2] * vb[2]
     if a_len2 < b_len2 or (a_len2 == b_len2 and _compare_edges(a, b, c, d)):
         return _intersection_stable_sorted(c, d, a, b)
     return _intersection_stable_sorted(a, b, c, d)
@@ -143,8 +147,21 @@ def _intersection_point(a, b, c, d) -> np.ndarray:
         if float(x @ (a + b + c + d)) < 0:
             x = -x
         return x
-    # exact tier
+    return _intersection_exact(a, b, c, d)
+
+
+def _intersection_exact(a0, a1, b0, b1) -> np.ndarray:
+    """internal::GetIntersectionExact (s2edge_crossings.cc:666-709):
+    exact rational cross products rounded once to double (Fraction plays
+    the role of ExactFloat — doubles are dyadic rationals), oriented by
+    Sign(a0, a1, b1).  When the two edges are EXACTLY collinear (still
+    "crossing" under simulation of simplicity), returns the
+    lexicographically smallest endpoint that lies in the interior of the
+    other edge, exactly as the reference's heuristic."""
     from fractions import Fraction
+
+    from . import predicates as P
+    from .clipping import normalizable_from_exact, symbolic_cross_prod
 
     def fr(v):
         return tuple(Fraction(float(t)) for t in v)
@@ -156,20 +173,44 @@ def _intersection_point(a, b, c, d) -> np.ndarray:
             p[0] * q[1] - p[1] * q[0],
         )
 
-    fa, fb, fc, fd = fr(a), fr(b), fr(c), fr(d)
-    n1 = fcross(fa, fb)
-    n2 = fcross(fc, fd)
-    xf = fcross(n1, n2)
-    m = max(abs(t) for t in xf)
-    if m == 0:
+    fa0, fa1, fb0, fb1 = fr(a0), fr(a1), fr(b0), fr(b1)
+    a_norm_xf = fcross(fa0, fa1)
+    b_norm_xf = fcross(fb0, fb1)
+    x_xf = fcross(a_norm_xf, b_norm_xf)
+    if any(t != 0 for t in x_xf):
+        x = normalizable_from_exact(x_xf)
+        x = x / np.linalg.norm(x)
+        s = int(P.sign(a0[None], a1[None], b1[None])[0])
+        return s * x
+
+    # The two edges are exactly collinear: of the four endpoints exactly
+    # two lie in the interior of the other edge; return the smaller.
+    a_norm = normalizable_from_exact(a_norm_xf)
+    if not a_norm.any():
+        a_norm = symbolic_cross_prod(np.asarray(a0, float), np.asarray(a1, float))
+    else:
+        a_norm = a_norm / np.linalg.norm(a_norm)
+    b_norm = normalizable_from_exact(b_norm_xf)
+    if not b_norm.any():
+        b_norm = symbolic_cross_prod(np.asarray(b0, float), np.asarray(b1, float))
+    else:
+        b_norm = b_norm / np.linalg.norm(b_norm)
+
+    best = None
+    for cand, lo, hi, norm in (
+        (a0, b0, b1, b_norm),
+        (a1, b0, b1, b_norm),
+        (b0, a0, a1, a_norm),
+        (b1, a0, a1, a_norm),
+    ):
+        if P.ordered_ccw(
+            np.asarray(lo, float), np.asarray(cand, float),
+            np.asarray(hi, float), norm,
+        ) and (best is None or tuple(cand) < tuple(best)):
+            best = np.asarray(cand, float).copy()
+    if best is None:
         raise ValueError("degenerate crossing (identical great circles)")
-    # orient towards the midpoints of both edges (exact sign)
-    s = sum(t * (va + vb + vc + vd) for t, va, vb, vc, vd in zip(xf, fa, fb, fc, fd))
-    flip = -1 if s < 0 else 1
-    # scale by the max |component| in rational arithmetic, then round each
-    # component once to double — no overflow/underflow possible
-    x = np.array([float(flip * t / m) for t in xf])
-    return x / np.linalg.norm(x)
+    return best
 
 
 def _slerp_mid(a, b) -> np.ndarray:

@@ -34,21 +34,92 @@ INTERSECTS_RECT_ERROR_UV_DIST = 3 * SQRT2 * DBL_EPSILON  # s2edge_clipping.h:113
 EDGE_CLIP_ERROR_UV_COORD = 2.25 * DBL_EPSILON
 
 
-def robust_cross_prod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """RobustCrossProd (s2edge_crossings.cc:147-177): stable (a-b)×(a+b)
-    with exact-arithmetic fallback and Ortho for a == ±b."""
-    d = a - b
-    s = a + b
-    result = np.cross(d, s)
-    # kMinNorm from GetStableCrossProd (s2edge_crossings.cc:98-140)
-    dbl_err = 0.5 * DBL_EPSILON
-    k_err = 6 * dbl_err  # kRobustCrossProdError
-    min_norm = (32 * SQRT3 * dbl_err) / (k_err / dbl_err - (1 + 2 * SQRT3))
+DBL_ERR = 0.5 * DBL_EPSILON
+ROBUST_CROSS_PROD_ERROR = 6 * DBL_ERR  # kRobustCrossProdError
+EXACT_CROSS_PROD_ERROR = DBL_ERR  # internal::kExactCrossProdError
+
+
+def stable_cross_prod(a: np.ndarray, b: np.ndarray):
+    """GetStableCrossProd<double> (s2edge_crossings.cc:95-140): (a-b)×(a+b)
+    when the result norm guarantees error ≤ kRobustCrossProdError, else
+    None (→ exact tier)."""
+    result = np.cross(a - b, a + b)
+    min_norm = (32 * SQRT3 * DBL_ERR) / (
+        ROBUST_CROSS_PROD_ERROR / DBL_ERR - (1 + 2 * SQRT3)
+    )
     if float(result @ result) >= min_norm * min_norm:
         return result
-    if tuple(a) == tuple(b):
-        return ortho(a)
-    # Exact cross product with Fractions (doubles are dyadic rationals).
+    return None
+
+
+def is_normalizable(p: np.ndarray) -> bool:
+    """IsNormalizable (s2edge_crossings.cc:276-291): largest component
+    magnitude ≥ 2**-242, so Angle()/Normalize() lose no precision."""
+    return float(np.abs(p).max()) >= math.ldexp(1, -242)
+
+
+def ensure_normalizable(p: np.ndarray) -> np.ndarray:
+    """EnsureNormalizable (s2edge_crossings.cc:294-312): scale by a power
+    of two so the largest component is in [1, 2)."""
+    p_max = float(np.abs(p).max())
+    assert p_max > 0.0
+    if p_max >= math.ldexp(1, -242):
+        return p
+    # ldexp(2, -1 - ilogb(p_max)) == 2**(-ilogb(p_max))
+    _, e = math.frexp(p_max)  # p_max = m * 2**e, m in [0.5, 1)
+    return np.ldexp(p, -(e - 1))
+
+
+def _frac_ilogb(x: Fraction) -> int:
+    """floor(log2(|x|)) for a nonzero Fraction (exact)."""
+    n, d = abs(x.numerator), x.denominator
+    e = n.bit_length() - d.bit_length()
+    # n/d in [2**(e-1), 2**(e+1)); refine to the true floor
+    if (n >> e if e >= 0 else n << -e) >= d:
+        return e
+    return e - 1
+
+
+def normalizable_from_exact(xf) -> np.ndarray:
+    """NormalizableFromExact (s2edge_crossings.cc:318-338): round an exact
+    (Fraction) 3-vector to double, scaling by a power of two first when
+    the double conversion would underflow below the normalizable range."""
+    x = np.array([float(v) for v in xf])
+    if is_normalizable(x):
+        return x
+    exps = [_frac_ilogb(v) + 1 for v in xf if v != 0]
+    if not exps:
+        return np.zeros(3)
+    exp = max(exps)
+    scale = Fraction(2) ** (-exp)
+    return np.array([float(v * scale) for v in xf])
+
+
+def symbolic_cross_prod_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """SymbolicCrossProdSorted (s2edge_crossings.cc:183-268): the cross
+    product under S2::Sign's symbolic perturbation model, for exactly
+    collinear a < b (lexicographically).  May not be normalizable."""
+    if b[0] != 0 or b[1] != 0:  # da[2]
+        return np.array([-b[1], b[0], 0.0])
+    if b[2] != 0:  # da[1]
+        return np.array([b[2], 0.0, 0.0])
+    if a[0] != 0 or a[1] != 0:  # db[2]
+        return np.array([a[1], -a[0], 0.0])
+    return np.array([1.0, 0.0, 0.0])  # db[2] * da[1]
+
+
+def symbolic_cross_prod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """internal::SymbolicCrossProd (s2edge_crossings.cc:340-347)."""
+    if tuple(a) < tuple(b):
+        return ensure_normalizable(symbolic_cross_prod_sorted(a, b))
+    return -ensure_normalizable(symbolic_cross_prod_sorted(b, a))
+
+
+def exact_cross_prod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """internal::ExactCrossProd (s2edge_crossings.cc:348-360): exact
+    rational cross product (doubles are dyadic rationals, so Fraction
+    arithmetic is exact like ExactFloat), falling back to symbolic
+    perturbations when a and b are exactly proportional.  REQUIRES a != b."""
     fa = [Fraction(float(x)) for x in a]
     fb = [Fraction(float(x)) for x in b]
     ex = [
@@ -57,13 +128,21 @@ def robust_cross_prod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         fa[0] * fb[1] - fa[1] * fb[0],
     ]
     if any(v != 0 for v in ex):
-        out = np.array([float(v) for v in ex])
-        n = np.linalg.norm(out)
-        if n > 0:
-            return out / n
-    # Exactly antipodal/proportional: symbolic result (internal::ExactCrossProd
-    # falls back to SymbolicCrossProd; Ortho of the smaller point).
-    return ortho(a if tuple(a) < tuple(b) else b)
+        return normalizable_from_exact(ex)
+    return symbolic_cross_prod(a, b)
+
+
+def robust_cross_prod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """RobustCrossProd (s2edge_crossings.cc:147-177): stable (a-b)×(a+b)
+    in double, Ortho for a == b, else exact arithmetic with symbolic
+    perturbations (no long-double tier on this platform — the reference's
+    armv7 configuration)."""
+    result = stable_cross_prod(a, b)
+    if result is not None:
+        return result
+    if tuple(a) == tuple(b):
+        return ortho(a)
+    return exact_cross_prod(a, b)
 
 
 def _sum_equals(u: float, v: float, w: float) -> bool:

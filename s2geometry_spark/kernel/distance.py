@@ -61,7 +61,11 @@ def point_edge_dist2(X: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
     max_error = 4.75 * DBL_EPSILON * (xa2 + xb2 + ab2) + 8 * DBL_EPSILON**2
     maybe_interior = np.abs(xa2 - xb2) < ab2 + max_error
 
-    C = np.cross(A, B)  # (M,3); degenerate edges handled by vertex case
+    # C = RobustCrossProd(a, b) stable tier, (a-b)×(a+b) == 2·a×b
+    # (s2edge_distances.cc:161 — the stable form keeps the edge normal
+    # accurate even for nearly-identical endpoints; degenerate edges give
+    # C == 0 and fall to the vertex case)
+    C = np.cross(A - B, A + B)  # (M,3)
     c2 = (C * C).sum(-1)[None, :]  # (1,M)
     x_dot_c = X @ C.T  # (N,M)
     x_dot_c2 = x_dot_c * x_dot_c
@@ -73,9 +77,15 @@ def point_edge_dist2(X: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
     w2 = X @ BxC.T
     interior = maybe_interior & (w1 < 0) & (w2 > 0) & (c2 > 0)
 
+    # XR² = XQ² + QR² with QR computed from |c×x|²/|c|² directly — "based
+    # on both the dot product and cross product rather than deriving one
+    # from the other" (s2edge_distances.cc:180-188): accurate for all
+    # chord lengths, where 1 - ratio cancels near 90°.
+    CX = np.cross(C[None, :, :], X[:, None, :])  # (N,M,3): c × x
+    cx2 = (CX * CX).sum(-1)  # (N,M)
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio = np.clip(x_dot_c2 / c2, 0.0, 1.0)
-        qr = 1.0 - np.sqrt(np.clip(1.0 - ratio, 0.0, 1.0))
+        qr = 1.0 - np.sqrt(np.clip(cx2 / c2, 0.0, 1.0))
         interior_d2 = ratio + qr * qr
     return np.where(interior, np.minimum(interior_d2, vertex_d2), vertex_d2)
 
@@ -119,16 +129,18 @@ def point_edge_dist2_rowwise(X: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.
     ab2 = ((A - B) ** 2).sum(-1)
     max_error = 4.75 * DBL_EPSILON * (xa2 + xb2 + ab2) + 8 * DBL_EPSILON**2
     maybe_interior = np.abs(xa2 - xb2) < ab2 + max_error
-    C = np.cross(A, B)
+    C = np.cross(A - B, A + B)  # RobustCrossProd stable tier (2·A×B)
     c2 = (C * C).sum(-1)
     x_dot_c = (X * C).sum(-1)
     x_dot_c2 = x_dot_c * x_dot_c
     w1 = (X * np.cross(A, C)).sum(-1)
     w2 = (X * np.cross(B, C)).sum(-1)
     interior = maybe_interior & (w1 < 0) & (w2 > 0) & (c2 > 0)
+    CX = np.cross(C, X)
+    cx2 = (CX * CX).sum(-1)
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio = np.clip(x_dot_c2 / c2, 0.0, 1.0)
-        qr = 1.0 - np.sqrt(np.clip(1.0 - ratio, 0.0, 1.0))
+        qr = 1.0 - np.sqrt(np.clip(cx2 / c2, 0.0, 1.0))
         interior_d2 = ratio + qr * qr
     return np.where(interior, np.minimum(interior_d2, vertex_d2), vertex_d2)
 
