@@ -233,6 +233,40 @@ def winding_operation(
     if not edges:
         return _finish([], bool(rule(ref_winding)))
     subs = _split_edges(edges, edges, with_parent=True)
+    # S2Builder vertex merging: the winding op always sets
+    # split_crossing_edges, which gives every edge a snap radius of at
+    # least kIntersectionError (s2builder.h:238-258) — crossing points
+    # closer than that collapse onto ONE site.  Mirror it by merging
+    # sub-edge endpoints within 4·kIntersectionError (chord), dropping
+    # the resulting zero-length sub-edges; without this, slivers between
+    # nearly-coincident crossings are too short to carry an interior
+    # probe point.
+    merge2 = (4 * 8 * 0.5 * 2.220446049250313e-16) ** 2
+    remap: dict = {}
+
+    def _canon(t: tuple) -> tuple:
+        while t in remap:
+            t = remap[t]
+        return t
+
+    for a, b, _ei in subs:
+        d = a - b
+        if float(d @ d) < merge2:
+            ka, kb = _canon(tuple(a)), _canon(tuple(b))
+            if ka != kb:
+                lo, hi = (ka, kb) if ka < kb else (kb, ka)
+                remap[hi] = lo
+    if remap:
+        merged_subs = []
+        for a, b, ei in subs:
+            ka, kb = _canon(tuple(a)), _canon(tuple(b))
+            if ka == kb:
+                continue
+            merged_subs.append((np.asarray(ka), np.asarray(kb), ei))
+        subs = merged_subs
+        if not subs:
+            # every boundary edge collapsed: winding is constant
+            return _finish([], bool(rule(ref_winding)))
     kept = []
     for a, b, ei in subs:
         parent = edges[ei]
@@ -257,6 +291,42 @@ def winding_operation(
             kept.append((a, b))
         elif rr and not rl:
             kept.append((b, a))
+    if remap:
+        # vertex merging can leave exact duplicate directed sub-edges
+        # (coincident offset arcs); the boundary is still ONE curve —
+        # keep a single representative per directed pair
+        seen_pairs = set()
+        uniq = []
+        for a, b in kept:
+            key = (tuple(a), tuple(b))
+            if key in seen_pairs:
+                continue
+            seen_pairs.add(key)
+            uniq.append((a, b))
+        # a kept sibling pair is a zero-area sliver between two merged
+        # coincident arcs — cancel both directions
+        uniq = [
+            (a, b)
+            for a, b in uniq
+            if (tuple(b), tuple(a)) not in seen_pairs
+        ]
+        # classification noise on sub-ulp slivers can leave isolated
+        # kept edges; a true region boundary has balanced in/out degree
+        # at every vertex, so prune dangling edges iteratively
+        changed = True
+        while changed:
+            changed = False
+            outs = Counter(tuple(a) for a, b in uniq)
+            ins = Counter(tuple(b) for a, b in uniq)
+            pruned = [
+                (a, b)
+                for a, b in uniq
+                if ins.get(tuple(a), 0) > 0 and outs.get(tuple(b), 0) > 0
+            ]
+            if len(pruned) != len(uniq):
+                uniq = pruned
+                changed = True
+        kept = uniq
     if not kept:
         return _finish([], bool(rule(ref_winding)))
     return _finish(_assemble_loops(kept), False)

