@@ -116,9 +116,25 @@ def normalize_signed_area(total: np.ndarray) -> np.ndarray:
 
 
 def loop_signed_area(vertices: np.ndarray) -> float:
+    """GetSignedArea (s2loop_measures.cc:58-150): signed surface
+    integral normalized to (-2π, 2π], with the small-area fallback —
+    when zero is within the curvature error bound, the SIGN of the
+    result is decided by Gauss-Bonnet (s2pred::Sign-based turning
+    angles handle degeneracies symbolically), returning ±DBL_MIN or 0
+    for exactly-degenerate loops."""
     v = np.asarray(vertices, float).reshape(-1, 3)
     terms = loop_edge_area_terms(v, np.roll(v, -1, axis=0))
-    return float(normalize_signed_area(terms.sum()))
+    area = float(normalize_signed_area(terms.sum()))
+    max_error = curvature_max_error(v)
+    if abs(area) <= max_error:
+        curvature = loop_curvature(v)
+        if curvature == 2 * np.pi:
+            return 0.0  # degenerate
+        if area <= 0 and curvature > 0:
+            return 2.2250738585072014e-308  # DBL_MIN
+        if area >= 0 and curvature < 0:
+            return -2.2250738585072014e-308
+    return area
 
 
 def loop_area(vertices: np.ndarray) -> float:

@@ -160,3 +160,77 @@ def shape_centroid(shape, dim: int) -> np.ndarray:
         if len(loop) >= 3:
             out = out + loop_centroid(loop)
     return out
+
+
+# ------------------------------------------------ index-level measures
+# (s2shape_index_measures.h/.cc): aggregates over a whole shape index.
+# Shapes are (dim, chains) pairs: dim-0 chains are point arrays, dim-1
+# chains polyline vertex arrays, dim-2 chains loop vertex arrays (the
+# 0-vertex loop denoting the full polygon).
+
+
+def index_dimension(shapes: list) -> int:
+    """S2::GetDimension: max shape dimension, -1 for an empty index
+    (an empty point shape still counts as dimension 0)."""
+    dim = -1
+    for d, _chains in shapes:
+        dim = max(dim, d)
+    return dim
+
+
+def index_num_points(shapes: list) -> int:
+    """S2::GetNumPoints: total vertices of dimension-0 shapes."""
+    return sum(
+        sum(len(np.asarray(c).reshape(-1, 3)) for c in chains)
+        for d, chains in shapes
+        if d == 0
+    )
+
+
+def index_length(shapes: list) -> float:
+    """S2::GetLength: total polyline length (radians)."""
+    return sum(shape_length(chains) for d, chains in shapes if d == 1)
+
+
+def index_perimeter(shapes: list) -> float:
+    """S2::GetPerimeter: total polygon boundary length (radians)."""
+    return sum(
+        shape_perimeter(LaxPolygon(chains))
+        for d, chains in shapes
+        if d == 2
+    )
+
+
+def index_area(shapes: list) -> float:
+    """S2::GetArea: total polygon area (sum over shapes; two full
+    polygons measure 8π)."""
+    return sum(
+        shape_area(LaxPolygon(chains)) for d, chains in shapes if d == 2
+    )
+
+
+def index_approx_area(shapes: list) -> float:
+    return sum(
+        shape_approx_area(LaxPolygon(chains))
+        for d, chains in shapes
+        if d == 2
+    )
+
+
+def index_centroid(shapes: list) -> np.ndarray:
+    """S2::GetCentroid: centroid of the highest-dimension shapes only
+    (not normalized)."""
+    dim = index_dimension(shapes)
+    out = np.zeros(3)
+    for d, chains in shapes:
+        if d != dim:
+            continue
+        if d == 0:
+            arrs = [np.asarray(c, float).reshape(-1, 3) for c in chains]
+            if arrs:
+                out = out + shape_centroid(np.concatenate(arrs), 0)
+        elif d == 1:
+            out = out + shape_centroid(chains, 1)
+        else:
+            out = out + shape_centroid(LaxPolygon(chains), 2)
+    return out
