@@ -186,3 +186,44 @@ class ClosestCellQuery:
             CellResult(d2, self.index.entries[i][0], self.index.entries[i][1])
             for d2, i in results[: opts.max_results]
         ]
+
+
+class RegionSharder:
+    """S2RegionSharder (s2region_sharder.h/.cc): assign a region
+    (given as a cell-union covering) to the shard whose covering it
+    intersects the most, measured in leaf-cell overlap; ties go to the
+    lowest shard index."""
+
+    def __init__(self, coverings_or_index):
+        if isinstance(coverings_or_index, CellIndex):
+            self.index = coverings_or_index
+        else:
+            self.index = CellIndex()
+            for i, union in enumerate(coverings_or_index):
+                self.index.add_cell_union(union, i)
+            self.index.build()
+
+    def _intersections(self, covering: list[CID]) -> dict[int, int]:
+        """Total leaf-cell overlap per shard label."""
+        weights: dict[int, int] = {}
+        for c in covering:
+            lo, hi = c.range_min().id, c.range_max().id
+            for cid, label in self.index.entries:
+                slo, shi = cid.range_min().id, cid.range_max().id
+                overlap = min(hi, shi) - max(lo, slo)
+                if overlap >= 0:
+                    # leaf count = range length / 2 + 1
+                    weights[label] = weights.get(label, 0) + overlap // 2 + 1
+        return weights
+
+    def get_most_intersecting_shard(
+        self, covering: list[CID], default: int
+    ) -> int:
+        weights = self._intersections(covering)
+        if not weights:
+            return default
+        best = max(weights.items(), key=lambda kv: (kv[1], -kv[0]))
+        return best[0]
+
+    def get_intersecting_shards(self, covering: list[CID]) -> list[int]:
+        return sorted(self._intersections(covering).keys())
