@@ -59,6 +59,8 @@ class CellIndex:
 
     def __init__(self):
         self.entries: list[tuple[CID, int]] = []
+        self.cell_tree = None  # (cell_id, label, parent) preorder nodes
+        self.range_nodes = None  # (start_leaf_id, contents) boundaries
 
     def add(self, cell_id: CID, label: int) -> None:
         self.entries.append((cell_id, label))
@@ -68,9 +70,12 @@ class CellIndex:
             self.add(cid, label)
 
     def build(self) -> None:
-        # the reference sorts into a (range, contents) structure; the
-        # per-entry bounding caps in the query play that role here
+        """Build (s2cell_index.cc:73-137): the sorted-delta sweep that
+        produces the preorder cell tree and leaf-cell range nodes."""
         self.entries.sort(key=lambda e: (e[0].id, e[1]))
+        self.cell_tree, self.range_nodes = _build_range_structure(
+            self.entries
+        )
 
     def num_cells(self) -> int:
         return len(self.entries)
@@ -227,3 +232,265 @@ class RegionSharder:
 
     def get_intersecting_shards(self, covering: list[CID]) -> list[int]:
         return sorted(self._intersections(covering).keys())
+
+
+# --------------------------------------------------------------------------
+# The reference's range-node / cell-tree structure (s2cell_index.cc Build):
+# boundaries at every cell's range_min and range_max.next() partition the
+# leaf-cell space into ranges; each range points at the top of a stack of
+# (cell_id, label) nodes (the "contents"), linked through parent indexes
+# assigned in preorder.
+
+_SENTINEL = (1 << 64) - 1
+_BEGIN_LEAF = CID.from_face(0).range_min().id
+_END_LEAF = (CID.from_face(5).range_max().id + 2) & ((1 << 64) - 1)
+
+
+class RangeIterator:
+    """S2CellIndex::RangeIterator (s2cell_index.h:220-300)."""
+
+    def __init__(self, index: "CellIndex"):
+        index._ensure_built()
+        self._nodes = index.range_nodes
+        self._pos = 0
+
+    def begin(self) -> None:
+        self._pos = 0
+
+    def finish(self) -> None:
+        self._pos = len(self._nodes) - 1
+
+    def done(self) -> bool:
+        return self._pos >= len(self._nodes) - 1
+
+    def start_id(self) -> int:
+        return self._nodes[self._pos][0]
+
+    def limit_id(self) -> int:
+        return self._nodes[self._pos + 1][0]
+
+    def is_empty(self) -> bool:
+        return self._nodes[self._pos][1] < 0
+
+    def contents(self) -> int:
+        return self._nodes[self._pos][1]
+
+    def next(self) -> None:
+        self._pos += 1
+
+    def prev(self) -> bool:
+        if self._pos == 0:
+            return False
+        self._pos -= 1
+        return True
+
+    def seek(self, target_leaf_id: int) -> None:
+        """Position at the range containing the target leaf cell."""
+        import bisect
+
+        starts = [n[0] for n in self._nodes]
+        self._pos = bisect.bisect_right(starts, target_leaf_id) - 1
+
+
+class NonEmptyRangeIterator(RangeIterator):
+    """Skips ranges with no contents (s2cell_index.h:302-337)."""
+
+    def begin(self) -> None:
+        super().begin()
+        while not self.done() and self.is_empty():
+            self._pos += 1
+
+    def next(self) -> None:
+        self._pos += 1
+        while not self.done() and self.is_empty():
+            self._pos += 1
+
+    def prev(self) -> bool:
+        pos = self._pos
+        while self._pos > 0:
+            self._pos -= 1
+            if not self.is_empty():
+                return True
+        self._pos = pos
+        return False
+
+    def seek(self, target_leaf_id: int) -> None:
+        super().seek(target_leaf_id)
+        while not self.done() and self.is_empty():
+            self._pos += 1
+
+
+class ContentsIterator:
+    """S2CellIndex::ContentsIterator with preorder duplicate suppression
+    (s2cell_index.cc:39-65)."""
+
+    def __init__(self, index: "CellIndex"):
+        index._ensure_built()
+        self._tree = index.cell_tree
+        self._node = None
+        self._node_cutoff = -1
+        self._next_node_cutoff = -1
+        self._prev_start_id = -1
+
+    def start_union(self, range_it: RangeIterator) -> None:
+        if range_it.start_id() < self._prev_start_id:
+            self._node_cutoff = -1  # moving backwards: no suppression
+        self._prev_start_id = range_it.start_id()
+        contents = range_it.contents()
+        if contents <= self._node_cutoff:
+            self._node = None
+        else:
+            self._node = contents
+        self._next_node_cutoff = contents
+
+    def done(self) -> bool:
+        return self._node is None or self._node < 0
+
+    def cell_id(self) -> int:
+        return self._tree[self._node][0]
+
+    def label(self) -> int:
+        return self._tree[self._node][1]
+
+    def next(self) -> None:
+        """Next (s2cell_index.h:593-601): stop once the parent index was
+        already visited (preorder indexes only decrease up the chain)."""
+        parent = self._tree[self._node][2]
+        if parent <= self._node_cutoff:
+            self._node_cutoff = self._next_node_cutoff
+            self._node = None
+        else:
+            self._node = parent
+
+    def clear(self) -> None:
+        self._node = None
+        self._node_cutoff = -1
+        self._next_node_cutoff = -1
+        self._prev_start_id = -1
+
+
+class CellIterator:
+    """S2CellIndex::CellIterator: visits every (cell_id, label) pair."""
+
+    def __init__(self, index: "CellIndex"):
+        index._ensure_built()
+        self._pairs = [
+            (n[0], n[1]) for n in index.cell_tree
+        ]
+        self._pos = 0
+
+    def done(self) -> bool:
+        return self._pos >= len(self._pairs)
+
+    def cell_id(self) -> int:
+        return self._pairs[self._pos][0]
+
+    def label(self) -> int:
+        return self._pairs[self._pos][1]
+
+    def next(self) -> None:
+        self._pos += 1
+
+
+def _build_range_structure(entries):
+    """S2CellIndex::Build (s2cell_index.cc:73-137): sorted push/pop
+    deltas → preorder cell tree + leaf-cell range nodes."""
+    deltas = []
+    for cid, label in entries:
+        deltas.append((cid.range_min().id, cid.id, label))
+        deltas.append(
+            ((cid.range_max().id + 2) & ((1 << 64) - 1), _SENTINEL, -1)
+        )
+    deltas.append((_BEGIN_LEAF, None, -1))
+    deltas.append((_END_LEAF, None, -1))
+    # sort by start_id, then REVERSE cell_id (pops before pushes, larger
+    # cells first), then label; None cell_id sorts like S2CellId::None=0
+    deltas.sort(
+        key=lambda d: (
+            d[0],
+            -(d[1] if d[1] is not None else 0),
+            d[2],
+        )
+    )
+    cell_tree = []  # (cell_id, label, parent)
+    range_nodes = []  # (start_id, contents)
+    contents = -1
+    i = 0
+    n = len(deltas)
+    while i < n:
+        start_id = deltas[i][0]
+        while i < n and deltas[i][0] == start_id:
+            if deltas[i][2] >= 0:
+                cell_tree.append((deltas[i][1], deltas[i][2], contents))
+                contents = len(cell_tree) - 1
+            elif deltas[i][1] == _SENTINEL:
+                contents = cell_tree[contents][2]
+            i += 1
+        range_nodes.append((start_id, contents))
+    return cell_tree, range_nodes
+
+
+def _cellindex_ensure_built(self) -> None:
+    if getattr(self, "cell_tree", None) is None:
+        raise RuntimeError("CellIndex.build() must be called first")
+
+
+def _cellindex_build_full(self) -> None:
+    self.entries.sort(key=lambda e: (e[0].id, e[1]))
+    self.cell_tree, self.range_nodes = _build_range_structure(self.entries)
+
+
+def _cellindex_clear(self) -> None:
+    self.entries = []
+    self.cell_tree = None
+    self.range_nodes = None
+
+
+def _cellindex_visit_intersecting_cells(self, target: list[CID], visitor) -> bool:
+    """VisitIntersectingCells (s2cell_index.h:619-649): target must be a
+    normalized cell union (sorted, non-overlapping)."""
+    if not target:
+        return True
+    self._ensure_built()
+    it = 0
+    contents = ContentsIterator(self)
+    rng = RangeIterator(self)
+    rng.begin()
+    while True:
+        t = target[it]
+        if rng.limit_id() <= t.range_min().id:
+            rng.seek(t.range_min().id)
+        while rng.start_id() <= t.range_max().id:
+            contents.start_union(rng)
+            while not contents.done():
+                if not visitor(contents.cell_id(), contents.label()):
+                    return False
+                contents.next()
+            rng.next()
+        it += 1
+        if it < len(target) and target[it].range_max().id < rng.start_id():
+            # binary-search skip over target cells inside the processed range
+            import bisect
+
+            keys = [c.id for c in target]
+            j = bisect.bisect_left(keys, rng.start_id(), it + 1)
+            if target[j - 1].range_max().id >= rng.start_id():
+                j -= 1
+            it = j
+        if it >= len(target):
+            return True
+
+
+def _cellindex_get_intersecting_labels(self, target: list[CID]) -> set:
+    labels: set = set()
+    self.visit_intersecting_cells(
+        target, lambda cid, label: (labels.add(label), True)[1]
+    )
+    return labels
+
+
+CellIndex._ensure_built = _cellindex_ensure_built
+CellIndex.build_full = _cellindex_build_full
+CellIndex.clear = _cellindex_clear
+CellIndex.visit_intersecting_cells = _cellindex_visit_intersecting_cells
+CellIndex.get_intersecting_labels = _cellindex_get_intersecting_labels
