@@ -234,3 +234,120 @@ def index_centroid(shapes: list) -> np.ndarray:
         else:
             out = out + shape_centroid(LaxPolygon(chains), 2)
     return out
+
+
+# ------------------------------------------------ lax shape API surface
+# (s2lax_polygon_shape.h, s2lax_polyline_shape.h, s2lax_loop_shape.h):
+# chain/edge-id accessors shared by the shape-consuming queries.
+
+
+def _lax_chain(shape: LaxPolygon, i: int) -> tuple[int, int]:
+    """chain(i) → (start, length); the full/empty loop has length 0."""
+    start = 0
+    for k in range(i):
+        start += len(shape.loops[k])
+    return (start, len(shape.loops[i]))
+
+
+def _lax_chain_position(shape: LaxPolygon, e: int) -> tuple[int, int]:
+    """chain_position(edge_id) → (chain_id, offset)."""
+    for i, loop in enumerate(shape.loops):
+        if e < len(loop):
+            return (i, e)
+        e -= len(loop)
+    raise IndexError(e)
+
+
+def _lax_edge(shape: LaxPolygon, e: int):
+    i, j = _lax_chain_position(shape, e)
+    loop = shape.loops[i]
+    return loop[j], loop[(j + 1) % len(loop)]
+
+
+LaxPolygon.num_loops = lambda self: len(self.loops)
+LaxPolygon.num_vertices = lambda self: sum(len(l) for l in self.loops)
+LaxPolygon.num_loop_vertices = lambda self, i: len(self.loops[i])
+LaxPolygon.loop_vertex = lambda self, i, j: self.loops[i][j]
+LaxPolygon.chain = _lax_chain
+LaxPolygon.chain_position = _lax_chain_position
+LaxPolygon.edge = _lax_edge
+LaxPolygon.chain_edge = lambda self, i, j: (
+    self.loops[i][j], self.loops[i][(j + 1) % len(self.loops[i])]
+)
+LaxPolygon.dimension = lambda self: 2
+LaxPolygon.is_empty = lambda self: len(self.loops) == 0
+LaxPolygon.is_full = lambda self: (
+    len(self.loops) > 0 and self.num_vertices() == 0
+)
+
+
+class LaxPolyline:
+    """S2LaxPolylineShape: one chain; n−1 edges; no interior."""
+
+    dim = 1
+
+    def __init__(self, vertices):
+        self.vertices = np.asarray(vertices, float).reshape(-1, 3)
+
+    def num_vertices(self) -> int:
+        return len(self.vertices)
+
+    def num_edges(self) -> int:
+        return max(0, len(self.vertices) - 1)
+
+    def num_chains(self) -> int:
+        return 1 if self.num_edges() > 0 else 0
+
+    def chain(self, i: int) -> tuple[int, int]:
+        assert i == 0
+        return (0, self.num_edges())
+
+    def edge(self, e: int):
+        return self.vertices[e], self.vertices[e + 1]
+
+    def chain_edge(self, i: int, j: int):
+        return self.edge(j)
+
+    def chain_position(self, e: int) -> tuple[int, int]:
+        return (0, e)
+
+    def dimension(self) -> int:
+        return 1
+
+    def get_reference_point(self):
+        return None, False  # polylines have no interior
+
+
+class LaxClosedPolyline:
+    """S2LaxClosedPolylineShape: a closed loop with NO interior
+    (dimension 1)."""
+
+    dim = 1
+
+    def __init__(self, vertices):
+        self.vertices = np.asarray(vertices, float).reshape(-1, 3)
+
+    def num_edges(self) -> int:
+        return len(self.vertices)
+
+    def edge(self, e: int):
+        n = len(self.vertices)
+        return self.vertices[e], self.vertices[(e + 1) % n]
+
+    def dimension(self) -> int:
+        return 1
+
+    def get_reference_point(self):
+        return None, False
+
+
+def lax_loop_shape(vertices) -> LaxPolygon:
+    """S2LaxLoopShape: a single-loop lax polygon."""
+    return LaxPolygon([np.asarray(vertices, float).reshape(-1, 3)])
+
+
+def vertex_id_lax_loop_shape(vertex_ids, vertices) -> LaxPolygon:
+    """S2VertexIdLaxLoopShape: loop defined by indexes into a vertex
+    array (s2lax_loop_shape.h:90-130)."""
+    vertices = np.asarray(vertices, float).reshape(-1, 3)
+    return LaxPolygon([vertices[list(vertex_ids)]])
