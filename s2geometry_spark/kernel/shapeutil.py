@@ -351,3 +351,123 @@ def vertex_id_lax_loop_shape(vertex_ids, vertices) -> LaxPolygon:
     array (s2lax_loop_shape.h:90-130)."""
     vertices = np.asarray(vertices, float).reshape(-1, 3)
     return LaxPolygon([vertices[list(vertex_ids)]])
+
+
+# ------------------------------------------------ counting / edge wrap
+# (s2shapeutil_count_edges.h, s2shapeutil_count_vertices.h,
+# s2shapeutil_edge_wrap.h) over (dim, chains) index tuples.
+
+
+def count_edges(shapes: list) -> int:
+    """CountEdges: total edges (points count one degenerate edge)."""
+    total = 0
+    for d, chains in shapes:
+        for c in chains:
+            n = len(np.asarray(c).reshape(-1, 3))
+            if d == 0:
+                total += n
+            elif d == 1:
+                total += max(0, n - 1)
+            else:
+                total += n
+    return total
+
+
+def count_edges_up_to(shapes: list, max_edges: int) -> int:
+    """CountEdgesUpTo: stop as soon as the count reaches max_edges
+    (whole shapes are counted at a time)."""
+    total = 0
+    for shape in shapes:
+        total += count_edges([shape])
+        if total >= max_edges:
+            return total
+    return total
+
+
+def count_vertices(shapes: list) -> int:
+    """CountVertices: points 1 each; polyline chains edges+1; polygon
+    chains one vertex per edge."""
+    total = 0
+    for d, chains in shapes:
+        for c in chains:
+            n = len(np.asarray(c).reshape(-1, 3))
+            if d == 0:
+                total += n
+            elif d == 1:
+                total += n
+            else:
+                total += n
+    return total
+
+
+def _chain_of_edge(d: int, chains: list, edge_id: int):
+    """(chain_index, offset, chain_length_in_edges, closed?)"""
+    for ci, c in enumerate(chains):
+        v = np.asarray(c).reshape(-1, 3)
+        if d == 0:
+            n_edges = len(v)
+        elif d == 1:
+            n_edges = max(0, len(v) - 1)
+        else:
+            n_edges = len(v)
+        if edge_id < n_edges:
+            if d == 0:
+                closed = False
+                n_edges = 1
+                edge_id = 0
+            elif d == 1:
+                closed = len(v) >= 2 and np.array_equal(v[0], v[-1])
+            else:
+                closed = True
+            return ci, edge_id, n_edges, closed
+        edge_id -= n_edges
+    raise IndexError(edge_id)
+
+
+def prev_edge_wrap(d: int, chains: list, edge_id: int) -> int:
+    """PrevEdgeWrap: previous edge in the chain, wrapping for polygons
+    and closed polylines; -1 at an open start (or for points)."""
+    ci, off, n, closed = _chain_of_edge(d, chains, edge_id)
+    if d == 0:
+        return -1
+    if off > 0:
+        return edge_id - 1
+    return edge_id + n - 1 if closed and n > 1 else -1
+
+
+def next_edge_wrap(d: int, chains: list, edge_id: int) -> int:
+    ci, off, n, closed = _chain_of_edge(d, chains, edge_id)
+    if d == 0:
+        return -1
+    if off + 1 < n:
+        return edge_id + 1
+    return edge_id - n + 1 if closed and n > 1 else -1
+
+
+# ------------------------------------------------ shape conversions
+# (s2shapeutil_conversion.cc)
+
+
+def shape_to_points(chains: list) -> np.ndarray:
+    """ShapeToS2Points: the v0 of every (degenerate) edge."""
+    arrs = [np.asarray(c, float).reshape(-1, 3) for c in chains]
+    return np.concatenate(arrs) if arrs else np.empty((0, 3))
+
+
+def shape_to_polyline(chains: list) -> np.ndarray:
+    """ShapeToS2Polyline: the single chain's vertices."""
+    assert len(chains) == 1
+    return np.asarray(chains[0], float).reshape(-1, 3)
+
+
+def shape_to_polygon(chains: list):
+    """ShapeToS2Polygon: loops preserved in their lax orientation; the
+    full polygon maps to the full kernel Polygon."""
+    from .contains import Loop, Polygon
+
+    shape = LaxPolygon(chains)
+    if shape.is_full():
+        return Polygon([Loop(np.array([[0.0, 0.0, -1.0]]))])
+    return Polygon(
+        [Loop(np.asarray(c, float).reshape(-1, 3)) for c in chains]
+    )
