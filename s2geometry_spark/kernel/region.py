@@ -1071,3 +1071,40 @@ def _vertex_neighbors_of_cell(cid: CID, level: int) -> list[CID]:
 
     rows = _K.vertex_neighbors(np.array([cid.id], dtype=np.uint64), level)
     return [CID(int(v)) for v in np.unique(rows[0])]
+
+
+class PointRegion:
+    """S2PointRegion (s2point_region.h): a region consisting of one
+    point; contains only that exact point."""
+
+    def __init__(self, point: np.ndarray):
+        self.point = np.asarray(point, float).reshape(3)
+
+    def contains_point(self, p) -> bool:
+        return bool(np.array_equal(np.asarray(p, float).reshape(3), self.point))
+
+    def contains_cell(self, cell: Cell) -> bool:
+        return False  # a point never contains a 2D cell
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        return cell.contains_point(self.point)
+
+    def get_cap_bound(self) -> Cap:
+        return Cap.from_point(self.point)
+
+    def get_rect_bound(self) -> LatLngRect:
+        ll = LatLng(_latitude(self.point), _longitude(self.point))
+        return LatLngRect.from_point_pair(ll, ll)
+
+    def get_cell_union_bound(self) -> list[CID]:
+        return self.get_cap_bound().get_cell_union_bound()
+
+
+def _region_union_rect_bound(self) -> LatLngRect:
+    rect = LatLngRect.empty()
+    for r in self.regions:
+        rect = rect.union(r.get_rect_bound())
+    return rect
+
+
+RegionUnion.get_rect_bound = _region_union_rect_bound
