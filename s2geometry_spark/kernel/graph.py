@@ -736,3 +736,62 @@ def get_undirected_components(g: Graph, loop_type: str
         components.append(component)
     components.sort(key=lambda c: min_input_ids[c[0][0][0]])
     return components, None
+
+
+def get_directed_components(g: Graph, degenerate_boundaries: str
+                            ) -> tuple[list, str | None]:
+    """Graph::GetDirectedComponents (s2builder_graph.cc:422-511):
+    connected components of directed loops via the sibling frontier;
+    degenerate_boundaries is "KEEP" or "DISCARD"."""
+    sibling_map = g.get_sibling_map()
+    left_turn_map, error = get_left_turn_map(g, g.get_in_edge_ids())
+    if error:
+        return [], error
+    min_input_ids = g.get_min_input_edge_ids()
+    components: list[list[list[int]]] = []
+    path_index = (
+        [-1] * g.num_edges()
+        if degenerate_boundaries == "DISCARD"
+        else None
+    )
+    frontier: list[int] = []
+    for start in range(g.num_edges()):
+        if left_turn_map[start] < 0:
+            continue
+        component: list[list[int]] = []
+        frontier.append(start)
+        while frontier:
+            e = frontier.pop()
+            if left_turn_map[e] < 0:
+                continue
+            path: list[int] = []
+            while left_turn_map[e] >= 0:
+                path.append(e)
+                nxt = left_turn_map[e]
+                left_turn_map[e] = -1
+                sibling = sibling_map[e]
+                if left_turn_map[sibling] >= 0:
+                    frontier.append(sibling)
+                if path_index is not None:
+                    path_index[e] = len(path) - 1
+                    sib_idx = path_index[sibling]
+                    if sib_idx >= 0:
+                        if sib_idx == len(path) - 2:
+                            del path[sib_idx:]
+                        else:
+                            loop = path[sib_idx + 1 : -1]
+                            del path[sib_idx:]
+                            for e2 in loop:
+                                path_index[e2] = -1
+                            Graph.canonicalize_loop_order(min_input_ids, loop)
+                            component.append(loop)
+                e = nxt
+            if path_index is not None:
+                for e2 in path:
+                    path_index[e2] = -1
+            Graph.canonicalize_loop_order(min_input_ids, path)
+            component.append(path)
+        Graph.canonicalize_vector_order(min_input_ids, component)
+        components.append(component)
+    components.sort(key=lambda c: min_input_ids[c[0][0]])
+    return components, None
