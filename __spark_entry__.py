@@ -1388,6 +1388,130 @@ def _q_geo_relation_matrix(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+# Validation fixtures: every row traces to a ported s2validation_query
+# test case with the documented error codes for BOTH queries
+# (tests/test_valid_query.py; s2validation_query_test.cc).  Geometry is
+# encoded as 'points # polylines # polygon-loops' with '|' separating
+# shapes and ';' separating loops; 'full' is the 0-vertex loop and
+# 'antipodal' the exact-xyz antipodal quad.
+_VALIDATE_FIXTURES = [
+    # (geom_id, geometry, code, legacy_code)
+    ("g01_basic", "## 1:0, 0:-1, -1:0, 0:1", "OK", "OK"),
+    ("g02_hole_ok", "## 2:0, 0:-2, -2:0, 0:2; 0:1, -1:0, 0:-1, 1:0", "OK", "OK"),
+    ("g03_bad_hole", "## 2:0, 0:-2, -2:0, 0:2; 1:0, 0:-1, -1:0, 0:1",
+     "POLYGON_INCONSISTENT_LOOP_ORIENTATIONS",
+     "POLYGON_INCONSISTENT_LOOP_ORIENTATIONS"),
+    ("g04_dup_edges", "## 2:0, 0:-2, -2:0, 0:2 | 2:0, 0:-2, 0:0",
+     "OVERLAPPING_GEOMETRY", "OVERLAPPING_GEOMETRY"),
+    ("g05_point_shell", "## 0:0", "OK", "LOOP_NOT_ENOUGH_VERTICES"),
+    ("g06_sibling_ring", "## 0:0, 1:1", "OK", "LOOP_NOT_ENOUGH_VERTICES"),
+    ("g07_split_interior", "## 3:0, 0:-3, -3:0, 0:3; 3:0, 0:1, -3:0, 0:-1",
+     "OK", "OK"),
+    ("g08_point_in_polygon", "0:0 ## 2:0, 0:-2, -2:0, 0:2",
+     "OVERLAPPING_GEOMETRY", "INVALID_DIMENSION"),
+    ("g09_point_outside", "5:5 ## 1:0, 0:-1, -1:0, 0:1",
+     "OK", "INVALID_DIMENSION"),
+    ("g10_crossing_polylines", "# 0:0, 1:1, 0:2, 1:3 | 1:0, 0:1, 1:2, 0:3 #",
+     "OK", "OK"),
+    ("g11_antipodal", "antipodal",
+     "ANTIPODAL_VERTICES", "ANTIPODAL_VERTICES"),
+    ("g12_tangent", "## 1:0, 0:-1, -1:0, 0:1 | 0:1, -1:2, 0:3, 1:2",
+     "OK", "OK"),
+    ("g13_nested_shells", "## 2:0, 0:-2, -2:0, 0:2; 1:0, 0:-1, -1:0, 0:1;",
+     "POLYGON_INCONSISTENT_LOOP_ORIENTATIONS",
+     "POLYGON_INCONSISTENT_LOOP_ORIENTATIONS"),
+    ("g14_full", "## full", "OK", "OK"),
+]
+
+
+def _validate_fixture_rows():
+    import math as _math
+
+    from s2geometry_spark.kernel.contains import parse_points
+
+    rows = []
+    for geom_id, geometry, _c, _lc in _VALIDATE_FIXTURES:
+        if geometry == "antipodal":
+            s = _math.sqrt(0.5)
+            quad = [(s, s, 0.0), (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0),
+                    (1.0, 0.0, 0.0)]
+            for vi, (x, y, z) in enumerate(quad):
+                rows.append((geom_id, 0, 2, 0, vi, x, y, z))
+            continue
+        parts = geometry.split("#")
+        while len(parts) < 3:
+            parts.append("")
+        shape_id = 0
+        pts_str = parts[0].strip()
+        if pts_str:
+            pts = parse_points(pts_str.replace("|", ","))
+            for ci, p in enumerate(pts):
+                rows.append(
+                    (geom_id, shape_id, 0, ci, 0,
+                     float(p[0]), float(p[1]), float(p[2]))
+                )
+            shape_id += 1
+        for tok in parts[1].split("|"):
+            tok = tok.strip()
+            if not tok:
+                continue
+            for vi, p in enumerate(parse_points(tok)):
+                rows.append(
+                    (geom_id, shape_id, 1, 0, vi,
+                     float(p[0]), float(p[1]), float(p[2]))
+                )
+            shape_id += 1
+        for tok in parts[2].split("|"):
+            tok = tok.strip()
+            if not tok:
+                continue
+            for ci, ltok in enumerate(
+                t for t in tok.split(";") if t.strip()
+            ):
+                ltok = ltok.strip()
+                if ltok == "full":
+                    rows.append((geom_id, shape_id, 2, ci, -1, 0.0, 0.0, 0.0))
+                    continue
+                for vi, p in enumerate(parse_points(ltok)):
+                    rows.append(
+                        (geom_id, shape_id, 2, ci, vi,
+                         float(p[0]), float(p[1]), float(p[2]))
+                    )
+            shape_id += 1
+    return rows
+
+
+def _q_geo_validate(spark, sf_dir):
+    """Distributed geometry validation (S2ValidQuery +
+    S2LegacyValidQuery, s2validation_query.h): ONE groupBy(geom_id)
+    shuffle; both validation queries run per geometry inside
+    applyInPandas, so a task is bounded by one geometry's edge count —
+    the plan for validating millions of extracted geometries before an
+    ingest."""
+    from s2geometry_spark.operators.validate_ops import validate_geometries
+
+    geoms = spark.createDataFrame(
+        _validate_fixture_rows(),
+        "geom_id string, shape_id int, dim int, chain_id int,"
+        " vertex_idx int, x double, y double, z double",
+    ).repartition(8)
+    return validate_geometries(geoms).orderBy("geom_id")
+
+
+def _validate_oracle_sql() -> str:
+    vals = ",\n              ".join(
+        f"('{g}', {1 if c == 'OK' else 0}, '{c}',"
+        f" {1 if lc == 'OK' else 0}, '{lc}')"
+        for g, _geom, c, lc in _VALIDATE_FIXTURES
+    )
+    return f"""
+        SELECT * FROM (VALUES
+              {vals}
+        ) AS t(geom_id, valid_i, code, legacy_valid_i, legacy_code)
+        ORDER BY geom_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_hierarchy": _q_cell_hierarchy,
@@ -1440,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polyline_alignment": _q_geo_polyline_alignment,
         "shape_nesting_join": _q_shape_nesting,
         "geo_loop_relations": _q_geo_loop_relations,
+        "geo_validate": _q_geo_validate,
     }
 
 
@@ -1692,6 +1817,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         "geo_winding_ops": OR.winding_fixture_sql(_WINDING_JOBS),
         "geo_buffer": OR.buffer_fixture_sql(_BUFFER_JOBS, _BUFFER_CONVEX),
         "geo_relation_matrix": _relation_matrix_oracle(),
+        "geo_validate": _validate_oracle_sql(),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""
             WITH cells AS (
