@@ -1512,6 +1512,114 @@ def _validate_oracle_sql() -> str:
     """
 
 
+
+# Buffer-shapes jobs: points and polylines through the full
+# S2BufferOperation facade (end caps, one-sided buffering, signed and
+# degenerate radii) — the polygon paths are covered by geo_buffer.
+# Kernel semantics are pinned by the s2buffer_operation_test.cc port
+# (tests/test_buffer_operation.py: exact CompareEdgePairDistance
+# separation + sampled Hausdorff harnesses); this query gates the
+# DISTRIBUTED applyInPandas path row-for-row on kernel digests.
+_BUFFER_SHAPE_JOBS = [
+    # (job, kind, radius_rad, error_fraction, end_cap, side, latlngs)
+    ("pt_round", "point", 0.0872664625997164, 0.02, "round", "both",
+     [(10.0, 20.0)]),
+    ("pt_zero", "point", 0.0, 0.01, "round", "both", [(3.0, 4.0)]),
+    ("pt_full", "point", 3.49065850398866, 0.1, "round", "both",
+     [(0.0, 0.0)]),
+    ("pl_round", "polyline", 0.0349065850398866, 0.02, "round", "both",
+     [(0.0, 0.0), (0.0, 4.0), (3.0, 7.0)]),
+    ("pl_flat", "polyline", 0.0349065850398866, 0.02, "flat", "both",
+     [(0.0, 0.0), (0.0, 4.0), (3.0, 7.0)]),
+    ("pl_left", "polyline", 0.0349065850398866, 0.02, "round", "left",
+     [(0.0, 0.0), (0.0, 4.0), (3.0, 7.0)]),
+    ("pl_negative", "polyline", -0.0349065850398866, 0.02, "round", "both",
+     [(0.0, 0.0), (0.0, 4.0)]),
+    ("loop_shrink", "loop", -0.0174532925199433, 0.02, "round", "both",
+     [(-3.0, -3.0), (-3.0, 3.0), (3.0, 3.0), (3.0, -3.0)]),
+]
+
+
+def _buffer_shape_rows():
+    rows = []
+    for job, kind, radius, ef, cap, side, lls in _BUFFER_SHAPE_JOBS:
+        for vi, (lat, lng) in enumerate(lls):
+            rows.append(
+                (job, kind, float(radius), float(ef), cap, side, vi,
+                 float(lat), float(lng))
+            )
+    return rows
+
+
+def _q_geo_buffer_shapes(spark, sf_dir):
+    """Distributed point/polyline buffering (S2BufferOperation,
+    s2buffer_operation.h): ONE groupBy(job-key) shuffle; the kernel
+    facade (offset arcs, end caps, sweep-edge winding tracking, winding
+    resolution) runs per job inside applyInPandas — a task is bounded
+    by one job's offset-path size, never the table's."""
+    from s2geometry_spark.operators.buffer_ops import buffer_shapes_join
+
+    jobs = spark.createDataFrame(
+        _buffer_shape_rows(),
+        "job string, kind string, radius_rad double,"
+        " error_fraction double, end_cap string, side string,"
+        " vertex_idx int, lat double, lng double",
+    ).repartition(8)
+    return buffer_shapes_join(jobs).orderBy("job", "loop_idx")
+
+
+def _buffer_shapes_oracle_sql() -> str:
+    import numpy as np
+
+    from s2geometry_spark.kernel.buffer import (
+        BufferOperation,
+        BufferOptions,
+    )
+    from s2geometry_spark.kernel.coords import latlng_to_xyz
+    from s2geometry_spark.operators.polyline_ops import simplify_digest
+
+    rows = []
+    for job, kind, radius, ef, cap, side, lls in _BUFFER_SHAPE_JOBS:
+        options = BufferOptions(radius)
+        options.set_error_fraction(ef)
+        options.end_cap_style = cap
+        options.polyline_side = side
+        op = BufferOperation(options)
+        lat = np.array([p[0] for p in lls], np.float64)
+        lng = np.array([p[1] for p in lls], np.float64)
+        x, y, z = latlng_to_xyz(lat, lng)
+        v = np.stack([x, y, z], -1)
+        if kind == "point":
+            for p in v:
+                op.add_point(p)
+        elif kind == "polyline":
+            op.add_polyline(v)
+        else:
+            op.add_loop(v)
+        result = op.build()
+        if not result.loops:
+            rows.append(
+                f"('{job}', -1, 0, '{simplify_digest(np.empty((0, 3)))}',"
+                f" {int(result.is_full())}, {int(result.is_empty())})"
+            )
+        else:
+            for li, loop in enumerate(result.loops):
+                rows.append(
+                    f"('{job}', {li}, {len(loop)},"
+                    f" '{simplify_digest(loop)}', 0, 0)"
+                )
+    values = ", ".join(rows)
+    return f"""
+    SELECT job, CAST(loop_idx AS INTEGER) AS loop_idx,
+           CAST(n_vertices AS INTEGER) AS n_vertices, digest,
+           CAST(full_i AS INTEGER) AS full_i,
+           CAST(empty_i AS INTEGER) AS empty_i
+    FROM (VALUES {values})
+         AS t(job, loop_idx, n_vertices, digest, full_i, empty_i)
+    ORDER BY job, loop_idx
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_hierarchy": _q_cell_hierarchy,
@@ -1565,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_nesting_join": _q_shape_nesting,
         "geo_loop_relations": _q_geo_loop_relations,
         "geo_validate": _q_geo_validate,
+        "geo_buffer_shapes": _q_geo_buffer_shapes,
     }
 
 
@@ -1818,6 +1927,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         "geo_buffer": OR.buffer_fixture_sql(_BUFFER_JOBS, _BUFFER_CONVEX),
         "geo_relation_matrix": _relation_matrix_oracle(),
         "geo_validate": _validate_oracle_sql(),
+        "geo_buffer_shapes": _buffer_shapes_oracle_sql(),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""
             WITH cells AS (
