@@ -504,3 +504,100 @@ class PolygonLayer:
                 if _proper_crossing(a, b):
                     return "OVERLAPPING_GEOMETRY"
         return None
+
+
+class LaxPolygonLayer:
+    """s2builderutil::LaxPolygonLayer
+    (s2builderutil_lax_polygon_layer.cc:56-217): assembles a lax polygon
+    (loops may be degenerate) from the builder graph, with the
+    DegenerateBoundaries policy — DISCARD drops all degeneracies,
+    DISCARD_HOLES / DISCARD_SHELLS classify each degenerate edge with
+    FindPolygonDegeneracies and drop one kind, KEEP keeps everything.
+
+    Output: self.loops (list of (N,3) arrays; the empty array is the
+    full loop) and per-loop per-edge label set ids when with_labels."""
+
+    DISCARD = "DISCARD"
+    DISCARD_HOLES = "DISCARD_HOLES"
+    DISCARD_SHELLS = "DISCARD_SHELLS"
+    KEEP = "KEEP"
+
+    def __init__(self, edge_type: str = DIRECTED,
+                 degenerate_boundaries: str = "DISCARD",
+                 with_labels: bool = False):
+        self.edge_type = edge_type
+        self.degenerate_boundaries = degenerate_boundaries
+        self.with_labels = with_labels
+        self.loops: list[np.ndarray] = []
+        self.label_set_ids: list[list[int]] = []
+        self.label_set_lexicon = IdSetLexicon()
+
+    def graph_options(self) -> GraphOptions:
+        from .graph import DISCARD as _D
+        from .graph import DISCARD_EXCESS as _DE
+
+        if self.degenerate_boundaries == self.DISCARD:
+            return GraphOptions(self.edge_type, _D, KEEP, _D)
+        # keep at most one copy of each sibling pair / isolated vertex
+        return GraphOptions(self.edge_type, _DE, KEEP, _DE)
+
+    def build(self, g: Graph) -> str | None:
+        from .degeneracies import (
+            find_polygon_degeneracies,
+            is_fully_degenerate,
+        )
+        from .graph import get_directed_loops
+
+        if g.options.edge_type != DIRECTED:
+            return "UNIMPLEMENTED: undirected edges not supported yet"
+        db = self.degenerate_boundaries
+        is_full = bool(getattr(g, "is_full_polygon", False))
+        loops: list[np.ndarray] = []
+        if db == self.DISCARD:
+            if g.num_edges() == 0 and is_full:
+                loops.append(np.empty((0, 3)))
+        elif db == self.KEEP:
+            if is_fully_degenerate(g.edges) and is_full:
+                loops.append(np.empty((0, 3)))
+        else:
+            discard_holes = db == self.DISCARD_HOLES
+            degeneracies = find_polygon_degeneracies(
+                g.vertices, g.edges, is_full
+            )
+            if len(degeneracies) == g.num_edges():
+                if not degeneracies:
+                    if is_full:
+                        loops.append(np.empty((0, 3)))
+                elif degeneracies[0][1]:  # is_hole
+                    loops.append(np.empty((0, 3)))
+            discard = sorted(
+                e for e, is_hole in degeneracies if is_hole == discard_holes
+            )
+            if discard:
+                dset = set(discard)
+                new_edges = []
+                new_ids = []
+                for e in range(g.num_edges()):
+                    if e in dset:
+                        continue
+                    new_edges.append(g.edges[e])
+                    new_ids.append(g.input_id_set_ids[e])
+                g = Graph(
+                    g.options, g.vertices, new_edges, new_ids, g.lexicon,
+                    g.label_sets,
+                )
+                g.is_full_polygon = is_full
+        edge_loops, error = get_directed_loops(g, "CIRCUIT")
+        if error:
+            return error
+        fetcher = LabelFetcher(g, self.edge_type) if self.with_labels else None
+        for ep in edge_loops:
+            loops.append(np.asarray([g.vertex(g.edge(e)[0]) for e in ep]))
+            if fetcher:
+                self.label_set_ids.append(
+                    [self.label_set_lexicon.add(fetcher.fetch(e)) for e in ep]
+                )
+            elif self.with_labels:
+                self.label_set_ids.append([])
+        self.loops = loops
+        return None
