@@ -494,3 +494,51 @@ CellIndex.build_full = _cellindex_build_full
 CellIndex.clear = _cellindex_clear
 CellIndex.visit_intersecting_cells = _cellindex_visit_intersecting_cells
 CellIndex.get_intersecting_labels = _cellindex_get_intersecting_labels
+
+
+def cell_iterator_join(
+    cells_a: list[CID],
+    cells_b: list[CID],
+    visitor,
+    tolerance2: float = 0.0,
+) -> bool:
+    """S2CellIteratorJoin (s2cell_iterator_join.h): visit pairs from two
+    id-sorted cell sequences.  With tolerance 0, visits exactly the
+    pairs whose leaf ranges overlap, in (a, b) order via the classic
+    range merge; with a positive tolerance (squared chord), visits every
+    pair within that distance, left-driven (all pairs for one A cell are
+    contiguous).  Stops and returns False when the visitor does."""
+    cells_a = sorted(cells_a, key=lambda c: c.id)
+    cells_b = sorted(cells_b, key=lambda c: c.id)
+    if tolerance2 <= 0.0:
+        i = j = 0
+        while i < len(cells_a) and j < len(cells_b):
+            a, b = cells_a[i], cells_b[j]
+            a_min, a_max = a.range_min().id, a.range_max().id
+            b_min, b_max = b.range_min().id, b.range_max().id
+            if a_max < b_min:
+                i += 1
+            elif b_max < a_min:
+                j += 1
+            else:
+                if not visitor(a, b):
+                    return False
+                if a_max < b_max:
+                    i += 1
+                elif b_max < a_max:
+                    j += 1
+                else:
+                    i += 1
+                    j += 1
+        return True
+    # tolerant join: left-driven distance scan
+    from .cell import cell_cell_distance2
+
+    b_cells = [Cell(c) for c in cells_b]
+    for a in cells_a:
+        ca = Cell(a)
+        for b, cb in zip(cells_b, b_cells):
+            if cell_cell_distance2(ca, cb) < tolerance2:
+                if not visitor(a, b):
+                    return False
+    return True
