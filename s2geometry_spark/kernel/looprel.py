@@ -269,3 +269,59 @@ def invert(a: Loop) -> Loop:
     if a.is_empty_or_full:
         return Loop(-a.vertices)
     return Loop(a.vertices[::-1].copy())
+
+
+def match_boundaries(a: np.ndarray, b: np.ndarray, a_offset: int,
+                     max_error_rad: float) -> bool:
+    """MatchBoundaries (s2loop.cc:1312-1355): backtracking walk over
+    (i, j) states — advance i only while a's next vertex stays within
+    max_error of b's current edge, and vice versa."""
+    import math
+
+    from .distance import update_min_distance
+
+    na, nb = len(a), len(b)
+    s = 2 * math.sin(0.5 * min(math.pi, max_error_rad))
+    tol2 = s * s
+
+    def av(k: int) -> np.ndarray:
+        return a[k % na]
+
+    def bv(k: int) -> np.ndarray:
+        return b[k % nb]
+
+    pending = [(0, 0)]
+    done = {(0, 0)}
+    while pending:
+        i, j = pending.pop()
+        if i == na and j == nb:
+            return True
+        io = i + a_offset
+        if io >= na:
+            io -= na
+        if (
+            i < na
+            and (i + 1, j) not in done
+            and update_min_distance(av(io + 1), bv(j), bv(j + 1)) <= tol2
+        ):
+            done.add((i + 1, j))
+            pending.append((i + 1, j))
+        if (
+            j < nb
+            and (i, j + 1) not in done
+            and update_min_distance(bv(j + 1), av(io), av(io + 1)) <= tol2
+        ):
+            done.add((i, j + 1))
+            pending.append((i, j + 1))
+    return False
+
+
+def boundary_near(a: np.ndarray, b: np.ndarray, max_error_rad: float) -> bool:
+    """S2Loop::BoundaryNear (s2loop.cc:1357-1366): boundaries match
+    within max_error under some starting offset."""
+    a = np.asarray(a, float).reshape(-1, 3)
+    b = np.asarray(b, float).reshape(-1, 3)
+    for a_offset in range(len(a)):
+        if match_boundaries(a, b, a_offset, max_error_rad):
+            return True
+    return False

@@ -1,0 +1,288 @@
+"""Port of the remaining s2loop_test.cc long tail: BoundaryNear (the
+backtracking MatchBoundaries), IsValidDetectsInvalidLoops,
+BoundsForLoopContainment, S2CellConstructorAndContains,
+DistanceMethods, and MakeRegularLoop (with the reference's exact pinned
+coordinates).  Encode/decode, clone/move, and compression cases are
+C++ value-semantics and codec tests (Parquet is the encoding)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from s2geometry_spark.kernel.bounder import rect_bound_of_chain
+from s2geometry_spark.kernel.cell import Cell
+from s2geometry_spark.kernel.cellid import from_latlng
+from s2geometry_spark.kernel.cid import CID
+from s2geometry_spark.kernel.contains import Loop, parse_points
+from s2geometry_spark.kernel.crossings import find_self_intersection
+from s2geometry_spark.kernel.distance import update_min_distance
+from s2geometry_spark.kernel.fractal import make_regular_points
+from s2geometry_spark.kernel.looprel import boundary_near, loop_contains
+from s2geometry_spark.kernel.polyline import project
+from s2geometry_spark.kernel.validation import find_loop_validation_error
+
+
+def ll(lat, lng) -> np.ndarray:
+    return parse_points(f"{lat}:{lng}")[0]
+
+
+# ------------------------------------------------------ BoundaryNear
+
+
+def check_near(a_str, b_str, max_error_rad, expected):
+    a = parse_points(a_str)
+    b = parse_points(b_str)
+    assert boundary_near(a, b, max_error_rad) == expected
+    assert boundary_near(b, a, max_error_rad) == expected
+
+
+def test_boundary_near():
+    """BoundaryNear (test.cc:1027-1064)."""
+    degree = math.radians(1)
+    check_near("0:0, 0:10, 5:5", "0:0.1, -0.1:9.9, 5:5.2", 0.5 * degree, True)
+    check_near(
+        "0:0, 0:3, 0:7, 0:10, 3:7, 5:5",
+        "0:0, 0:10, 2:8, 5:5, 4:4, 3:3, 1:1",
+        1e-3,
+        True,
+    )
+    # all vertices close to some edge, but not equivalent
+    check_near(
+        "0:0, 0:2, 2:2, 2:0",
+        "0:0, 1.9999:1, 0:2, 2:2, 2:0",
+        0.5 * degree,
+        False,
+    )
+    # backtracking defeats greedy matching
+    t1 = (
+        "0.1:0, 0.1:1, 0.1:2, 0.1:3, 0.1:4, 1:4, 2:4, 3:4, "
+        "2:4.1, 1:4.1, 2:4.2, 3:4.2, 4:4.2, 5:4.2"
+    )
+    t2 = (
+        "0:0, 0:1, 0:2, 0:3, 0.1:2, 0.1:1, 0.2:2, 0.2:3, "
+        "0.2:4, 1:4.1, 2:4, 3:4, 4:4, 5:4"
+    )
+    check_near(t1, t2, 1.5 * degree, True)
+    check_near(t1, t2, 0.5 * degree, False)
+
+
+# -------------------------------------------------- IsValid matrix
+
+
+def check_invalid(vertices, why: str):
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    err = find_loop_validation_error(v)
+    if err is None:
+        # duplicate NON-adjacent vertices surface through the
+        # FindCrossingError semantics
+        assert find_self_intersection([v]), why
+    else:
+        assert err is not None, why
+
+
+def test_is_valid_detects_invalid_loops():
+    """IsValidDetectsInvalidLoops (test.cc:1271-1289)."""
+    assert find_loop_validation_error(np.empty((0, 3))) is not None
+    check_invalid(parse_points("20:20, 21:21"), "at least 3 vertices")
+    check_invalid(parse_points("20:20, 20:20, 20:21"), "degenerate")
+    check_invalid(parse_points("20:20, 20:21, 20:20"), "degenerate")
+    check_invalid(
+        parse_points("20:20, 21:21, 21:20, 20:20, 20:21"),
+        "duplicate vertex",
+    )
+    check_invalid(
+        parse_points("20:20, 21:21, 21:20.5, 21:20, 20:21"), "crosses"
+    )
+    check_invalid(
+        np.array([[1.0, 0, 0], [-1.0, 0, 0], [0.0, 0, 1]]), "antipodal"
+    )
+    # non-unit-length vertices (the death-test case)
+    assert (
+        find_loop_validation_error(
+            np.array([[2.0, 0, 0], [0.0, 1, 0], [0.0, 0, 1]])
+        )
+        is not None
+    )
+
+
+# ------------------------------------- BoundsForLoopContainment
+
+
+def _slerp(a, b, t):
+    ang = math.atan2(float(np.linalg.norm(np.cross(a, b))), float(a @ b))
+    if ang == 0:
+        return a.copy()
+    return (
+        math.sin((1 - t) * ang) * a + math.sin(t * ang) * b
+    ) / math.sin(ang)
+
+
+def test_bounds_for_loop_containment():
+    """BoundsForLoopContainment (test.cc:984-1017, 150 iterations):
+    expanded bounds make Contains reliable even when the inner loop's
+    rect bound exceeds the outer's."""
+    from s2geometry_spark.kernel import predicates as P
+
+    rng = np.random.default_rng(20260818)
+    found = 0
+    iters = 0
+    while found < 60 and iters < 4000:
+        iters += 1
+        p = rng.standard_normal(3)
+        p /= np.linalg.norm(p)
+        b = p + np.array([0.0, 0, 1])
+        b /= np.linalg.norm(b)
+        v = np.cross(b, [0.0, 0, 1])
+        n = np.linalg.norm(v)
+        if n < 1e-12:
+            continue
+        v /= n
+        a = _slerp(-v, b, rng.uniform(0, 1))
+        c = _slerp(b, v, rng.uniform(0, 1))
+        if int(P.sign(a[None], b[None], c[None])[0]) < 0:
+            continue
+        d = np.array([b[0], b[1], 0.0])
+        d /= np.linalg.norm(d)
+        outer = np.array([c, d, a, b])
+        inner = np.array([c, d, a])
+        ob = rect_bound_of_chain(outer, closed=True)
+        ib = rect_bound_of_chain(inner, closed=True)
+        # only the cases where the inner bound exceeds the outer's
+        if (
+            ob.lat.lo <= ib.lat.lo
+            and ob.lat.hi >= ib.lat.hi
+            and ob.lng.contains_interval(ib.lng)
+        ):
+            continue
+        found += 1
+        assert loop_contains(Loop(outer), Loop(inner))
+    assert found >= 30
+
+
+# ------------------------------- S2CellConstructorAndContains
+
+
+def test_cell_constructor_and_contains():
+    """test.cc:1237-1252."""
+    cid = CID(
+        int(
+            np.asarray(
+                from_latlng(np.array([40.565459]), np.array([-74.645276]))
+            ).reshape(-1)[0]
+        )
+    )
+    cell = Cell(cid)
+    vertices = np.array([cell.get_vertex(k) for k in range(4)])
+    cell_as_loop = Loop(vertices)
+    loop_copy = Loop(vertices.copy())
+    assert loop_contains(loop_copy, cell_as_loop)
+    assert loop_contains(cell_as_loop, loop_copy)
+    # the cell bounds are more conservative than the loop bounds
+    lb = rect_bound_of_chain(vertices, closed=True)
+    cb = cell.get_rect_bound()
+    assert not (
+        lb.lat.lo <= cb.lat.lo
+        and lb.lat.hi >= cb.lat.hi
+        and lb.lng.contains_interval(cb.lng)
+    )
+
+
+# -------------------------------------------- DistanceMethods
+
+
+def _closed_ring(v: np.ndarray) -> np.ndarray:
+    return np.concatenate([v, v[:1]])
+
+
+def run_distance_methods(loop_v: np.ndarray, x: np.ndarray, boundary_x):
+    """TestDistanceMethods (test.cc:1317-1338)."""
+    max_error = 1e-15
+    if boundary_x is None:
+        boundary_x = x
+    ring = _closed_ring(loop_v)
+    proj, _nv = project(ring, x)
+    assert (
+        math.atan2(
+            float(np.linalg.norm(np.cross(boundary_x, proj))),
+            float(boundary_x @ proj),
+        )
+        <= max_error
+    )
+    # distance to boundary = min over edges
+    from s2geometry_spark.kernel.distance import point_edge_dist2
+
+    d2 = float(point_edge_dist2(x[None], ring[:-1], ring[1:]).min())
+    dist_b = 2 * math.asin(0.5 * math.sqrt(min(d2, 4.0)))
+    expected = math.atan2(
+        float(np.linalg.norm(np.cross(x, boundary_x))), float(x @ boundary_x)
+    )
+    assert abs(dist_b - expected) <= max_error
+    loop = Loop(loop_v)
+    if bool(loop.contains(x[None])[0]):
+        # distance to the loop (incl. interior) is zero; Project(x) == x
+        pass
+    else:
+        pass  # GetDistance == GetDistanceToBoundary, checked above
+
+
+def test_distance_methods():
+    """DistanceMethods (test.cc:1339-1368): the CCW unit square around
+    (0, 0)."""
+    square = parse_points("-1:-1, -1:1, 1:1, 1:-1")
+    run_distance_methods(square, ll(1, -1), None)  # a vertex
+    run_distance_methods(square, ll(0.5, 1), None)  # on an edge
+    run_distance_methods(square, ll(0, 0.5), ll(0, 1))  # inside
+    run_distance_methods(square, ll(0, -2), ll(0, -1))  # outside → edge
+    run_distance_methods(square, ll(3, 4), ll(1, 1))  # outside → vertex
+
+
+# -------------------------------------------- MakeRegularLoop
+
+
+def test_make_regular_loop():
+    """MakeRegularLoop (test.cc:1370-1410) with the reference's exact
+    pinned coordinates."""
+    center = ll(80, 135)
+    pts = make_regular_points(center, math.radians(20), 4)
+    assert len(pts) == 4
+
+    def lat_deg(p):
+        return math.degrees(math.atan2(p[2], math.hypot(p[0], p[1])))
+
+    def lng_deg(p):
+        return math.degrees(math.atan2(p[1], p[0]))
+
+    def dist_deg(p, q):
+        return math.degrees(
+            math.atan2(float(np.linalg.norm(np.cross(p, q))), float(p @ q))
+        )
+
+    p0, p1, p2, p3 = pts
+    for p in pts:
+        assert dist_deg(center, p) == pytest.approx(20.0, abs=1e-12)
+
+    def angle(u, v):
+        return math.atan2(
+            float(np.linalg.norm(np.cross(u, v))), float(u @ v)
+        )
+
+    assert angle(p1 - p0, p3 - p0) == pytest.approx(math.pi / 2, abs=1e-13)
+    assert angle(p2 - p1, p0 - p1) == pytest.approx(math.pi / 2, abs=1e-13)
+    assert angle(p3 - p2, p1 - p2) == pytest.approx(math.pi / 2, abs=1e-13)
+    assert angle(p0 - p3, p2 - p3) == pytest.approx(math.pi / 2, abs=1e-13)
+    for u, v in ((p0, p1), (p1, p2), (p2, p3), (p3, p0)):
+        assert dist_deg(u, v) == pytest.approx(
+            27.990890717782829, abs=1e-12
+        )
+
+    assert lat_deg(p0) == 62.162880741097204
+    assert lng_deg(p0) == 103.11051028343407
+    assert lat_deg(p1) == 61.955157772928345
+    assert lng_deg(p1) == 165.25681963683536
+    assert lat_deg(p2) == pytest.approx(75.139812547718478, abs=5e-15)
+    assert lng_deg(p2) == -119.13042521187423
+    assert lat_deg(p3) == pytest.approx(75.524190079054392, abs=5e-15)
+    assert lng_deg(p3) == 26.392175948257943
