@@ -335,8 +335,60 @@ def _side_contains(poly: Polygon, c, d, m, left: bool) -> bool:
     return inside
 
 
+
+
+def _normalize_kept_edges(kept: list) -> list:
+    """Sliver cleanup for SNAPPED inputs (the regime of the
+    s2polygon_test.cc Bug regressions): merge kept-edge endpoints within
+    4·kIntersectionError (the builder's crossing-site slop), drop the
+    collapsed edges, dedupe exact directed duplicates, cancel kept
+    sibling pairs (zero-area slivers), and prune dangling edges
+    iteratively (a valid region boundary has balanced in/out degrees at
+    every vertex).  Mirrors the winding operation's merge branch."""
+    from collections import Counter
+
+    merge2 = (4 * 8 * _DBL_ERR) ** 2
+    remap: dict = {}
+
+    def canon(t: tuple) -> tuple:
+        while t in remap:
+            t = remap[t]
+        return t
+
+    for c, d in kept:
+        dd = c - d
+        if float(dd @ dd) < merge2:
+            kc, kd = canon(tuple(c)), canon(tuple(d))
+            if kc != kd:
+                lo, hi = (kc, kd) if kc < kd else (kd, kc)
+                remap[hi] = lo
+    out = []
+    seen = set()
+    for c, d in kept:
+        kc, kd = canon(tuple(c)), canon(tuple(d))
+        if kc == kd or (kc, kd) in seen:
+            continue
+        seen.add((kc, kd))
+        out.append((np.asarray(kc), np.asarray(kd)))
+    # cancel kept sibling pairs
+    out = [
+        (c, d)
+        for c, d in out
+        if (tuple(d), tuple(c)) not in seen
+    ]
+    # a dangling edge means the per-sub-edge classification was
+    # inconsistent (one edge of a chain dropped) — signal the caller to
+    # fall back to the winding-based resolution instead of silently
+    # losing the chain
+    outs = Counter(tuple(c) for c, d in out)
+    ins = Counter(tuple(d) for c, d in out)
+    for c, d in out:
+        if ins.get(tuple(c), 0) == 0 or outs.get(tuple(d), 0) == 0:
+            raise ValueError("inconsistent sliver classification")
+    return out
+
 def _overlay(a: Polygon, b: Polygon, keep_a_inside: bool, keep_b_inside: bool,
-             reverse_b: bool, xor: bool = False) -> Polygon:
+             reverse_b: bool, xor: bool = False, robust: bool = False) -> Polygon:
     raw_a = _edges_of(a)
     raw_b = _edges_of(b)
     # Exactly-shared boundary segments can't be classified by midpoint PIP
@@ -397,7 +449,10 @@ def _overlay(a: Polygon, b: Polygon, keep_a_inside: bool, keep_b_inside: bool,
         b_kept = [e for e, inside in zip(eb, b_in_a) if inside == keep_b_inside]
         if reverse_b:
             b_kept = [(d, c) for c, d in b_kept]
-    loops = _assemble_loops(kept + b_kept)
+    all_kept = kept + b_kept
+    if robust:
+        all_kept = _normalize_kept_edges(all_kept)
+    loops = _assemble_loops(all_kept)
     # Even-odd parity (Polygon.contains XORs per-loop crossing parities
     # seeded by each loop's origin_inside) needs every loop in its
     # "smaller than a hemisphere" orientation; reversed hole rings from
@@ -512,18 +567,89 @@ def boolean_op_snapped(a: Polygon, b: Polygon, op: str, snap=None) -> Polygon:
     (snap_polygons_joint), which turns collinear overlaps into
     exactly-shared sub-chains that `_overlay` already supports.
 
-    Default snap function: IdentitySnapFunction with a 1e-12 rad radius
-    (keeps every input vertex as a site, splits edges at sites lying on
-    them — the minimal rounding that regularizes collinear overlap)."""
+    Default snap function: IdentitySnapFunction(kIntersectionMergeRadius)
+    — the reference's own S2BooleanOperation default (2·kIntersectionError,
+    s2edge_crossings.h kIntersectionMergeRadius): keeps every input
+    vertex as a site, splits edges at sites lying on them, and preserves
+    slivers whose features exceed the merge radius (the
+    s2polygon_test.cc Bug1-12 regression regime — a larger radius
+    collapses their sub-1e-12 edges and empties the result)."""
     from .builder import IdentitySnapFunction
 
     if snap is None:
-        snap = IdentitySnapFunction(1e-12)
+        snap = IdentitySnapFunction(2 * _INTERSECTION_ERROR)
+    sa, sb = snap_polygons_joint([a, b], snap)
+    # empty/full short-circuits as in the public wrappers
     fns = {"intersection": intersection, "union": union,
            "difference": difference,
            "symmetric_difference": symmetric_difference}
-    sa, sb = snap_polygons_joint([a, b], snap)
-    return fns[op](sa, sb)
+    if sa.is_empty or sb.is_empty or sa.is_full or sb.is_full:
+        return fns[op](sa, sb)
+    # First try the sliver-robust overlay (exact shared-edge handling,
+    # endpoint merging, duplicate/sibling cleanup); when its per-sub-edge
+    # classification turns out inconsistent (a dangling chain), fall back
+    # to the winding-based resolution below.
+    try:
+        if op == "intersection":
+            return _overlay(sa, sb, True, True, False, robust=True)
+        if op == "union":
+            return _overlay(sa, sb, False, False, False, robust=True)
+        if op == "difference":
+            return _overlay(sa, sb, False, True, True, robust=True)
+        return _overlay(sa, sb, False, False, False, xor=True, robust=True)
+    except ValueError:
+        pass
+    # Resolve via the WINDING machinery — the reference's own
+    # architecture (S2BooleanOperation is built on winding numbers,
+    # s2boolean_operation.cc): orient each operand's loops so its
+    # interior has winding 1 (shells CCW, holes CW per even_odd_signs),
+    # reverse the subtrahend for DIFFERENCE, then apply the op's winding
+    # rule.  The winding op's crossing-vertex merging and sliver cleanup
+    # make this robust for the near-degenerate snapped inputs the
+    # overlay's per-sub-edge classification cannot handle
+    # (s2polygon_test.cc Bug1-12).
+    from .contains import Loop as _Loop
+    from .measures import even_odd_signs
+    from .winding import WindingRule, winding_operation
+
+    def oriented(poly: Polygon, reverse: bool) -> list:
+        loops = [l.vertices for l in poly.loops]
+        signs = even_odd_signs(loops)
+        out = []
+        for sgn, v in zip(signs, loops):
+            w = v if sgn > 0 else v[::-1].copy()
+            if reverse:
+                w = w[::-1].copy()
+            out.append(w)
+        return out
+
+    reverse_b = op == "difference"
+    traces = oriented(sa, False) + oriented(sb, reverse_b)
+    centroid = np.concatenate(
+        [l.vertices for l in sa.loops] + [l.vertices for l in sb.loops]
+    ).sum(0)
+    n = np.linalg.norm(centroid)
+    ref = -(centroid / n) if n > 1e-30 else np.array([0.0, 0.0, 1.0])
+    ref_winding = int(bool(sa.contains(ref[None])[0]))
+    wb = int(bool(sb.contains(ref[None])[0]))
+    ref_winding += -wb if reverse_b else wb
+    rule = {
+        "union": WindingRule.POSITIVE,
+        "intersection": lambda w: w >= 2,
+        "difference": WindingRule.POSITIVE,
+        "symmetric_difference": WindingRule.ODD,
+    }[op]
+    loops, full = winding_operation(traces, ref, ref_winding, rule)
+    from .measures import loop_signed_area
+
+    if full and not loops:
+        return Polygon([_Loop(np.array([[0.0, 0.0, -1.0]]))])
+    out = []
+    for v in loops:
+        if loop_signed_area(v) < 0:
+            v = v[::-1].copy()
+        out.append(_Loop(v))
+    return Polygon(out)
 
 
 def cellunion_to_polygon(cells) -> Polygon:
