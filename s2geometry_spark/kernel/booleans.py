@@ -36,12 +36,24 @@ from .contains import Loop, Polygon
 
 
 def _edges_of(poly: Polygon):
+    """Directed boundary edges with the POLYGON interior on the left:
+    odd-depth loops (holes) are traversed reversed (even_odd_signs).
+    Classification by midpoint PIP is direction-independent, but the
+    crossing-vertex assembly's max-CCW-turn face tracing and the kept
+    directions assume interior-on-left — holes crossing the other
+    operand (the interlocking-doughnut case of s2polygon_test.cc
+    Operations) mis-assemble without this."""
+    loops_v = [l.vertices for l in poly.loops if len(l.vertices) >= 3]
+    if not loops_v:
+        return []
+    from .measures import even_odd_signs
+
+    signs = even_odd_signs(loops_v) if len(loops_v) > 1 else [1]
     out = []
-    for li, loop in enumerate(poly.loops):
-        v = loop.vertices
-        if len(v) >= 3:
-            for i in range(len(v)):
-                out.append((v[i], v[(i + 1) % len(v)]))
+    for sgn, v in zip(signs, loops_v):
+        w = v if sgn > 0 else v[::-1]
+        for i in range(len(w)):
+            out.append((w[i], w[(i + 1) % len(w)]))
     return out
 
 
