@@ -330,6 +330,42 @@ class PolylineLayer:
         return None
 
 
+class LaxPolylineLayer:
+    """LaxPolylineLayer (s2builderutil_lax_polyline_layer.cc:75-105):
+    assembles edges into ONE lax polyline via WALK.  Identical to
+    PolylineLayer except DegenerateEdges::KEEP (a lax polyline admits
+    degenerate/duplicate vertices) and no validation pass."""
+
+    def __init__(self, edge_type: str = DIRECTED, with_labels: bool = False):
+        self.edge_type = edge_type
+        self.with_labels = with_labels
+        self.polyline: np.ndarray | None = None
+        self.label_set_ids: list[int] = []
+        self.label_set_lexicon = IdSetLexicon()
+
+    def graph_options(self) -> GraphOptions:
+        return GraphOptions(self.edge_type, KEEP, KEEP, KEEP)
+
+    def build(self, g: Graph) -> str | None:
+        if g.num_edges() == 0:
+            self.polyline = np.zeros((0, 3))
+            return None
+        edge_polylines = g.get_polylines(WALK)
+        if len(edge_polylines) != 1:
+            return "BUILDER_EDGES_DO_NOT_FORM_POLYLINE"
+        ep = edge_polylines[0]
+        verts = [g.vertex(g.edge(ep[0])[0])]
+        verts.extend(g.vertex(g.edge(e)[1]) for e in ep)
+        if self.with_labels:
+            fetcher = LabelFetcher(g, self.edge_type)
+            for e in ep:
+                self.label_set_ids.append(
+                    self.label_set_lexicon.add(fetcher.fetch(e))
+                )
+        self.polyline = np.asarray(verts)
+        return None
+
+
 class PolylineVectorLayer:
     """S2PolylineVectorLayer (s2builderutil_s2polyline_vector_layer.cc):
     assembles edges into as few polylines as possible; options mirror
