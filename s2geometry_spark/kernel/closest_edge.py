@@ -58,12 +58,17 @@ def parse_index(s: str) -> list[Shape]:
         poly_str = poly_str.strip()
         if not poly_str:
             continue
-        loops = [Loop(parse_points(l)) for l in poly_str.split(";") if l.strip()]
+        if poly_str == "empty":
+            loops = []
+        else:
+            from .contains import parse_loop
+
+            loops = [parse_loop(l) for l in poly_str.split(";") if l.strip()]
         poly = Polygon(loops)
         cs, ds = [], []
         for loop in poly.loops:
             v = loop.vertices
-            if len(v) >= 3:
+            if not loop.is_empty_or_full and len(v) >= 3:
                 cs.append(v)
                 ds.append(np.roll(v, -1, axis=0))
         c = np.concatenate(cs) if cs else np.zeros((0, 3))

@@ -20,7 +20,17 @@ CLOSED = "closed"
 
 def _shape_loops(shape: Shape) -> list[np.ndarray]:
     if shape.polygon is not None:
-        return [l.vertices for l in shape.polygon.loops]
+        loops = []
+        for l in shape.polygon.loops:
+            if l.is_empty_or_full:
+                # Translate the S2Loop sentinels to the lax convention:
+                # full loop → empty chain (LaxPolygon full); the empty
+                # loop contributes nothing.
+                if l.origin_inside:
+                    loops.append(np.zeros((0, 3)))
+                continue
+            loops.append(l.vertices)
+        return loops
     return []
 
 
