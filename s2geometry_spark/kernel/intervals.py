@@ -30,6 +30,19 @@ class R1Interval:
     def is_empty(self) -> bool:
         return self.lo > self.hi
 
+    def __eq__(self, y) -> bool:
+        """operator== (r1interval.h:169-173): bounds equal, or both empty."""
+        if not isinstance(y, R1Interval):
+            return NotImplemented
+        return (self.lo == y.lo and self.hi == y.hi) or (
+            self.is_empty() and y.is_empty()
+        )
+
+    def __hash__(self):
+        if self.is_empty():
+            return hash(("R1Interval", "empty"))
+        return hash(("R1Interval", self.lo, self.hi))
+
     def get_center(self) -> float:
         return 0.5 * (self.lo + self.hi)
 
