@@ -93,6 +93,12 @@ class Cap:
         return Cap(center, length * length)
 
     @staticmethod
+    def from_center_height(center, height: float) -> "Cap":
+        """FromCenterHeight: length2 = 2·height, clamped at 4 like
+        S1ChordAngle::FromLength2 (s2cap.h:118-124)."""
+        return Cap(center, min(4.0, 2.0 * height))
+
+    @staticmethod
     def empty() -> "Cap":
         return Cap(np.array([1.0, 0, 0]), -1.0)
 
