@@ -342,3 +342,159 @@ def decode_polygon_uncompressed(dec: Decoder) -> list[tuple[np.ndarray, int]]:
     loops = [decode_loop(dec) for _ in range(n)]
     decode_latlng_rect(dec)  # bound
     return loops
+
+
+# ---------------------------------------------------------------------------
+# Compressed (version 4) encodings: snap-level point codec
+# (s2loop.cc:1377-1443, s2polygon.cc:731-785/1485-1534,
+#  s2polyline.cc:477-536)
+# ---------------------------------------------------------------------------
+
+COMPRESSED_VERSION = 4
+MAX_CELL_LEVEL = 30
+_K_ORIGIN_INSIDE = 1  # CompressedLoopProperty bit 0 (s2loop.cc:96-100)
+_K_BOUND_ENCODED = 2  # bit 1
+_MIN_VERTICES_FOR_BOUND = 64  # s2loop.cc:1458
+
+
+def _choose_snap_format(vertices: np.ndarray):
+    """The shared histogram heuristic (s2polygon.cc:749-785,
+    s2polyline.cc:491-525): snap level = level with most snapped
+    vertices (lowest wins ties); compressed iff
+    4*nv + 26*num_unsnapped < 24*nv."""
+    from .point_compression import xyz_face_siti
+
+    _f, _si, _ti, cell_level = xyz_face_siti(vertices)
+    nv = len(vertices)
+    histogram = np.zeros(MAX_CELL_LEVEL + 2, dtype=np.int64)
+    for lvl in cell_level:
+        histogram[int(lvl) + 1] += 1
+    snap_level = int(np.argmax(histogram[1:]))
+    num_snapped = int(histogram[1:][snap_level])
+    exact_point_size = 24 + 2
+    compressed_size = 4 * nv + exact_point_size * (nv - num_snapped)
+    lossless_size = 24 * nv
+    return snap_level, compressed_size < lossless_size
+
+
+def encode_loop_compressed(vertices, depth: int, snap_level: int,
+                           enc: Encoder | None = None) -> Encoder:
+    """S2Loop::EncodeCompressed (s2loop.cc:1377-1398)."""
+    from .contains import Loop
+    from .point_compression import encode_points_compressed
+
+    enc = enc or Encoder()
+    v = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    enc.put_varint32(len(v))
+    encode_points_compressed(v, snap_level, enc)
+    properties = _K_ORIGIN_INSIDE if Loop(v).origin_inside else 0
+    if len(v) >= _MIN_VERTICES_FOR_BOUND:
+        properties |= _K_BOUND_ENCODED
+    enc.put_varint32(properties)
+    enc.put_varint32(depth)
+    if properties & _K_BOUND_ENCODED:
+        encode_latlng_rect(loop_rect_bound(v), enc)
+    return enc
+
+
+def decode_loop_compressed(dec: Decoder,
+                           snap_level: int) -> tuple[np.ndarray, int]:
+    """S2Loop::DecodeCompressed (s2loop.cc:1400-1443)."""
+    from .point_compression import decode_points_compressed
+
+    nv = dec.get_varint32()
+    if nv == 0:
+        raise ValueError("compressed loop must have vertices")
+    vertices = decode_points_compressed(dec, snap_level, nv)
+    properties = dec.get_varint32()
+    depth = dec.get_varint32()
+    if properties & _K_BOUND_ENCODED:
+        decode_latlng_rect(dec)
+    return vertices, depth
+
+
+def encode_polygon_compressed(loops, snap_level: int,
+                              enc: Encoder | None = None) -> Encoder:
+    """S2Polygon::EncodeCompressed (s2polygon.cc:1485-1503)."""
+    enc = enc or Encoder()
+    enc.put8(COMPRESSED_VERSION)
+    enc.put8(snap_level)
+    enc.put_varint32(len(loops))
+    for v, depth in loops:
+        encode_loop_compressed(v, depth, snap_level, enc)
+    return enc
+
+
+def encode_polygon(loops, enc: Encoder | None = None) -> Encoder:
+    """S2Polygon::Encode with the default COMPACT hint
+    (s2polygon.cc:731-785): zero vertices -> compressed at the max
+    level; otherwise the snap-level histogram picks the format."""
+    enc = enc or Encoder()
+    loops = [(np.asarray(v, dtype=np.float64).reshape(-1, 3), d)
+             for v, d in loops]
+    all_vertices = (np.concatenate([v for v, _d in loops])
+                    if loops else np.zeros((0, 3)))
+    if len(all_vertices) == 0:
+        return encode_polygon_compressed(loops, MAX_CELL_LEVEL, enc)
+    snap_level, use_compressed = _choose_snap_format(all_vertices)
+    if use_compressed:
+        return encode_polygon_compressed(loops, snap_level, enc)
+    return encode_polygon_uncompressed(loops, enc)
+
+
+def decode_polygon(dec: Decoder) -> list[tuple[np.ndarray, int]]:
+    """S2Polygon::Decode: dispatch on the version byte
+    (s2polygon.cc:807-819)."""
+    version = dec.buf[dec.pos]
+    if version == LOSSLESS_VERSION:
+        return decode_polygon_uncompressed(dec)
+    if version == COMPRESSED_VERSION:
+        dec.get8()
+        snap_level = dec.get8()
+        if snap_level > MAX_CELL_LEVEL:
+            raise ValueError(f"bad snap level {snap_level}")
+        n = dec.get_varint32()
+        return [decode_loop_compressed(dec, snap_level) for _ in range(n)]
+    raise ValueError(f"unknown S2Polygon version {version}")
+
+
+def encode_polyline_compact(vertices, enc: Encoder | None = None) -> Encoder:
+    """S2Polyline::EncodeMostCompact (s2polyline.cc:477-536)."""
+    from .point_compression import encode_points_compressed
+
+    enc = enc or Encoder()
+    v = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    if len(v) == 0:
+        enc.put8(COMPRESSED_VERSION)
+        enc.put8(MAX_CELL_LEVEL)
+        enc.put_varint32(0)
+        return enc
+    snap_level, use_compressed = _choose_snap_format(v)
+    if not use_compressed:
+        return encode_polyline(v, enc)
+    enc.put8(COMPRESSED_VERSION)
+    enc.put8(snap_level)
+    enc.put_varint32(len(v))
+    encode_points_compressed(v, snap_level, enc)
+    return enc
+
+
+def decode_polyline_any(dec: Decoder) -> np.ndarray:
+    """S2Polyline::Decode: lossless or compressed
+    (s2polyline.cc:445-457, 538-560)."""
+    from .point_compression import decode_points_compressed
+
+    version = dec.get8()
+    if version == LOSSLESS_VERSION:
+        n = dec.get32()
+        raw = dec.getn(24 * n)
+        return np.frombuffer(raw, dtype="<f8").reshape(-1, 3).copy()
+    if version == COMPRESSED_VERSION:
+        snap_level = dec.get8()
+        if snap_level > MAX_CELL_LEVEL:
+            raise ValueError(f"bad snap level {snap_level}")
+        n = dec.get_varint32()
+        if n == 0:
+            return np.zeros((0, 3))
+        return decode_points_compressed(dec, snap_level, n)
+    raise ValueError(f"unknown S2Polyline version {version}")

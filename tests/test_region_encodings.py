@@ -216,3 +216,89 @@ def test_decode_truncated_raises():
     enc = E.encode_polyline(parse_points("0:0, 0:10"))
     with pytest.raises(ValueError):
         E.decode_polyline(E.Decoder(bytes(enc.buf)[:-1]))
+
+
+def test_polygon_compressed_goldens():
+    """The two v4-compressed goldens (s2region_test.cc:123-128): the
+    empty polygon and the full polygon, encoded with the COMPACT hint."""
+    enc = E.encode_polygon([])
+    assert enc.hex() == "041E00"
+    assert E.decode_polygon(E.Decoder(bytes(enc.buf))) == []
+
+    full_loop = np.array([[0.0, 0.0, -1.0]])
+    enc = E.encode_polygon([(full_loop, 0)])
+    assert enc.hex() == "040001010B000100"
+    loops = E.decode_polygon(E.Decoder(bytes(enc.buf)))
+    assert len(loops) == 1
+    assert np.array_equal(loops[0][0], full_loop)
+
+
+def test_polygon_compact_hint_roundtrip():
+    """COMPACT-hint polygons with snapped vertices choose the compressed
+    format and roundtrip exactly (s2polygon.cc:731-785)."""
+    from s2geometry_spark.kernel import cellid as K
+
+    cross = parse_points(KCROSS1)
+    # Snap the vertices to leaf centers so the histogram picks level 30.
+    ids = K.from_point(cross[:, 0], cross[:, 1], cross[:, 2])
+    x, y, z = K.to_point(ids)
+    snapped = np.stack([x, y, z], -1)
+    enc = E.encode_polygon([(snapped, 0)])
+    assert bytes(enc.buf)[0] == E.COMPRESSED_VERSION
+    loops = E.decode_polygon(E.Decoder(bytes(enc.buf)))
+    assert np.array_equal(loops[0][0], snapped)
+
+    # Unsnapped vertices fall back to the lossless format.
+    enc2 = E.encode_polygon([(cross, 0)])
+    assert bytes(enc2.buf)[0] == E.LOSSLESS_VERSION
+    loops2 = E.decode_polygon(E.Decoder(bytes(enc2.buf)))
+    assert np.array_equal(loops2[0][0], cross)
+
+
+def test_polyline_compact_roundtrip():
+    """EncodeMostCompact: snapped polylines compress, unsnapped ones
+    fall back to lossless (s2polyline.cc:477-536)."""
+    from s2geometry_spark.kernel import cellid as K
+
+    three = parse_points("0:0, 0:10, 10:20, 20:30")
+    ids = K.from_point(three[:, 0], three[:, 1], three[:, 2])
+    x, y, z = K.to_point(K.parent(ids, 20))
+    snapped = np.stack([x, y, z], -1)
+
+    enc = E.encode_polyline_compact(snapped)
+    assert bytes(enc.buf)[0] == E.COMPRESSED_VERSION
+    assert len(enc.buf) < 24 * len(snapped)
+    got = E.decode_polyline_any(E.Decoder(bytes(enc.buf)))
+    assert np.array_equal(got, snapped)
+
+    # Genuinely unsnapped points (no vertex is a cell center at any
+    # level — note "0:0" IS the face-0 center, so `three` above would
+    # legitimately choose the compressed format).
+    unsnapped = parse_points("0.5:0.5, 10.3:20.7, 30.1:40.9")
+    enc2 = E.encode_polyline_compact(unsnapped)
+    assert bytes(enc2.buf)[0] == E.LOSSLESS_VERSION
+    got2 = E.decode_polyline_any(E.Decoder(bytes(enc2.buf)))
+    assert np.array_equal(got2, unsnapped)
+
+    enc3 = E.encode_polyline_compact(np.zeros((0, 3)))
+    assert E.decode_polyline_any(E.Decoder(bytes(enc3.buf))).shape == (0, 3)
+
+
+def test_loop_compressed_bound_threshold():
+    """Loops with >= 64 vertices encode their bound
+    (s2loop.cc:1445-1463); decode still roundtrips the vertices."""
+    from s2geometry_spark.kernel import cellid as K
+    from s2geometry_spark.kernel.fractal import make_regular_points
+
+    pts = make_regular_points(
+        np.array([1.0, 1.0, 1.0]) / np.sqrt(3.0), 0.01, 64)
+    ids = K.from_point(pts[:, 0], pts[:, 1], pts[:, 2])
+    x, y, z = K.to_point(ids)
+    snapped = np.stack([x, y, z], -1)
+    enc = E.encode_loop_compressed(snapped, 0, 30)
+    small = E.encode_loop_compressed(snapped[:8], 0, 30)
+    # The 64-vertex loop carries a 33-byte bound; the 8-vertex one doesn't.
+    got, depth = E.decode_loop_compressed(E.Decoder(bytes(enc.buf)), 30)
+    assert np.array_equal(got, snapped)
+    got8, _ = E.decode_loop_compressed(E.Decoder(bytes(small.buf)), 30)
+    assert np.array_equal(got8, snapped[:8])
