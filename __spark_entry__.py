@@ -1620,6 +1620,119 @@ def _buffer_shapes_oracle_sql() -> str:
     """
 
 
+# Region wire-format fixtures: every geometry is one of the version-1 /
+# version-4 golden cases from s2region_test.cc:50-169, so the expected
+# hex below is the REFERENCE's own encoder output (authoritative,
+# C++-sourced), not a pinned output of this engine.
+# (geom_id, kind, [(chain_latlngs_or_special, depth), ...], golden_hex)
+_ENCODE_FIXTURES = [
+    ("loop_cross", "loop",
+     [("-2:1, -1:1, 1:1, 2:1, 2:-1, 1:-1, -1:-1, -2:-1", 0)],
+     "0108000000D44A8442C3F9EF3F7EDA2AB341DC913F27DCF7C958DEA1BFB4825F3C81FD"
+     "EF3F27DCF7C958DE913F1EDD892B0BDF91BFB4825F3C81FDEF3F27DCF7C958DE913F1E"
+     "DD892B0BDF913FD44A8442C3F9EF3F7EDA2AB341DC913F27DCF7C958DEA13FD44A8442"
+     "C3F9EF3F7EDA2AB341DC91BF27DCF7C958DEA13FB4825F3C81FDEF3F27DCF7C958DE91"
+     "BF1EDD892B0BDF913FB4825F3C81FDEF3F27DCF7C958DE91BF1EDD892B0BDF91BFD44A"
+     "8442C3F9EF3F7EDA2AB341DC91BF27DCF7C958DEA1BF0000000000013EFC10E8F8DFA1"
+     "BF3EFC10E8F8DFA13F389D52A246DF91BF389D52A246DF913F"),
+    ("loop_empty", "loop", [("@empty", 0)],
+     "010100000000000000000000000000000000000000000000000000F03F000000000001"
+     "000000000000F03F0000000000000000182D4454FB210940182D4454FB2109C0"),
+    ("loop_full", "loop", [("@full", 0)],
+     "010100000000000000000000000000000000000000000000000000F0BF010000000001"
+     "182D4454FB21F9BF182D4454FB21F93F182D4454FB2109C0182D4454FB210940"),
+    ("polygon_cross", "polygon",
+     [("-2:1, -1:1, 1:1, 2:1, 2:-1, 1:-1, -1:-1, -2:-1", 0)],
+     "010100010000000108000000D44A8442C3F9EF3F7EDA2AB341DC913F27DCF7C958DEA1"
+     "BFB4825F3C81FDEF3F27DCF7C958DE913F1EDD892B0BDF91BFB4825F3C81FDEF3F27DC"
+     "F7C958DE913F1EDD892B0BDF913FD44A8442C3F9EF3F7EDA2AB341DC913F27DCF7C958"
+     "DEA13FD44A8442C3F9EF3F7EDA2AB341DC91BF27DCF7C958DEA13FB4825F3C81FDEF3F"
+     "27DCF7C958DE91BF1EDD892B0BDF913FB4825F3C81FDEF3F27DCF7C958DE91BF1EDD89"
+     "2B0BDF91BFD44A8442C3F9EF3F7EDA2AB341DC91BF27DCF7C958DEA1BF000000000001"
+     "3EFC10E8F8DFA1BF3EFC10E8F8DFA13F389D52A246DF91BF389D52A246DF913F013EFC"
+     "10E8F8DFA1BF3EFC10E8F8DFA13F389D52A246DF91BF389D52A246DF913F"),
+    ("polygon_cross_hole", "polygon",
+     [("-2:1, -1:1, 1:1, 2:1, 2:-1, 1:-1, -1:-1, -2:-1", 0),
+      ("-0.5:0.5, 0.5:0.5, 0.5:-0.5, -0.5:-0.5", 1)],
+     "010101020000000108000000D44A8442C3F9EF3F7EDA2AB341DC913F27DCF7C958DEA1"
+     "BFB4825F3C81FDEF3F27DCF7C958DE913F1EDD892B0BDF91BFB4825F3C81FDEF3F27DC"
+     "F7C958DE913F1EDD892B0BDF913FD44A8442C3F9EF3F7EDA2AB341DC913F27DCF7C958"
+     "DEA13FD44A8442C3F9EF3F7EDA2AB341DC91BF27DCF7C958DEA13FB4825F3C81FDEF3F"
+     "27DCF7C958DE91BF1EDD892B0BDF913FB4825F3C81FDEF3F27DCF7C958DE91BF1EDD89"
+     "2B0BDF91BFD44A8442C3F9EF3F7EDA2AB341DC91BF27DCF7C958DEA1BF000000000001"
+     "3EFC10E8F8DFA1BF3EFC10E8F8DFA13F389D52A246DF91BF389D52A246DF913F010400"
+     "0000C5D7FA4B60FFEF3F1EDD892B0BDF813F214C95C437DF81BFC5D7FA4B60FFEF3F1E"
+     "DD892B0BDF813F214C95C437DF813FC5D7FA4B60FFEF3F1EDD892B0BDF81BF214C95C4"
+     "37DF813FC5D7FA4B60FFEF3F1EDD892B0BDF81BF214C95C437DF81BF00010000000190"
+     "0C5E3B73DF81BF900C5E3B73DF813F399D52A246DF81BF399D52A246DF813F013EFC10"
+     "E8F8DFA1BF3EFC10E8F8DFA13F389D52A246DF91BF389D52A246DF913F"),
+    ("polygon_empty_compact", "polygon_compact", [("@none", 0)], "041E00"),
+    ("polygon_full_compact", "polygon_compact", [("@full", 0)],
+     "040001010B000100"),
+    ("polyline_empty", "polyline", [("@none", 0)], "0100000000"),
+    ("polyline_semi_equator", "polyline", [("0:0, 0:90, 0:180", 0)],
+     "0103000000000000000000F03F00000000000000000000000000000000075C143326A6"
+     "913C000000000000F03F0000000000000000000000000000F0BF075C143326A6A13C00"
+     "00000000000000"),
+    ("polyline_3segments", "polyline", [("0:0, 0:10, 10:20, 20:30", 0)],
+     "0104000000000000000000F03F00000000000000000000000000000000171C818C8B83"
+     "EF3F89730B7E1A3AC63F000000000000000061B46C3A039DED3FE2DC829F868ED53F89"
+     "730B7E1A3AC63F1B995E6FA10AEA3F1B2D5242F611DE3FF50B8A74A8E3D53F"),
+]
+
+
+def _encode_fixture_rows():
+    from s2geometry_spark.kernel.contains import parse_points
+
+    rows = []
+    for geom_id, kind, chains, _hex in _ENCODE_FIXTURES:
+        for ci, (spec, depth) in enumerate(chains):
+            if spec == "@none":
+                rows.append((geom_id, kind, ci, depth, -1, 0.0, 0.0, 0.0))
+            elif spec == "@empty":
+                rows.append((geom_id, kind, ci, depth, 0, 0.0, 0.0, 1.0))
+            elif spec == "@full":
+                rows.append((geom_id, kind, ci, depth, 0, 0.0, 0.0, -1.0))
+            else:
+                for vi, p in enumerate(parse_points(spec)):
+                    rows.append(
+                        (geom_id, kind, ci, depth, vi,
+                         float(p[0]), float(p[1]), float(p[2]))
+                    )
+    return rows
+
+
+def _q_geo_encode_regions(spark, sf_dir):
+    """Distributed wire-format export (s2region Encode/Decode,
+    s2loop.cc:640, s2polygon.cc:731, s2polyline.cc:425): ONE
+    groupBy(geom_id) shuffle; the byte-exact kernel encoders run per
+    geometry inside applyInPandas, so a task holds one geometry's
+    vertices — the plan for exporting millions of Parquet geometries to
+    the reference's wire format."""
+    from s2geometry_spark.operators.encode_ops import encode_geometries
+
+    geoms = spark.createDataFrame(
+        _encode_fixture_rows(),
+        "geom_id string, kind string, chain_id int, depth int,"
+        " vertex_idx int, x double, y double, z double",
+    ).repartition(8)
+    return encode_geometries(geoms).orderBy("geom_id")
+
+
+def _encode_oracle_sql() -> str:
+    vals = ",\n              ".join(
+        f"('{g}', '{hx}', {len(hx) // 2})"
+        for g, _k, _c, hx in _ENCODE_FIXTURES
+    )
+    return f"""
+        SELECT geom_id, encoding_hex, CAST(n_bytes AS INTEGER) AS n_bytes
+        FROM (VALUES
+              {vals}
+        ) AS t(geom_id, encoding_hex, n_bytes)
+        ORDER BY geom_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_hierarchy": _q_cell_hierarchy,
@@ -1674,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_loop_relations": _q_geo_loop_relations,
         "geo_validate": _q_geo_validate,
         "geo_buffer_shapes": _q_geo_buffer_shapes,
+        "geo_encode_regions": _q_geo_encode_regions,
     }
 
 
@@ -1928,6 +2042,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         "geo_relation_matrix": _relation_matrix_oracle(),
         "geo_validate": _validate_oracle_sql(),
         "geo_buffer_shapes": _buffer_shapes_oracle_sql(),
+        "geo_encode_regions": _encode_oracle_sql(),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""
             WITH cells AS (
