@@ -40,7 +40,8 @@ def _face_rects(regions: list[ShapeRegion], face: int) -> list[tuple]:
                 (min(u0, u1), min(v0, v1), max(u0, u1), max(v0, v1))
             )
         for p in r.points:
-            if int(get_face(p[None])[0]) == face:
+            if int(get_face(np.array([p[0]]), np.array([p[1]]),
+                            np.array([p[2]]))[0]) == face:
                 u, v = face_xyz_to_uv(face, p)
                 rects.append((u, v, u, v))
     return rects
