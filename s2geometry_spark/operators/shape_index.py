@@ -354,6 +354,20 @@ def build_shape_index(
         ekey = (
             pdf["shape_id"].to_numpy(np.int64) << 32
         ) | pdf["edge_id"].to_numpy(np.int64)
+        # GetEdgeMaxLevel (mutable_s2shape_index.cc:1199-1211): the first
+        # level at which the edge counts as "long" — kAvgEdge
+        # GetLevelForMaxValue(|v0-v1| * cell_size_to_long_edge_ratio),
+        # ratio 1.0.  Long edges never force subdivision (below), which
+        # keeps the index linear in edge count: without this rule, N
+        # identical face-diagonal edges subdivide every cell on their
+        # path to max_level — O(N * 4^max_level) rows at continental
+        # scale (the reference's ManyIdenticalEdges regression).
+        elen = np.sqrt(((A3 - B3) ** 2).sum(axis=1))
+        with np.errstate(divide="ignore"):
+            expo = np.frexp(elen / 1.459213746386106062)[1] - 1
+        edge_max_level = np.where(
+            elen > 0, np.clip(-expo, 0, 30), 30
+        ).astype(np.int64)
         out_rows = []
 
         def emit(i_lo: int, j_lo: int, level: int, idxs: np.ndarray):
@@ -374,8 +388,20 @@ def build_shape_index(
                 )
 
         def rec(i_lo: int, j_lo: int, level: int, idxs: np.ndarray):
-            n_edges = len(np.unique(ekey[idxs]))
+            uniq_first = np.unique(ekey[idxs], return_index=True)[1]
+            n_edges = len(uniq_first)
             if n_edges <= max_edges_per_cell or level >= max_level:
+                emit(i_lo, j_lo, level, idxs)
+                return
+            # Short-edge rule (mutable_s2shape_index.cc:1816-1833):
+            # subdivide only when the count of edges SHORT relative to
+            # this cell (cell level < edge max level) exceeds
+            # max(max_edges_per_cell, f * n_edges) with
+            # f = s2shape_index_min_short_edge_fraction = 0.2.
+            n_short = int(
+                np.count_nonzero(edge_max_level[idxs][uniq_first] > level)
+            )
+            if n_short <= max(max_edges_per_cell, int(0.2 * n_edges)):
                 emit(i_lo, j_lo, level, idxs)
                 return
             half = 1 << (30 - level - 1)
