@@ -521,6 +521,8 @@ def symmetric_difference(a: Polygon, b: Polygon) -> Polygon:
         return b
     if b.is_empty:
         return a
+    if a.is_full and b.is_full:
+        return Polygon([])
     full_marker = Loop(np.array([[0.0, 0.0, -1.0]]))
     if a.is_full:
         return Polygon(list(b.loops) + [full_marker])
@@ -563,13 +565,122 @@ def snap_polygons_joint(polys: list, snap) -> list:
                     chain.append(s)
             if len(chain) > 1 and np.all(chain[0] == chain[-1]):
                 chain.pop()
+            chain = _cancel_spurs(chain)
             if len(chain) >= 3:
                 loops.append(Loop(np.asarray(chain)))
-        out.append(Polygon(loops))
+        out.append(Polygon(_cancel_sibling_rings(loops)))
     return out
 
 
+def _ring_key(v: np.ndarray) -> tuple:
+    """Rotation-canonical key of a closed vertex ring."""
+    rows = [tuple(p) for p in v]
+    k = rows.index(min(rows))
+    return tuple(rows[k:] + rows[:k])
+
+
+def _cancel_sibling_rings(loops: list) -> list:
+    """Drop pairs of loops that snapped onto the SAME site ring with
+    opposite orientations — every edge of one is the sibling of an edge
+    of the other, so the pair is pure sibling pairs and the builder's
+    polygon-layer DISCARD removes both (a thin shell/hole band whose
+    interior collapsed under snapping, s2boolean_operation_test.cc
+    FullAndEmptyResults k6FaceAlmostEmpty1)."""
+    keys = [_ring_key(l.vertices) for l in loops]
+    rev_keys = [_ring_key(l.vertices[::-1]) for l in loops]
+    dead = set()
+    for i in range(len(loops)):
+        if i in dead:
+            continue
+        for j in range(i + 1, len(loops)):
+            if j in dead:
+                continue
+            if keys[i] == rev_keys[j]:
+                dead.add(i)
+                dead.add(j)
+                break
+    return [l for k, l in enumerate(loops) if k not in dead]
+
+
+def _cancel_spurs(chain: list) -> list:
+    """Remove out-and-back spurs from a closed snapped walk (the
+    builder's sibling-pair DISCARD for polygon layers,
+    s2builder_graph SiblingPairs::DISCARD): while some vertex's two
+    neighbors coincide, drop that vertex (and the duplicate neighbor).
+    A loop whose interior collapsed under snapping reduces to fewer
+    than 3 vertices and is dropped by the caller."""
+    changed = True
+    while changed and len(chain) >= 3:
+        changed = False
+        n = len(chain)
+        for i in range(n):
+            if np.all(chain[(i - 1) % n] == chain[(i + 1) % n]):
+                hi = max((i + 1) % n, i)
+                lo = min((i + 1) % n, i)
+                del chain[hi]
+                del chain[lo]
+                changed = True
+                break
+    return chain
+
+
+def _op_contains_point(a: Polygon, b: Polygon, op: str, p: np.ndarray) -> bool:
+    ina = bool(a.contains(p[None])[0])
+    inb = bool(b.contains(p[None])[0])
+    return {
+        "union": ina or inb,
+        "intersection": ina and inb,
+        "difference": ina and not inb,
+        "symmetric_difference": ina ^ inb,
+    }[op]
+
+
+def _uniform_result_is_full(a: Polygon, b: Polygon, op: str) -> bool:
+    """IsFullPolygonResult (s2boolean_operation.cc): when every boundary
+    edge of the result vanished (exact cancellation or snapped away),
+    the result is uniform — decide empty vs full by evaluating the op's
+    point containment on the ORIGINAL operands at a probe chosen far
+    from every input edge."""
+    from .distance import point_edge_dist2
+
+    C, D = [], []
+    for poly in (a, b):
+        for u, v in _edges_of(poly):
+            C.append(u)
+            D.append(v)
+    candidates = np.array([
+        [0.0, 0.0, 1.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0],
+        [-1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, -1.0, 0.0],
+    ])
+    extra = np.array([[1.0, 1.0, 1.0], [-1.0, 1.0, -1.0], [1.0, -1.0, 1.0]])
+    candidates = np.concatenate(
+        [candidates, extra / np.linalg.norm(extra, axis=1, keepdims=True)]
+    )
+    if not C:
+        probe = candidates[0]
+    else:
+        d2 = point_edge_dist2(candidates, np.stack(C), np.stack(D)).min(1)
+        probe = candidates[int(np.argmax(d2))]
+    return _op_contains_point(a, b, op, probe)
+
+
 def boolean_op_snapped(a: Polygon, b: Polygon, op: str, snap=None) -> Polygon:
+    """See _boolean_op_snapped_impl; this wrapper adds the reference's
+    IsFullPolygonResult disambiguation: an edge-free result from the
+    snapped machinery is uniform, and the probe on the original operands
+    decides empty vs full (s2boolean_operation_test.cc
+    FullAndEmptyResults — complementary hemispheres, almost-full
+    operands collapsing under snap)."""
+    result = _boolean_op_snapped_impl(a, b, op, snap)
+    if result.is_empty and not (a.is_empty or b.is_empty
+                                or a.is_full or b.is_full):
+        if _uniform_result_is_full(a, b, op):
+            return Polygon([Loop(np.array([[0.0, 0.0, -1.0]]))])
+    return result
+
+
+def _boolean_op_snapped_impl(a: Polygon, b: Polygon, op: str,
+                             snap=None) -> Polygon:
     """S2BooleanOperation with a snap function composed IN FRONT of the
     overlay — the reference's own architecture
     (s2boolean_operation.h: `options.set_snap_function(snap_function)`;
@@ -590,11 +701,17 @@ def boolean_op_snapped(a: Polygon, b: Polygon, op: str, snap=None) -> Polygon:
 
     if snap is None:
         snap = IdentitySnapFunction(2 * _INTERSECTION_ERROR)
-    sa, sb = snap_polygons_joint([a, b], snap)
-    # empty/full short-circuits as in the public wrappers
     fns = {"intersection": intersection, "union": union,
            "difference": difference,
            "symmetric_difference": symmetric_difference}
+    # empty/full short-circuits BEFORE snapping: the sentinel
+    # single-vertex loops of the empty/full polygons carry no edges for
+    # the builder and must not pass through the snap (snapping used to
+    # drop the full sentinel, turning full-operand ops empty —
+    # s2boolean_operation_test.cc FullAndEmptyResults).
+    if a.is_empty or b.is_empty or a.is_full or b.is_full:
+        return fns[op](a, b)
+    sa, sb = snap_polygons_joint([a, b], snap)
     if sa.is_empty or sb.is_empty or sa.is_full or sb.is_full:
         return fns[op](sa, sb)
     # First try the sliver-robust overlay (exact shared-edge handling,
