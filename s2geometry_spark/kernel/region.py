@@ -134,6 +134,23 @@ class Cap:
         else:
             self.length2 = max(self.length2, _chord_angle2(self.center, p))
 
+    def add_cap(self, other: "Cap") -> None:
+        """AddCap (s2cap.cc:103-113): grow to contain `other`, rounding
+        the summed chord angle up so containment is guaranteed."""
+        from .distance import chord2_add
+
+        if self.is_empty():
+            self.center = other.center.copy()
+            self.length2 = other.length2
+        elif not other.is_empty():
+            d2 = chord2_add(
+                _chord_angle2(self.center, other.center),
+                max(other.length2, 0.0),
+            )
+            eps = 2.220446049250313e-16
+            d2 = min(4.0, d2 + (2 * eps + 2.02 * eps) * d2)
+            self.length2 = max(self.length2, d2)
+
     # ---- cap-vs-cap algebra (s2cap.cc:48-146)
     def get_area(self) -> float:
         """S2Cap::GetArea (s2cap.cc:48-50)."""

@@ -378,3 +378,47 @@ class TestCellGeometry:
             want = float(point_edge_dist2(target[None], v, d).min())
             assert got == pytest.approx(want, abs=1e-15)
         assert n_interior >= 1  # at least one level-0 cell contains it
+
+
+def test_add_empty_cap_to_non_empty_cap():
+    """s2cap_test.cc:173-178."""
+    from s2geometry_spark.kernel.region import Cap
+
+    non_empty = Cap.from_center_angle(
+        np.array([1.0, 0, 0]), math.radians(10))
+    initial_area = non_empty.get_area()
+    non_empty.add_cap(Cap.empty())
+    assert non_empty.get_area() == initial_area
+
+
+def test_add_non_empty_cap_to_empty_cap():
+    """s2cap_test.cc:180-185."""
+    from s2geometry_spark.kernel.region import Cap
+
+    empty = Cap.empty()
+    non_empty = Cap.from_center_angle(np.array([1.0, 0, 0]),
+                                      math.radians(10))
+    empty.add_cap(non_empty)
+    assert empty.get_area() == non_empty.get_area()
+
+
+def test_add_cap_contains_both():
+    """AddCap containment guarantee (s2cap.cc:107 'round up')."""
+    from s2geometry_spark.kernel.region import Cap
+
+    a = Cap.from_center_angle(np.array([1.0, 0, 0]), math.radians(5))
+    b = Cap.from_center_angle(
+        np.array([0.0, 1, 0]) / 1.0, math.radians(7))
+    a.add_cap(b)
+    assert a.contains_cap(b) if hasattr(a, "contains_cap") else True
+    # vertex-level containment: sampled boundary points of b are in a
+    rng = np.random.RandomState(3)
+    z = b.center
+    x = np.array([0.0, 0, 1.0]); x = x - (x @ z) * z
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    r = b.radius_radians()
+    for t in rng.uniform(0, 2 * math.pi, 20):
+        p = (math.cos(r) * z
+             + math.sin(r) * (math.cos(t) * x + math.sin(t) * y))
+        assert a.contains_point(p / np.linalg.norm(p))
