@@ -1733,6 +1733,78 @@ def _encode_oracle_sql() -> str:
     """
 
 
+def _encode_vector_rows():
+    from s2geometry_spark.functions.encode_vector_fixtures import fixtures
+
+    rows = []
+    for vec_id, kind, elements, _ref in fixtures():
+        for idx, el in enumerate(elements):
+            if kind in ("cellid_vector", "uint_vector"):
+                # two's-complement into the signed long column
+                v = el - (1 << 64) if el >= (1 << 63) else el
+                rows.append((vec_id, kind, idx, v, 0.0, 0.0, 0.0, ""))
+            elif kind == "string_vector":
+                rows.append((vec_id, kind, idx, 0, 0.0, 0.0, 0.0, el))
+            else:
+                x, y, z = el
+                rows.append((vec_id, kind, idx, 0, x, y, z, ""))
+    return rows
+
+
+def _q_geo_encode_vectors(spark, sf_dir):
+    """Distributed encoded-vector export (EncodeS2CellIdVector,
+    EncodeS2PointVector FAST/COMPACT, EncodeUintVector,
+    StringVectorEncoder — encoded_s2cell_id_vector.cc:61,
+    encoded_s2point_vector.cc:108): ONE groupBy(vec_id) shuffle, the
+    byte-exact kernel encoders inside applyInPandas; gated on the
+    reference's own expected sizes (CoveringCells 488 B, SixFaceCells
+    8 B, PointsAtMultipleLevels 83 B, …) via the pinned oracle."""
+    from s2geometry_spark.operators.encode_ops import encode_vectors
+
+    vecs = spark.createDataFrame(
+        _encode_vector_rows(),
+        "vec_id string, kind string, idx int, cell_id long,"
+        " x double, y double, z double, s string",
+    ).repartition(8)
+    return encode_vectors(vecs).orderBy("vec_id")
+
+
+def _encode_vectors_oracle_sql() -> str:
+    from s2geometry_spark.functions.encode_vector_fixtures import fixtures
+    from s2geometry_spark.operators.encode_ops import _encode_vector_one
+    import pandas as pd
+
+    vals = []
+    for vec_id, kind, elements, ref_bytes in fixtures():
+        if kind in ("cellid_vector", "uint_vector"):
+            pdf = pd.DataFrame({
+                "kind": kind, "idx": range(len(elements)),
+                "cell_id": [int(e) for e in elements],
+            })
+        elif kind == "string_vector":
+            pdf = pd.DataFrame({
+                "kind": kind, "idx": range(len(elements)), "s": elements,
+            })
+        else:
+            pdf = pd.DataFrame({
+                "kind": kind, "idx": range(len(elements)),
+                "x": [e[0] for e in elements],
+                "y": [e[1] for e in elements],
+                "z": [e[2] for e in elements],
+            })
+        raw = _encode_vector_one(pdf)
+        # the REFERENCE's expected size is the hard gate: pin it, not len(raw)
+        vals.append(f"('{vec_id}', '{raw.hex().upper()}', {ref_bytes})")
+    joined = ",\n              ".join(vals)
+    return f"""
+        SELECT vec_id, encoding_hex, CAST(n_bytes AS INTEGER) AS n_bytes
+        FROM (VALUES
+              {joined}
+        ) AS t(vec_id, encoding_hex, n_bytes)
+        ORDER BY vec_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_hierarchy": _q_cell_hierarchy,
@@ -1788,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_validate": _q_geo_validate,
         "geo_buffer_shapes": _q_geo_buffer_shapes,
         "geo_encode_regions": _q_geo_encode_regions,
+        "geo_encode_vectors": _q_geo_encode_vectors,
     }
 
 
@@ -2043,6 +2116,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         "geo_validate": _validate_oracle_sql(),
         "geo_buffer_shapes": _buffer_shapes_oracle_sql(),
         "geo_encode_regions": _encode_oracle_sql(),
+        "geo_encode_vectors": _encode_vectors_oracle_sql(),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""
             WITH cells AS (

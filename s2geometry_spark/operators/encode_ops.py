@@ -65,3 +65,58 @@ def encode_geometries(geoms: DataFrame) -> DataFrame:
     return geoms.groupBy("geom_id").applyInPandas(
         run, "geom_id string, encoding_hex string, n_bytes int"
     )
+
+
+_MASK64 = (1 << 64) - 1
+
+
+def _encode_vector_one(pdf: pd.DataFrame) -> bytes:
+    from ..kernel import encoded_vectors as EV
+    from ..kernel.encodings import Encoder
+
+    kind = pdf["kind"].iloc[0]
+    g = pdf.sort_values("idx")
+    enc = Encoder()
+    if kind == "cellid_vector":
+        # cell ids travel as signed int64 columns; mask back to uint64
+        EV.encode_s2cellid_vector(
+            [int(v) & _MASK64 for v in g["cell_id"]], enc)
+    elif kind == "uint_vector":
+        EV.encode_uint_vector(
+            [int(v) & _MASK64 for v in g["cell_id"]], 8, enc)
+    elif kind == "string_vector":
+        EV.StringVectorEncoder.encode_all(g["s"].tolist(), enc)
+    elif kind in ("point_vector_fast", "point_vector_compact"):
+        pts = g[["x", "y", "z"]].to_numpy(np.float64)
+        EV.encode_s2point_vector(pts, enc, hint=kind.rsplit("_", 1)[1])
+    else:
+        raise ValueError(f"unknown vector kind {kind!r}")
+    return bytes(enc.buf)
+
+
+def encode_vectors(vectors: DataFrame) -> DataFrame:
+    """Distributed encoded-vector export (EncodeS2CellIdVector /
+    EncodeS2PointVector / EncodeUintVector / StringVectorEncoder —
+    encoded_s2cell_id_vector.cc:61, encoded_s2point_vector.cc:108,
+    encoded_uint_vector.h:205, encoded_string_vector.cc:51).
+
+    Input: one row per element (vec_id, kind, idx, cell_id, x, y, z, s);
+    output: (vec_id, encoding_hex, n_bytes).  Same single-shuffle plan
+    as encode_geometries — groupBy(vec_id), per-task memory is one
+    vector's elements: the plan for snapshotting millions of per-key
+    coverings / point sets to the reference's lazy-decode wire format.
+    """
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        raw = _encode_vector_one(pdf)
+        return pd.DataFrame(
+            {
+                "vec_id": [key[0]],
+                "encoding_hex": [raw.hex().upper()],
+                "n_bytes": [len(raw)],
+            }
+        )
+
+    return vectors.groupBy("vec_id").applyInPandas(
+        run, "vec_id string, encoding_hex string, n_bytes int"
+    )
