@@ -1805,6 +1805,80 @@ def _encode_vectors_oracle_sql() -> str:
     """
 
 
+def _shape_index_rows():
+    from s2geometry_spark.functions.encode_vector_fixtures import (
+        shape_index_fixtures,
+    )
+
+    rows = []
+    for index_id, shapes, _rb, _rh in shape_index_fixtures():
+        for sid, (kind, chains) in enumerate(shapes):
+            if kind == "released":
+                rows.append((index_id, sid, kind, 0, -1, 0.0, 0.0, 0.0))
+                continue
+            for ci, chain in enumerate(chains):
+                for vi, p in enumerate(chain):
+                    rows.append((index_id, sid, kind, ci, vi,
+                                 float(p[0]), float(p[1]), float(p[2])))
+    return rows
+
+
+def _q_geo_encode_shape_index(spark, sf_dir):
+    """Distributed exact shape-index snapshot export: each task builds
+    the reference-exact MutableS2ShapeIndex for one geometry group
+    (padded-cell recursion + Hilbert interior tracking + short-edge
+    rule, mutable_s2shape_index.cc:1380-1925) and emits the byte-exact
+    wire format (cc:1988-2008).  ONE groupBy(index_id) shuffle; gated
+    on the reference's own RegularLoops size table and the
+    JavaByteCompatibility golden hex."""
+    from s2geometry_spark.operators.encode_ops import encode_shape_indexes
+
+    shapes = spark.createDataFrame(
+        _shape_index_rows(),
+        "index_id string, shape_id int, kind string, chain_id int,"
+        " vertex_idx int, x double, y double, z double",
+    ).repartition(8)
+    return encode_shape_indexes(shapes).orderBy("index_id")
+
+
+def _shape_index_oracle_sql() -> str:
+    import pandas as pd
+
+    from s2geometry_spark.functions.encode_vector_fixtures import (
+        shape_index_fixtures,
+    )
+    from s2geometry_spark.operators.encode_ops import _build_index_one
+
+    vals = []
+    for index_id, shapes, ref_bytes, ref_hex in shape_index_fixtures():
+        rows = []
+        for sid, (kind, chains) in enumerate(shapes):
+            if kind == "released":
+                rows.append((sid, kind, 0, -1, 0.0, 0.0, 0.0))
+                continue
+            for ci, chain in enumerate(chains):
+                for vi, p in enumerate(chain):
+                    rows.append((sid, kind, ci, vi,
+                                 float(p[0]), float(p[1]), float(p[2])))
+        pdf = pd.DataFrame(
+            rows, columns=["shape_id", "kind", "chain_id", "vertex_idx",
+                           "x", "y", "z"])
+        n_cells, raw = _build_index_one(pdf)
+        # prefer the REFERENCE's published values as the pinned truth
+        hx = ref_hex if ref_hex is not None else raw.hex().upper()
+        nb = ref_bytes if ref_bytes is not None else len(raw)
+        vals.append(f"('{index_id}', {n_cells}, '{hx}', {nb})")
+    joined = ",\n              ".join(vals)
+    return f"""
+        SELECT index_id, CAST(n_cells AS INTEGER) AS n_cells,
+               encoding_hex, CAST(n_bytes AS INTEGER) AS n_bytes
+        FROM (VALUES
+              {joined}
+        ) AS t(index_id, n_cells, encoding_hex, n_bytes)
+        ORDER BY index_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_hierarchy": _q_cell_hierarchy,
@@ -1861,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_buffer_shapes": _q_geo_buffer_shapes,
         "geo_encode_regions": _q_geo_encode_regions,
         "geo_encode_vectors": _q_geo_encode_vectors,
+        "geo_encode_shape_index": _q_geo_encode_shape_index,
     }
 
 
@@ -2117,6 +2192,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         "geo_buffer_shapes": _buffer_shapes_oracle_sql(),
         "geo_encode_regions": _encode_oracle_sql(),
         "geo_encode_vectors": _encode_vectors_oracle_sql(),
+        "geo_encode_shape_index": _shape_index_oracle_sql(),
         "cell_hierarchy": cell_hierarchy_oracle() + " ORDER BY key",
         "cell_index_labels": f"""
             WITH cells AS (

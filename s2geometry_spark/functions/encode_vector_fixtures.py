@@ -71,6 +71,68 @@ def _norm(v) -> tuple[float, float, float]:
     return float(v[0]), float(v[1]), float(v[2])
 
 
+def _norm_ref(v):
+    """Vector3::Normalize: reciprocal multiply (util/math/vector.h:191)."""
+    import math
+
+    v = np.asarray(v, dtype=np.float64)
+    return v * (1.0 / math.sqrt(float((v * v).sum())))
+
+
+def _regular_loop(center, radius_deg: float, n: int) -> np.ndarray:
+    """S2Loop::MakeRegularLoop (s2loop.cc:1466-1491), bit-faithful."""
+    import math
+
+    from ..kernel.polyline import _get_frame
+
+    frame = _get_frame(_norm_ref(center))
+    radius = math.radians(radius_deg)
+    r, z = math.sin(radius), math.cos(radius)
+    step = 2 * math.pi / n
+    return np.asarray([
+        _norm_ref(frame @ np.array(
+            [r * math.cos(i * step), r * math.sin(i * step), z]))
+        for i in range(n)
+    ])
+
+
+def _latlng_pts(spec: str) -> list[tuple[float, float, float]]:
+    from ..kernel import coords as C
+
+    out = []
+    for tok in spec.split(","):
+        lat, lng = (float(x) for x in tok.strip().split(":"))
+        x, y, z = C.latlng_to_xyz(np.array([lat]), np.array([lng]))
+        out.append((float(x[0]), float(y[0]), float(z[0])))
+    return out
+
+
+def shape_index_fixtures():
+    """(index_id, shapes, ref_bytes_or_None, ref_hex_or_None) — shapes
+    are (kind, chains) tuples; ref values come from
+    encoded_s2shape_index_test.cc where the reference publishes them."""
+    return [
+        ("idx_one_edge",
+         [("polyline", [_latlng_pts("1:1, 2:2")])], 8, None),
+        ("idx_java_compat",
+         [("released", []),
+          ("polyline", [_latlng_pts("1:1, 2:2")])],
+         9, "28C809010408020010"),
+        ("idx_regular_4",
+         [("polygon", [_regular_loop([3, 2, 1], 0.1, 4)])], 8, None),
+        ("idx_regular_16",
+         [("polygon", [_regular_loop([3, 2, 1], 0.1, 16)])], 16, None),
+        ("idx_regular_64",
+         [("polygon", [_regular_loop([3, 2, 1], 0.1, 64)])], 77, None),
+        ("idx_regular_256",
+         [("polygon", [_regular_loop([3, 2, 1], 0.1, 256)])], 327, None),
+        ("idx_mixed",
+         [("polyline", [_latlng_pts("10:10, 10:20, 20:20")]),
+          ("polygon", [_regular_loop([1, 0.5, 0.25], 3.0, 32)]),
+          ("polyline", [_latlng_pts("-5:100, 5:120")])], None, None),
+    ]
+
+
 def fixtures() -> list[tuple[str, str, list, int]]:
     from ..kernel import cellid as K
 

@@ -120,3 +120,64 @@ def encode_vectors(vectors: DataFrame) -> DataFrame:
     return vectors.groupBy("vec_id").applyInPandas(
         run, "vec_id string, encoding_hex string, n_bytes int"
     )
+
+
+def _build_index_one(pdf: pd.DataFrame):
+    """One index group → (n_cells, encoded bytes) via the exact
+    MutableS2ShapeIndex kernel."""
+    from ..kernel.encodings import Encoder
+    from ..kernel.mutable_index import MutableIndex
+    from ..kernel.shape_index_coding import encode_shape_index
+    from ..kernel.shapeutil import LaxPolygon, LaxPolyline
+
+    index = MutableIndex()
+    for sid, sg in sorted(pdf.groupby("shape_id"), key=lambda kv: kv[0]):
+        kind = sg["kind"].iloc[0]
+        if kind == "released":
+            index.add(None)
+            continue
+        chains = []
+        for _cid, cg in sorted(sg.groupby("chain_id"),
+                               key=lambda kv: kv[0]):
+            chains.append(cg.sort_values("vertex_idx")[["x", "y", "z"]]
+                          .to_numpy(np.float64))
+        if kind == "polyline":
+            index.add(LaxPolyline(chains[0]))
+        elif kind == "polygon":
+            index.add(LaxPolygon(chains))
+        else:
+            raise ValueError(f"unknown shape kind {kind!r}")
+    cells = index.cells()
+    enc = Encoder()
+    encode_shape_index(cells, index.num_shape_ids(), enc)
+    return len(cells), bytes(enc.buf)
+
+
+def encode_shape_indexes(shapes: DataFrame) -> DataFrame:
+    """Distributed exact-index snapshot export (MutableS2ShapeIndex
+    build, mutable_s2shape_index.cc:1380-1925, + its wire format,
+    cc:1988-2008): one groupBy(index_id) shuffle; each task builds the
+    reference-exact index for one geometry group and emits the
+    byte-exact snapshot.  The plan for snapshotting millions of per-key
+    feature sets to the reference's lazy-decode EncodedS2ShapeIndex
+    format — per-task memory is one group's geometry.
+
+    Input: (index_id, shape_id, kind, chain_id, vertex_idx, x, y, z);
+    output: (index_id, n_cells, encoding_hex, n_bytes).
+    """
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n_cells, raw = _build_index_one(pdf)
+        return pd.DataFrame(
+            {
+                "index_id": [key[0]],
+                "n_cells": [n_cells],
+                "encoding_hex": [raw.hex().upper()],
+                "n_bytes": [len(raw)],
+            }
+        )
+
+    return shapes.groupBy("index_id").applyInPandas(
+        run,
+        "index_id string, n_cells int, encoding_hex string, n_bytes int",
+    )
