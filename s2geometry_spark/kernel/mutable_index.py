@@ -138,45 +138,6 @@ def _shape_edges(shape):
             yield shape.edge(e)
 
 
-def _edge_max_level(v0: np.ndarray, v1: np.ndarray) -> int:
-    """GetEdgeMaxLevel (cc:1199-1212): first level where this edge
-    counts as long."""
-    max_cell_edge = float(np.linalg.norm(v0 - v1)) \
-        * CELL_SIZE_TO_LONG_EDGE_RATIO
-    return AVG_EDGE.get_level_for_max_value(max_cell_edge)
-
-
-def _add_face_edge(fe: _FaceEdge, all_edges: list[list[_FaceEdge]]) -> None:
-    """AddFaceEdge (cc:1174-1196)."""
-    a_face = int(coords.get_face(np.array([fe.v0[0]]), np.array([fe.v0[1]]),
-                                 np.array([fe.v0[2]]))[0])
-    b_face = int(coords.get_face(np.array([fe.v1[0]]), np.array([fe.v1[1]]),
-                                 np.array([fe.v1[2]]))[0])
-    if a_face == b_face:
-        au, av = coords.valid_face_xyz_to_uv(
-            a_face, np.array([fe.v0[0]]), np.array([fe.v0[1]]),
-            np.array([fe.v0[2]]))
-        bu, bv = coords.valid_face_xyz_to_uv(
-            a_face, np.array([fe.v1[0]]), np.array([fe.v1[1]]),
-            np.array([fe.v1[2]]))
-        a = (float(au[0]), float(av[0]))
-        b = (float(bu[0]), float(bv[0]))
-        max_uv = 1 - CELL_PADDING
-        if (abs(a[0]) <= max_uv and abs(a[1]) <= max_uv
-                and abs(b[0]) <= max_uv and abs(b[1]) <= max_uv):
-            e = _copy_face_edge(fe)
-            e.a, e.b = a, b
-            all_edges[a_face].append(e)
-            return
-    for face in range(6):
-        clipped = clip_to_padded_face(fe.v0, fe.v1, face, CELL_PADDING)
-        if clipped is not None:
-            e = _copy_face_edge(fe)
-            e.a = (float(clipped[0][0]), float(clipped[0][1]))
-            e.b = (float(clipped[1][0]), float(clipped[1][1]))
-            all_edges[face].append(e)
-
-
 def _copy_face_edge(fe: _FaceEdge) -> _FaceEdge:
     e = _FaceEdge(fe.shape_id, fe.edge_id, fe.max_level, fe.has_interior,
                   fe.v0, fe.v1)
@@ -233,17 +194,61 @@ class MutableIndex:
             if has_interior:
                 tracker.add_shape(
                     shape_id, contains_brute_force(shape, tracker.focus()))
-            for edge_id, (v0, v1) in enumerate(_shape_edges(shape)):
-                fe = _FaceEdge(shape_id, edge_id,
-                               _edge_max_level(v0, v1), has_interior,
-                               np.asarray(v0, float), np.asarray(v1, float))
-                _add_face_edge(fe, all_edges)
+            self._add_shape_edges(shape_id, shape, has_interior, all_edges)
 
         self._cell_map: list = []
         for face in range(6):
             self._update_face_edges(face, all_edges[face], tracker)
         self._cell_map.sort(key=lambda kv: kv[0].id)
         return self._cell_map
+
+    def _add_shape_edges(self, shape_id: int, shape, has_interior: bool,
+                         all_edges: list) -> None:
+        """AddShape + AddFaceEdge (cc:1007-1196) with the per-edge math
+        vectorized across the whole shape: one get_face / ValidFaceXYZtoUV
+        / ilogb pass for all edges, then a cheap append loop that keeps
+        the reference's edge ordering (fast path appends directly; the
+        rare face-crossing edges clip to all six padded faces)."""
+        edges = list(_shape_edges(shape))
+        if not edges:
+            return
+        V0 = np.asarray([e[0] for e in edges], dtype=np.float64)
+        V1 = np.asarray([e[1] for e in edges], dtype=np.float64)
+        fa = coords.get_face(V0[:, 0], V0[:, 1], V0[:, 2])
+        fb = coords.get_face(V1[:, 0], V1[:, 1], V1[:, 2])
+        # GetEdgeMaxLevel vectorized: -ilogb(norm * ratio / kAvgEdge)
+        norms = np.linalg.norm(V0 - V1, axis=1) \
+            * CELL_SIZE_TO_LONG_EDGE_RATIO
+        with np.errstate(divide="ignore", invalid="ignore"):
+            _m, exp = np.frexp(np.abs(norms / AVG_EDGE.deriv))
+        max_levels = np.where(norms > 0,
+                              np.clip(-(exp - 1), 0, MAX_LEVEL), MAX_LEVEL)
+        # fast-path UVs on the shared face (junk where fa != fb)
+        same = fa == fb
+        au, av = coords.valid_face_xyz_to_uv(
+            fa, V0[:, 0], V0[:, 1], V0[:, 2])
+        bu, bv = coords.valid_face_xyz_to_uv(
+            fa, V1[:, 0], V1[:, 1], V1[:, 2])
+        max_uv = 1 - CELL_PADDING
+        with np.errstate(invalid="ignore"):
+            fast = same & (np.abs(au) <= max_uv) & (np.abs(av) <= max_uv) \
+                & (np.abs(bu) <= max_uv) & (np.abs(bv) <= max_uv)
+        for edge_id in range(len(edges)):
+            fe = _FaceEdge(shape_id, edge_id, int(max_levels[edge_id]),
+                           has_interior, V0[edge_id], V1[edge_id])
+            if fast[edge_id]:
+                fe.a = (float(au[edge_id]), float(av[edge_id]))
+                fe.b = (float(bu[edge_id]), float(bv[edge_id]))
+                all_edges[int(fa[edge_id])].append(fe)
+            else:
+                for face in range(6):
+                    clipped = clip_to_padded_face(
+                        fe.v0, fe.v1, face, CELL_PADDING)
+                    if clipped is not None:
+                        e = _copy_face_edge(fe)
+                        e.a = (float(clipped[0][0]), float(clipped[0][1]))
+                        e.b = (float(clipped[1][0]), float(clipped[1][1]))
+                        all_edges[face].append(e)
 
     def _update_face_edges(self, face: int, face_edges: list,
                            tracker: InteriorTracker) -> None:

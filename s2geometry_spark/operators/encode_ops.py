@@ -166,18 +166,88 @@ def encode_shape_indexes(shapes: DataFrame) -> DataFrame:
     output: (index_id, n_cells, encoding_hex, n_bytes).
     """
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        n_cells, raw = _build_index_one(pdf)
-        return pd.DataFrame(
-            {
-                "index_id": [key[0]],
-                "n_cells": [n_cells],
-                "encoding_hex": [raw.hex().upper()],
-                "n_bytes": [len(raw)],
-            }
-        )
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel.encodings import Encoder
+        from ..kernel.mutable_index import MutableIndex
+        from ..kernel.shape_index_coding import encode_shape_index
+        from ..kernel.shapeutil import LaxPolygon, LaxPolyline
 
-    return shapes.groupBy("index_id").applyInPandas(
-        run,
-        "index_id string, n_cells int, encoding_hex string, n_bytes int",
+        # rows arrive sorted by (index_id, shape_id, chain_id,
+        # vertex_idx): slice contiguous runs with numpy instead of
+        # nested pandas groupbys (which dominated at small group sizes)
+        iid = pdf["index_id"].to_numpy()
+        sid = pdf["shape_id"].to_numpy()
+        kind = pdf["kind"].to_numpy()
+        cid = pdf["chain_id"].to_numpy()
+        xyz = pdf[["x", "y", "z"]].to_numpy(np.float64)
+        n = len(pdf)
+        # run starts where (index_id, shape_id) changes
+        grp_change = np.flatnonzero(iid[1:] != iid[:-1]) + 1
+        grp_bounds = np.concatenate([[0], grp_change, [n]])
+        ids, cells, hexes, nbytes = [], [], [], []
+        for gi in range(len(grp_bounds) - 1):
+            lo, hi = grp_bounds[gi], grp_bounds[gi + 1]
+            index = MutableIndex()
+            s_change = np.flatnonzero(sid[lo + 1:hi] != sid[lo:hi - 1]) \
+                + lo + 1
+            s_bounds = np.concatenate([[lo], s_change, [hi]])
+            for si in range(len(s_bounds) - 1):
+                slo, shi = s_bounds[si], s_bounds[si + 1]
+                k = kind[slo]
+                if k == "released":
+                    index.add(None)
+                    continue
+                c_change = np.flatnonzero(
+                    cid[slo + 1:shi] != cid[slo:shi - 1]) + slo + 1
+                c_bounds = np.concatenate([[slo], c_change, [shi]])
+                chains = [xyz[c_bounds[ci]:c_bounds[ci + 1]]
+                          for ci in range(len(c_bounds) - 1)]
+                if k == "polyline":
+                    index.add(LaxPolyline(chains[0]))
+                elif k == "polygon":
+                    index.add(LaxPolygon(chains))
+                else:
+                    raise ValueError(f"unknown shape kind {k!r}")
+            idx_cells = index.cells()
+            enc = Encoder()
+            encode_shape_index(idx_cells, index.num_shape_ids(), enc)
+            raw = bytes(enc.buf)
+            ids.append(iid[lo])
+            cells.append(len(idx_cells))
+            hexes.append(raw.hex().upper())
+            nbytes.append(len(raw))
+        return pd.DataFrame({"index_id": ids, "n_cells": cells,
+                             "encoding_hex": hexes, "n_bytes": nbytes})
+
+    def run(batches):
+        # groups are contiguous (sortWithinPartitions) but may straddle
+        # Arrow batch boundaries: carry the tail group into the next
+        # batch so per-task memory stays O(batch + largest group), while
+        # one Python call handles THOUSANDS of groups (the per-group
+        # applyInPandas overhead dominated at small group sizes)
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last = pdf["index_id"].iloc[-1]
+            mask = pdf["index_id"] == last
+            carry = pdf[mask]
+            head = pdf[~mask]
+            if len(head):
+                yield emit(head)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return (
+        shapes.repartition("index_id")
+        .sortWithinPartitions("index_id", "shape_id", "chain_id",
+                              "vertex_idx")
+        .mapInPandas(
+            run,
+            "index_id string, n_cells int, encoding_hex string,"
+            " n_bytes int",
+        )
     )
