@@ -121,19 +121,29 @@ def encode_index_cell(clipped, num_shape_ids: int, enc: Encoder) -> None:
 
 def decode_index_cell(num_shape_ids: int, dec: Decoder):
     """S2ShapeIndexCell::Decode (s2shape_index.cc:192-287)."""
+    # the reference does not handle num_shapes >= 2**28 or
+    # num_edges >= 2**29 (s2shape_index.cc:86-89); rejecting larger
+    # decoded counts also bounds memory on corrupt input
+    max_edges = 1 << 29
     clipped = []
     if num_shape_ids == 1:
         header = dec.get_varint64()
         if (header & 1) == 0:
             num_edges = ((header >> 2) & 15) + 2
             edge_id = header >> 6
+            if edge_id + num_edges > 0x7FFFFFFF:
+                raise ValueError("edge id overflow")
             clipped.append(
                 (0, (header & 2) != 0,
                  tuple(range(edge_id, edge_id + num_edges))))
         elif (header & 2) == 0:
+            if header >> 3 > 0x7FFFFFFF:
+                raise ValueError("edge id overflow")
             clipped.append((0, (header & 4) != 0, (header >> 3,)))
         else:
             num_edges = header >> 3
+            if num_edges >= max_edges:
+                raise ValueError("edge count overflow")
             contains_center = (header & 4) != 0
             clipped.append(
                 (0, contains_center, tuple(_decode_edges(num_edges, dec))))
@@ -143,6 +153,8 @@ def decode_index_cell(num_shape_ids: int, dec: Decoder):
     num_clipped = 1
     if (header & 7) == 3:
         num_clipped = header >> 3
+        if num_clipped >= (1 << 28):
+            raise ValueError("clipped count overflow")
         header = dec.get_varint32()
     shape_id = 0
     for j in range(num_clipped):
@@ -153,6 +165,8 @@ def decode_index_cell(num_shape_ids: int, dec: Decoder):
             shape_id += shape_id_count >> 4
             num_edges = (shape_id_count & 15) + 1
             edge_id = header >> 2
+            if edge_id + num_edges > 0x7FFFFFFF:
+                raise ValueError("edge id overflow")
             clipped.append(
                 (shape_id, (header & 2) != 0,
                  tuple(range(edge_id, edge_id + num_edges))))
