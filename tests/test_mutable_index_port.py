@@ -173,6 +173,21 @@ def test_long_index_entries_bound():
     assert len(index.cells()) == 366
 
 
+def test_simple_updates():
+    # cc:558-573: add 5 loops one at a time, then release them one at a
+    # time, validating at each step (this engine rebuilds — the final
+    # state per step must be identical to the reference's lazy updates)
+    index = MutableIndex()
+    loops = concentric_loops(norm_ref([1, 0.5, 0.25]), 5, 16)
+    for loop in loops:
+        index.add(LaxPolygon([loop]))
+        quadratic_validate(index)
+    for sid in range(len(loops)):
+        index.release(sid)
+        quadratic_validate(index)
+    assert index.cells() == []
+
+
 def test_shape_containing_origin():
     # cc:793-811 (add half): a small loop around the InteriorTracker
     # origin — containment state must start True
