@@ -99,3 +99,24 @@ def test_minhash_pair_distinct_carries_no_signatures(spark):
     assert hash_parts, "plan shape changed — update the regex"
     for m in hash_parts:
         assert "sig" not in m, f"shuffle carries signatures: {m}"
+
+
+def test_encode_shape_indexes_single_shuffle(spark):
+    """The exact-index snapshot export must be ONE hash shuffle on
+    index_id (repartition + in-partition sort + MapInPandas) — no
+    per-group FlatMapGroupsInPandas, no extra exchange, no row-at-a-time
+    Python."""
+    import re
+
+    import __spark_entry__ as entry
+    from s2geometry_spark.operators.encode_ops import encode_shape_indexes
+
+    shapes = spark.createDataFrame(
+        entry._shape_index_rows(),
+        "index_id string, shape_id int, kind string, chain_id int,"
+        " vertex_idx int, x double, y double, z double",
+    )
+    plan = _plan(encode_shape_indexes(shapes))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
