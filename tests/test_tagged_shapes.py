@@ -115,3 +115,58 @@ def test_snapshot_roundtrip_with_index_rebuild():
     assert [(c.id, cl) for c, cl in rebuilt.cells()] \
         == [(c.id, cl) for c, cl in index.cells()]
     quadratic_validate(rebuilt)
+
+
+MIXED_GOLDEN_HEX = (
+    "2932007C00E4002E0192010310000000000000F03F000000000000000000000000000000"
+    "008AAFF597C0FEEF3F1EDD892B0BDF913F00000000000000000418B4825F3C81FDEF3F27"
+    "DCF7C958DE913F1EDD892B0BDF913FD44A8442C3F9EF3FCE5B5A6FA6DDA13F1EDD892B0B"
+    "DF913FAE0218F586F3EF3F3C3F66D2BBCAAA3F1EDD892B0BDF913F05010220FC7FB8B805"
+    "F6EF3F28516A6D8FDBA13F27DCF7C958DEA13F96E20626CAEFEF3F4BF8A48399C7AA3F27"
+    "DCF7C958DEA13F96B6DB0611E7EF3FC0221C80C6D8B13F27DCF7C958DEA13FE2337CCA8F"
+    "E9EF3F6C573C9B60C2AA3F0EC9EF48C7CBAA3F0C0001040418B4825F3C81FDEF3F27DCF7"
+    "C958DE913F1EDD892B0BDF913FD44A8442C3F9EF3FCE5B5A6FA6DDA13F1EDD892B0BDF91"
+    "3FAE0218F586F3EF3F3C3F66D2BBCAAA3F1EDD892B0BDF913F05010120000000000000F0"
+    "3F00000000000000000000000000000000F6FF70710BECEF3F28516A6D8FDBB13F000000"
+    "00000000003C4A985423D8EF3F199E8D966CD0B13F28516A6D8FDBB13FF6FF70710BECEF"
+    "3F000000000000000028516A6D8FDBB13F28C83900010003010403040504070400073807"
+    "0E1B24292B3213000009030002130000110300092B00010001000000010D000002230410"
+    "04020400020113082106110A4113000111030101"
+)
+
+
+def test_decode_from_byte_string_golden():
+    # s2shapeutil_coding_test.cc:67-96: a 5-shape mixed index golden —
+    # point vector | lax polyline | 2-loop lax polygon | added lax
+    # polyline | added lax polygon, plus the encoded index cells
+    shapes, max_edges, cells = decode_index_snapshot(
+        Decoder(bytes.fromhex(MIXED_GOLDEN_HEX)))
+    assert max_edges == 10
+    assert len(shapes) == 5
+    assert isinstance(shapes[0], PointVectorShape)
+    assert (shapes[0].points == latlng_pts("0:0, 0:1")).all()
+    assert isinstance(shapes[1], LaxPolyline)
+    assert (shapes[1].vertices == latlng_pts("1:1, 1:2, 1:3")).all()
+    assert isinstance(shapes[2], LaxPolygon)
+    assert len(shapes[2].loops) == 2
+    assert (shapes[2].loops[0] == latlng_pts("2:2")).all()
+    assert (shapes[2].loops[1] == latlng_pts("2:3, 2:4, 3:3")).all()
+    assert isinstance(shapes[3], LaxPolyline)
+    assert (shapes[3].vertices == latlng_pts("1:1, 1:2, 1:3")).all()
+    assert isinstance(shapes[4], LaxPolygon)
+    assert (shapes[4].loops[0] == latlng_pts("0:0, 0:4, 4:4, 4:0")).all()
+
+    # rebuilding the index from the decoded shapes reproduces the
+    # encoded cell decomposition exactly
+    rebuilt = MutableIndex(max_edges)
+    for s in shapes:
+        rebuilt.add(s)
+    assert [(c.id, cl) for c, cl in rebuilt.cells()] \
+        == [(c.id, cl) for c, cl in cells]
+    quadratic_validate(rebuilt)
+
+    # and re-encoding the rebuilt index (FAST hint, as the golden was
+    # produced by FastEncodeTaggedShapes) reproduces every byte
+    enc = Encoder()
+    encode_index_snapshot(rebuilt, enc, hint="fast")
+    assert bytes(enc.buf).hex().upper() == MIXED_GOLDEN_HEX
