@@ -107,18 +107,43 @@ def encode_vectors(vectors: DataFrame) -> DataFrame:
     coverings / point sets to the reference's lazy-decode wire format.
     """
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        raw = _encode_vector_one(pdf)
-        return pd.DataFrame(
-            {
-                "vec_id": [key[0]],
-                "encoding_hex": [raw.hex().upper()],
-                "n_bytes": [len(raw)],
-            }
-        )
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, hexes, nbytes = [], [], []
+        vid_arr = pdf["vec_id"].to_numpy()
+        change = np.flatnonzero(vid_arr[1:] != vid_arr[:-1]) + 1
+        bounds = np.concatenate([[0], change, [len(pdf)]])
+        for gi in range(len(bounds) - 1):
+            g = pdf.iloc[bounds[gi]:bounds[gi + 1]]
+            raw = _encode_vector_one(g)
+            ids.append(vid_arr[bounds[gi]])
+            hexes.append(raw.hex().upper())
+            nbytes.append(len(raw))
+        return pd.DataFrame({"vec_id": ids, "encoding_hex": hexes,
+                             "n_bytes": nbytes})
 
-    return vectors.groupBy("vec_id").applyInPandas(
-        run, "vec_id string, encoding_hex string, n_bytes int"
+    def run(batches):
+        # sorted-run batching with a carry tail (see encode_shape_indexes)
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            last = pdf["vec_id"].iloc[-1]
+            mask = pdf["vec_id"] == last
+            carry = pdf[mask]
+            head = pdf[~mask]
+            if len(head):
+                yield emit(head)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return (
+        vectors.repartition("vec_id")
+        .sortWithinPartitions("vec_id", "idx")
+        .mapInPandas(
+            run, "vec_id string, encoding_hex string, n_bytes int")
     )
 
 
