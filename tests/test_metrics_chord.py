@@ -197,3 +197,91 @@ def test_plus_error():
     assert chord2_plus_error(0.0, -5) == 0.0
     assert chord2_plus_error(1.0, 0.25) == 1.25
     assert chord2_plus_error(1.0, -0.25) == 0.75
+
+
+def test_from_length2():
+    # s1chord_angle_test.cc:86-92: length2 clamps to 4 (=180 degrees)
+    import math
+
+    from s2geometry_spark.kernel.distance import chord2_to_angle
+
+    assert math.degrees(float(chord2_to_angle(0.0))) == 0
+    assert abs(math.degrees(float(chord2_to_angle(1.0))) - 60) < 1e-13
+    assert abs(math.degrees(float(chord2_to_angle(2.0))) - 90) < 1e-13
+    assert math.degrees(float(chord2_to_angle(min(4.0, 4.0)))) == 180
+    assert math.degrees(float(chord2_to_angle(min(4.0, 5.0)))) == 180
+
+
+def test_to_from_s1angle():
+    import math
+
+    from s2geometry_spark.kernel.distance import (
+        angle_to_chord2,
+        chord2_to_angle,
+    )
+
+    assert float(chord2_to_angle(angle_to_chord2(0.0))) == 0
+    assert float(angle_to_chord2(math.pi)) == 4
+    assert float(chord2_to_angle(4.0)) == math.pi
+    assert abs(float(chord2_to_angle(angle_to_chord2(1.0))) - 1.0) < 1e-15
+
+
+def test_two_point_constructor():
+    # s1chord_angle_test.cc:72-84 over deterministic frames
+    import math
+
+    import numpy as np
+
+    from s2geometry_spark.kernel.distance import chord2, chord2_to_angle
+    from s2geometry_spark.kernel.polyline import _get_frame
+
+    rng = np.random.RandomState(3)
+    for _ in range(100):
+        z = rng.randn(3)
+        z /= np.linalg.norm(z)
+        frame = _get_frame(z)
+        x, y = frame[:, 0], frame[:, 1]
+        assert float(chord2(z[None], z[None])[0]) == 0.0
+        anti = np.minimum(4.0, chord2((-z)[None], z[None]))
+        assert abs(float(chord2_to_angle(anti)[0]) - math.pi) < 1e-7
+        assert abs(float(chord2_to_angle(chord2(x[None], z[None]))[0])
+                   - math.pi / 2) < 1e-15 * math.pi
+        w = (y + z) / np.linalg.norm(y + z)
+        assert abs(float(chord2_to_angle(chord2(w[None], z[None]))[0])
+                   - math.pi / 4) < 4e-16 * math.pi
+
+
+def test_s2point_constructor_max_error_bound():
+    # s1chord_angle_test.cc:258-277, with the exact comparison replaced
+    # by an 80-bit longdouble re-derivation of the true chord length:
+    # the claimed bound must cover the observed error for every pair
+    import numpy as np
+
+    from s2geometry_spark.kernel.distance import (
+        chord2_plus_error,
+        s2point_constructor_max_error,
+    )
+
+    rng = np.random.RandomState(77)
+    for it in range(20000):
+        x = rng.randn(3)
+        x /= np.linalg.norm(x)
+        y = rng.randn(3)
+        y /= np.linalg.norm(y)
+        if it % 10 == 0:
+            # nearly identical or antipodal pairs
+            t = 1e-15 * rng.uniform()
+            y = x + t * (y - x)
+            y /= np.linalg.norm(y)
+            if it % 20 == 0:
+                y = -y
+        d2 = min(4.0, float(((x - y) ** 2).sum()))
+        err = float(s2point_constructor_max_error(d2))
+        # true chord^2 between the EXACT unit projections of x and y,
+        # in longdouble
+        xl = x.astype(np.longdouble)
+        yl = y.astype(np.longdouble)
+        xl /= np.sqrt((xl * xl).sum())
+        yl /= np.sqrt((yl * yl).sum())
+        true_d2 = float(((xl - yl) ** 2).sum())
+        assert true_d2 <= chord2_plus_error(d2, err) + 1e-30, it
