@@ -130,6 +130,13 @@ def shape_index_fixtures():
          [("polyline", [_latlng_pts("10:10, 10:20, 20:20")]),
           ("polygon", [_regular_loop([1, 0.5, 0.25], 3.0, 32)]),
           ("polyline", [_latlng_pts("-5:100, 5:120")])], None, None),
+        # the ShrinkToFitOptimization geometry
+        # (mutable_s2shape_index_test.cc:468-480): edges confined to one
+        # subcell, interior covering almost all of face 0 — exercises
+        # the SkipCellRange interior-entry path in the distributed job
+        ("idx_shrink_interior",
+         [("polygon", [_regular_loop([1, 0.5, 0.5], 89.0, 100)])],
+         None, None),
     ]
 
 
