@@ -223,12 +223,14 @@ class MutableIndex:
             _m, exp = np.frexp(np.abs(norms / AVG_EDGE.deriv))
         max_levels = np.where(norms > 0,
                               np.clip(-(exp - 1), 0, MAX_LEVEL), MAX_LEVEL)
-        # fast-path UVs on the shared face (junk where fa != fb)
+        # fast-path UVs on the shared face (junk where fa != fb — the
+        # divisions there can overflow/NaN, masked out below)
         same = fa == fb
-        au, av = coords.valid_face_xyz_to_uv(
-            fa, V0[:, 0], V0[:, 1], V0[:, 2])
-        bu, bv = coords.valid_face_xyz_to_uv(
-            fa, V1[:, 0], V1[:, 1], V1[:, 2])
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            au, av = coords.valid_face_xyz_to_uv(
+                fa, V0[:, 0], V0[:, 1], V0[:, 2])
+            bu, bv = coords.valid_face_xyz_to_uv(
+                fa, V1[:, 0], V1[:, 1], V1[:, 2])
         max_uv = 1 - CELL_PADDING
         with np.errstate(invalid="ignore"):
             fast = same & (np.abs(au) <= max_uv) & (np.abs(av) <= max_uv) \
