@@ -542,3 +542,29 @@ def cell_iterator_join(
                 if not visitor(a, b):
                     return False
     return True
+
+
+def find_furthest_cells(
+    index: CellIndex,
+    target_point,
+    max_results: int = 1,
+    min_distance2: float | None = None,
+) -> list[CellResult]:
+    """FurthestCellQuery = S2ClosestCellQueryBase<S2MaxDistance>
+    (s2closest_cell_query_base_test.cc:42-91).
+
+    Same reflection as find_furthest_points: on unit vectors
+    |x-p|^2 + |-x-p|^2 = 4 pointwise, so the maximum squared chord from
+    x to any point of a cell equals 4 minus the minimum from -x
+    (s2max_distance_targets.cc UpdateMinDistance on S2MaxDistance).
+    The closest-cell machinery against -x therefore answers the
+    furthest-cell query with d2 mapped through 4 - d2, preserving order.
+    """
+    from .point_index import PointTarget
+
+    x = np.asarray(target_point, dtype=np.float64)
+    opts = Options(max_results=max_results)
+    if min_distance2 is not None:
+        opts.max_distance2 = 4.0 - min_distance2
+    res = ClosestCellQuery(index, opts).find_closest_cells(PointTarget(-x))
+    return [CellResult(4.0 - r.distance2, r.cell_id, r.label) for r in res]

@@ -373,3 +373,32 @@ def _copy_with(opts: Options, **kw) -> Options:
     for k, v in kw.items():
         setattr(out, k, v)
     return out
+
+
+def find_furthest_points(
+    index: "PointIndex",
+    target_point,
+    max_results: int = 1,
+    min_distance2: float | None = None,
+) -> list[Result]:
+    """FurthestPointQuery = S2ClosestPointQueryBase<S2MaxDistance>
+    (s2closest_point_query_base_test.cc:40-88).
+
+    S2MaxDistance orders distances in reverse; for a point target the
+    reference's S2MaxDistancePointTarget measures via the antipode
+    identity |x-p|^2 + |-x-p|^2 = 4 on unit vectors
+    (s2max_distance_targets.cc:36-44), so the max-distance query IS the
+    min-distance query against -x with d2 mapped through 4 - d2 — which
+    lets the same optimized machinery (bucket pruning, dynamic k-th
+    limit) serve both directions, exactly as the templated base does.
+
+    min_distance2 is the exclusive lower bound (set_min_distance); it
+    maps to an exclusive max_distance2 of 4 - min_distance2 on the
+    reflected query.
+    """
+    x = np.asarray(target_point, dtype=np.float64)
+    opts = Options(max_results=max_results)
+    if min_distance2 is not None:
+        opts.max_distance2 = 4.0 - min_distance2
+    res = ClosestPointQuery(index, opts).find_closest_points(PointTarget(-x))
+    return [Result(4.0 - r.distance2, r.point, r.data) for r in res]
