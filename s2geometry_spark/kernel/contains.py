@@ -200,6 +200,43 @@ def parse_polygon(s: str, normalize: bool = False) -> Polygon:
     return Polygon(loops)
 
 
+def parse_lax_polygon(s: str) -> Polygon:
+    """MakeLaxPolygonOrDie analog (s2text_format.cc MakeLaxPolygon):
+    loops keep their given orientation and the interior is the region
+    locally on the LEFT of every boundary edge, decided by the
+    GetReferencePoint vote (s2shapeutil_get_reference_point.cc) — NOT
+    the XOR-of-independent-loop-interiors reading of Polygon.contains.
+
+    For properly nested loop sets the two readings agree and this is
+    parse_polygon verbatim.  For seam arrangements whose left-regions
+    overlap — s2boolean_operation_test.cc's k6FaceAlmostEmpty1
+    ("k6FaceShell1Minus; k6FaceHole1") is the canonical case — the XOR
+    reading is the global COMPLEMENT of the lax interior.  The
+    complement bit is representable without touching the boundary:
+    append one full loop (edge-free, flips XOR parity everywhere).
+    """
+    poly = parse_polygon(s)
+    if len(poly.loops) < 2 or any(l.is_empty_or_full for l in poly.loops):
+        return poly
+    from .shapeutil import LaxPolygon, contains_brute_force
+
+    shape = LaxPolygon([l.vertices for l in poly.loops])
+    verts = np.concatenate([l.vertices for l in poly.loops])
+    # any off-boundary probe determines the constant complement bit
+    # (both readings are crossing-parity over the SAME edge set)
+    for lat, lng in ((37.1234567, -42.7654321), (-53.19, 111.73), (5.5, 5.5)):
+        x, y, z = latlng_to_xyz(np.array([lat]), np.array([lng]))
+        probe = np.array([x[0], y[0], z[0]])
+        if (verts == probe).all(axis=1).any():
+            continue
+        if contains_brute_force(shape, probe) != bool(
+            poly.contains(probe[None])[0]
+        ):
+            return Polygon(poly.loops + [parse_loop("full")])
+        return poly
+    return poly
+
+
 def format_point(p, roundtrip_precision: bool = False) -> str:
     """s2textformat ToString vertex (s2text_format.cc:251-265):
     "%.15g:%.15g" lat:lng degrees ("%.17g" for exact round trips)."""

@@ -300,10 +300,10 @@ def _expect_polygon(op, a_str, b_str, expected):
     """ExpectPolygon (s2boolean_operation_test.cc:2085-2100): 1.1-degree
     snap, degenerate boundaries discarded, expect "", "full", or
     geometry."""
-    from s2geometry_spark.kernel.contains import parse_polygon
+    from s2geometry_spark.kernel.contains import parse_lax_polygon
 
-    a = parse_polygon(a_str)
-    b = parse_polygon(b_str)
+    a = parse_lax_polygon(a_str)
+    b = parse_lax_polygon(b_str)
     result = boolean_op_snapped(a, b, op,
                                 IdentitySnapFunction(math.radians(1.1)))
     if expected == K_EMPTY:
@@ -318,14 +318,12 @@ FULL_EMPTY_CASES = [
     # ---- empty UNION
     ("union", K_EMPTY, K_EMPTY, K_EMPTY),
     ("union", K_ALMOST_EMPTY1, K_ALMOST_EMPTY2, K_EMPTY),
-    # NOT ported: ("union", K6_ALMOST_EMPTY1, K6_ALMOST_EMPTY1, K_EMPTY).
-    # The operand is "k6FaceShell1Minus; k6FaceHole1" — two overlapping
-    # near-great-circle seam loops.  This engine's orientation-aware
-    # containment (interior-on-left winding, like S2LaxPolygonShape
-    # reference points) reads that operand as the COMPLEMENT of the thin
-    # band (almost full), so the edge-free snapped union resolves full;
-    # the reference's LaxPolygonLayer full-result predicate resolves it
-    # empty.  One row of 49; every disjoint-loop row agrees.
+    # "k6FaceShell1Minus; k6FaceHole1" — two overlapping near-great-
+    # circle seam loops whose lax interior is the thin band between
+    # them; parse_lax_polygon's GetReferencePoint vote supplies the
+    # global complement bit the plain XOR reading misses, making all
+    # 49 of 49 reference rows portable.
+    ("union", K6_ALMOST_EMPTY1, K6_ALMOST_EMPTY1, K_EMPTY),
     # ---- full UNION
     ("union", K_EMPTY, K_FULL, K_FULL),
     ("union", K_FULL, K_FULL, K_FULL),
@@ -379,3 +377,28 @@ FULL_EMPTY_CASES = [
 @pytest.mark.parametrize("op,a,b,expected", FULL_EMPTY_CASES)
 def test_full_and_empty_results(op, a, b, expected):
     _expect_polygon(op, a, b, expected)
+
+
+def test_parse_lax_polygon_identity_on_nested_operands():
+    """The GetReferencePoint complement vote only fires on seam
+    arrangements; for properly nested loop sets parse_lax_polygon must
+    be parse_polygon verbatim (same loop count, same containment)."""
+    from s2geometry_spark.kernel.contains import parse_lax_polygon, parse_polygon
+    from s2geometry_spark.kernel.coords import latlng_to_xyz
+    import numpy as np
+
+    # same-orientation nesting (the engine's XOR convention): identity
+    for s in (K_SHELL1, K6_SHELL1, K_HOLE1,
+              "0:0, 0:10, 10:10, 10:0; 2:2, 2:8, 8:8, 8:2"):
+        a, b = parse_lax_polygon(s), parse_polygon(s)
+        assert len(a.loops) == len(b.loops), s
+    # CW-wound hole (interior-on-left = annulus): the vote repairs the
+    # XOR reading's global complement into true lax semantics
+    lax = parse_lax_polygon("0:0, 0:10, 10:10, 10:0; 2:2, 8:2, 8:8, 2:8")
+    x, y, z = latlng_to_xyz(np.array([1.0, 5.0, 37.0]), np.array([1.0, 5.0, -42.0]))
+    got = lax.contains(np.stack([x, y, z], -1))
+    assert got.tolist() == [True, False, False]  # annulus in; hole+far out
+    lax = parse_lax_polygon(K6_ALMOST_EMPTY1)
+    x, y, z = latlng_to_xyz(np.array([-0.5, 90.0]), np.array([-45.0, 0.0]))
+    got = lax.contains(np.stack([x, y, z], -1))
+    assert got.tolist() == [True, False]  # band inside, pole outside
