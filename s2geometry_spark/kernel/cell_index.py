@@ -181,7 +181,10 @@ class ClosestCellQuery:
                 lim_angle = (
                     chord2_to_angle(min(lim2, 4.0)) if lim2 < _INF else _INF
                 )
-                if lb[i] >= lim_angle:
+                # 1e-15 rad pruning-budget slack (s2testing.h:206): the
+                # angle-space bound must not erase successor()'s 1-ulp
+                # margin for is_distance_less_or_equal boundary hits
+                if lb[i] - 1e-15 >= lim_angle:
                     break
                 d2 = target.dist2_to_cell(cells[int(i)])
                 if admit(int(i), d2):

@@ -336,7 +336,12 @@ class ClosestPointQuery:
             lb = lb_angle[k]
             lim2 = current_limit2()
             lim_angle = chord2_to_angle(min(lim2, 4.0)) if lim2 < _INF else _INF
-            if lb >= lim_angle:
+            # conservative break: lb and lim_angle pass through chord->angle
+            # conversions that can erase the 1-ulp successor() margin
+            # is_distance_less_or_equal depends on; spend the 1e-15 rad
+            # pruning budget the reference grants itself (s2testing.h:206)
+            # on the skip side so boundary-exact points are never pruned
+            if lb - 1e-15 >= lim_angle:
                 break
             s, c = starts[k], counts[k]
             seg = pts[s: s + c]
