@@ -417,6 +417,23 @@ def _q_geo_closest_edge(spark, sf_dir):
     ).orderBy("key", "shape_id", "edge_id")
 
 
+def _q_geo_furthest_edge(spark, sf_dir):
+    """S2FurthestEdgeQuery over the customer scatter: top-2 furthest
+    hits against the same multipoint + polyline + polygon index as
+    geo_closest_edge (antipode-interior hits report edge_id -1 at
+    Straight = 4.0).  The oracle re-derives max_d2 = 4 - min_d2(-x)
+    (s2edge_distances.cc:236-249) on negated point columns in SQL."""
+    from s2geometry_spark.kernel.closest_edge import parse_index
+    from s2geometry_spark.operators.closest_edges import furthest_edges_join
+
+    shapes = parse_index(_CLOSEST_EDGE_INDEX)
+    pts = _tile_points(spark, sf_dir)
+    out = furthest_edges_join(pts, shapes, k=2, include_interiors=True)
+    return out.select(
+        "key", "shape_id", "edge_id", F.round("dist2", 12).alias("dist2_r")
+    ).orderBy("key", "shape_id", "edge_id")
+
+
 def _q_cell_density_rollup(spark, sf_dir):
     """S2DensityTree cell→weight rollup at levels 4/6/8 over synthetic
     cells — the partitioning-planner input (plans/density.py), with a
@@ -1911,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_loop_measures": _q_geo_loop_measures,
         "geo_cellunion_ops": _q_geo_cellunion_ops,
         "geo_closest_edge": _q_geo_closest_edge,
+        "geo_furthest_edge": _q_geo_furthest_edge,
         "geo_boolean_ops": _q_geo_boolean_ops,
         "geo_mixed_ops": _q_geo_mixed_ops,
         "geo_boolean_ops_snapped": _q_geo_boolean_ops_snapped,
@@ -2143,6 +2161,12 @@ def _oracle_sql_impl() -> dict[str, str]:
         "multimodal_features": OR.multimodal_sql(500),
         "geo_cellunion_ops": _cellunion_ops_oracle(),
         "geo_closest_edge": _closest_edge_oracle(_CLOSEST_EDGE_INDEX, 3, 0.3),
+        "geo_furthest_edge": OR.furthest_edges_sql(
+            __import__("s2geometry_spark.kernel.closest_edge",
+                       fromlist=["parse_index"]).parse_index(
+                _CLOSEST_EDGE_INDEX),
+            2, include_interiors=True,
+        ),
         "geo_closest_edges_join": _closest_edge_oracle(
             _CLOSEST_EDGES_JOIN_INDEX, 1, __import__("math").radians(45)
         ),

@@ -1595,3 +1595,48 @@ def layer_fixture_sql(fixtures) -> str:
         + ") AS t(job, piece_idx, n_vertices, digest)"
         " ORDER BY job, piece_idx"
     )
+
+
+def furthest_edges_sql(
+    shapes,
+    k: int,
+    include_interiors: bool,
+    pts_where: str | None = None,
+) -> str:
+    """Oracle for furthest_edges_join: the kernel resolves max distance
+    through the antipode identity max_d2 = 4 − min_d2(−x)
+    (s2edge_distances.cc:236-249), so the SQL mirror evaluates the SAME
+    edge_dist2_sql expression on the negated point columns and maps
+    through 4 −; interior hits report (shape_id, −1, Straight = 4.0)
+    when the polygon contains the antipode.  Ranking mirrors
+    find_furthest_edges' sorted(..., reverse=True): ties break toward
+    HIGHER (shape_id, edge_id)."""
+    neg = ("(0-px)", "(0-py)", "(0-pz)")
+    selects = []
+    for shape in shapes:
+        for e in range(len(shape.edges_c)):
+            expr = edge_dist2_sql(shape.edges_c[e], shape.edges_d[e], p=neg)
+            selects.append(
+                f"SELECT key, {shape.shape_id} AS shape_id, {e} AS edge_id,"
+                f" 4.0 - ({expr}) AS dist2 FROM xyz"
+            )
+        if include_interiors and shape.polygon is not None:
+            inside = polygon_contains_sql(shape.polygon, p=neg)
+            selects.append(
+                f"SELECT key, {shape.shape_id} AS shape_id, -1 AS edge_id,"
+                f" 4.0 AS dist2 FROM xyz WHERE {inside}"
+            )
+    cand = " UNION ALL ".join(selects)
+    return f"""
+    WITH {pts_cte(pts_where)},
+    cand AS ({cand}),
+    ranked AS (
+      SELECT key, shape_id, edge_id, dist2,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY dist2 DESC, shape_id DESC,
+                                         edge_id DESC) AS rn
+      FROM cand)
+    SELECT key, shape_id, edge_id, round(dist2, 12) AS dist2_r
+    FROM ranked WHERE rn <= {k}
+    ORDER BY key, shape_id, edge_id
+    """

@@ -106,3 +106,53 @@ def directed_hausdorff_join(
         .groupBy(group_col)
         .agg(F.max("_d2").alias("hausdorff_d2"))
     )
+
+
+def furthest_edges_join(
+    points: DataFrame,
+    shapes: list[Shape],
+    k: int = 1,
+    min_distance_rad: float | None = None,
+    include_interiors: bool = False,
+) -> DataFrame:
+    """S2FurthestEdgeQuery join (s2furthest_edge_query.h): one row per
+    (point, hit) with shape_id, edge_id (−1 = polygon interior contains
+    the point's ANTIPODE, distance Straight = 4.0), dist2, dist_rad.
+    Same Arrow-batched plan shape as closest_edges_join — the kernel
+    resolves max distance through the antipode identity
+    max_d2 = 4 − min_d2(−x) (s2edge_distances.cc:236-249)."""
+    from ..kernel.closest_edge import find_furthest_edges
+
+    @F.pandas_udf(ArrayType(_HIT))
+    def hits(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernel.coords import latlng_to_xyz
+
+        x, y, z = latlng_to_xyz(lat.to_numpy(np.float64), lng.to_numpy(np.float64))
+        targets = np.stack([x, y, z], -1)
+        res = find_furthest_edges(
+            shapes, targets, k=k,
+            include_interiors=include_interiors,
+            min_distance_rad=min_distance_rad,
+        )
+        return pd.Series(
+            [
+                [
+                    {"shape_id": sid, "edge_id": eid, "dist2": d}
+                    for sid, eid, d in row
+                ]
+                for row in res
+            ]
+        )
+
+    exploded = points.withColumn(
+        "_hit", F.explode(hits(F.col("lat"), F.col("lng")))
+    )
+    return exploded.select(
+        "*",
+        F.col("_hit.shape_id").alias("shape_id"),
+        F.col("_hit.edge_id").alias("edge_id"),
+        F.col("_hit.dist2").alias("dist2"),
+    ).drop("_hit").withColumn(
+        "dist_rad",
+        2 * F.asin(0.5 * F.sqrt(F.least(F.col("dist2"), F.lit(4.0)))),
+    )
