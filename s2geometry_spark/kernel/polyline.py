@@ -353,3 +353,94 @@ def is_on_right(vertices: np.ndarray, point: np.ndarray) -> bool:
         next_vertex -= 1
     return int(sign(p[None], v[next_vertex][None],
                     v[next_vertex - 1][None])[0]) > 0
+
+
+def approx_equals(a: np.ndarray, b: np.ndarray, max_error_rad: float) -> bool:
+    """S2Polyline::ApproxEquals (s2polyline.cc:190-198): identical vertex
+    counts with every vertex pair within max_error."""
+    a = np.asarray(a, float).reshape(-1, 3)
+    b = np.asarray(b, float).reshape(-1, 3)
+    if len(a) != len(b):
+        return False
+    if len(a) == 0:
+        return True
+    d = np.linalg.norm(a - b, axis=1)
+    return bool((2.0 * np.arcsin(np.minimum(1.0, 0.5 * d)) <= max_error_rad).all())
+
+
+def _next_distinct_vertex(v: np.ndarray, index: int) -> int:
+    """NextDistinctVertex (s2polyline.cc:686-694): smallest i > index with
+    vertex(i) bit-different from vertex(index); len(v) if none."""
+    initial = v[index]
+    index += 1
+    while index < len(v) and np.array_equal(v[index], initial):
+        index += 1
+    return index
+
+
+def nearly_covers(cover: np.ndarray, covered: np.ndarray,
+                  max_error_rad: float) -> bool:
+    """S2Polyline::NearlyCovers (s2polyline.cc:708-801): true when a car
+    can drive along `covered` start-to-end while a second car drives
+    monotonically along `cover` staying within max_error — a DFS over
+    (i, j, i_in_progress) search states with a visited set, worst case
+    O((n*m) log(n*m))."""
+    import math
+
+    from .distance import is_edge_b_near_edge_a
+
+    cover = np.asarray(cover, float).reshape(-1, 3)
+    covered = np.asarray(covered, float).reshape(-1, 3)
+    if len(covered) == 0:
+        return True
+    if len(cover) == 0:
+        return False
+
+    def ang(x, y):
+        d = math.sqrt(((x - y) ** 2).sum())
+        return 2.0 * math.asin(min(1.0, 0.5 * d))
+
+    pending: list[tuple[int, int, bool]] = []
+    done: set[tuple[int, int, bool]] = set()
+
+    # all possible starting states: edges of `cover` within max_error of
+    # covered[0]; end vertices excluded except on the last distinct edge
+    i = 0
+    next_i = _next_distinct_vertex(cover, 0)
+    while next_i < len(cover):
+        next_next_i = _next_distinct_vertex(cover, next_i)
+        closest = _project_to_edge(covered[0], cover[i], cover[next_i])
+        if (
+            next_next_i == len(cover)
+            or not np.array_equal(closest, cover[next_i])
+        ) and ang(closest, covered[0]) <= max_error_rad:
+            pending.append((i, 0, True))
+        i, next_i = next_i, next_next_i
+
+    while pending:
+        state = pending.pop()
+        if state in done:
+            continue
+        done.add(state)
+        si, sj, i_in_progress = state
+        next_i = _next_distinct_vertex(cover, si)
+        next_j = _next_distinct_vertex(covered, sj)
+        if next_j == len(covered):
+            return True
+        if next_i == len(cover):
+            continue
+        if i_in_progress:
+            j_begin = covered[sj]
+            i_begin = _project_to_edge(j_begin, cover[si], cover[next_i])
+        else:
+            i_begin = cover[si]
+            j_begin = _project_to_edge(i_begin, covered[sj], covered[next_j])
+        if is_edge_b_near_edge_a(
+            j_begin, covered[next_j], i_begin, cover[next_i], max_error_rad
+        ):
+            pending.append((next_i, sj, False))
+        if is_edge_b_near_edge_a(
+            i_begin, cover[next_i], j_begin, covered[next_j], max_error_rad
+        ):
+            pending.append((si, next_j, True))
+    return False

@@ -219,3 +219,103 @@ def test_is_on_right():
     line2 = parse_points("0:0, 0:1, -1:0")
     assert not is_on_right(line2, pt("-0.5:5"))
     assert not is_on_right(line2, pt("5.5:5"))
+
+
+# ----------------------------- NearlyCovers (S2PolylineCoveringTest)
+
+
+def _nc(a_str: str, b_str: str, max_error_deg: float,
+        b_covers_a: bool, a_covers_b: bool):
+    """TestNearlyCovers (s2polyline_test.cc:667-678)."""
+    import math
+
+    from s2geometry_spark.kernel.contains import parse_points
+    from s2geometry_spark.kernel.polyline import nearly_covers
+
+    a = parse_points(a_str) if a_str else np.zeros((0, 3))
+    b = parse_points(b_str) if b_str else np.zeros((0, 3))
+    e = math.radians(max_error_deg)
+    assert nearly_covers(b, a, e) == b_covers_a, (a_str, b_str)
+    assert nearly_covers(a, b, e) == a_covers_b, (a_str, b_str)
+
+
+def test_polyline_overlaps_self():
+    _nc("1:1, 2:2, -1:10", "1:1, 2:2, -1:10", 1e-10, True, True)
+
+
+def test_polyline_does_not_overlap_reverse():
+    _nc("1:1, 2:2, -1:10", "-1:10, 2:2, 1:1", 1e-10, False, False)
+
+
+def test_polyline_overlaps_equivalent():
+    _nc("1:1, 2:1", "1:1, 1.5:1, 2:1", 1e-10, True, True)
+
+
+def test_short_covered_by_long():
+    _nc("-5:1, 10:1, 10:5, 5:10", "9:1, 9.9995:1, 10.0005:5",
+        1e-3, False, True)
+
+
+def test_partial_overlap_only():
+    _nc("-5:1, 10:1", "0:1, 20:1", 1.0, False, False)
+
+
+def test_short_backtracking():
+    t1 = "0:0, 0:2, 0:1, 0:4, 0:5"
+    t2 = "0:0, 0:2, 0:4, 0:3, 0:5"
+    _nc(t1, t2, 1.5, True, True)
+    _nc(t1, t2, 0.5, False, False)
+
+
+def test_long_backtracking():
+    _nc("5:1, -5:1", "1:1, 3:1", 1.0, False, False)
+    _nc("5:1, -5:1", "1:1, 3:1", 2.5, False, True)
+
+
+def test_is_resilient_to_duplicate_points():
+    _nc("0:1, 0:2, 0:2, 0:3", "0:1, 0:1, 0:1, 0:3", 1e-10, True, True)
+
+
+def test_can_choose_between_two_potential_starting_points():
+    _nc("0:11, 0:0, 0:9, 0:20", "0:10, 0:15", 1.5, False, True)
+
+
+def test_straight_and_wiggly_polylines_cover_each_other():
+    _nc("40:1, 20:1",
+        "39.9:0.9, 40:1.1, 30:1.15, 29:0.95, 28:1.1, 27:1.15, "
+        "26:1.05, 25:0.85, 24:1.1, 23:0.9, 20:0.99",
+        0.2, True, True)
+
+
+def test_match_starts_at_last_vertex():
+    _nc("0:0, 0:2", "0:2, 0:3", 1.5, False, True)
+
+
+def test_match_starts_at_duplicated_last_vertex():
+    _nc("0:0, 0:2, 0:2, 0:2", "0:2, 0:3", 1.5, False, True)
+
+
+def test_empty_polylines_covering():
+    _nc("0:1, 0:2", "", 0.0, False, True)
+    _nc("", "", 0.0, True, True)
+
+
+def test_approx_equals():
+    """ApproxEquals (s2polyline_test.cc TEST ApproxEquals): all four
+    reference cases."""
+    import math
+
+    from s2geometry_spark.kernel.contains import parse_points
+    from s2geometry_spark.kernel.polyline import approx_equals
+
+    def ae(a, b, deg):
+        return approx_equals(parse_points(a), parse_points(b),
+                             math.radians(deg))
+
+    # close lines, differences within / outside max_error
+    assert ae("0:0, 0:10, 5:5", "0:0.1, -0.1:9.9, 5:5.2", 0.5)
+    assert not ae("0:0, 0:10, 5:5", "0:0.1, -0.1:9.9, 5:5.2", 0.01)
+    # same line, different number of vertices
+    assert not ae("0:0, 0:10, 0:20", "0:0, 0:20", 0.1)
+    # same vertices in a different order
+    assert not ae("0:0, 5:5, 0:10", "5:5, 0:10, 0:0", 0.1)
