@@ -1313,3 +1313,31 @@ def intersection_with_degeneracies(
     (every intersection degeneracy is a shell)."""
     poly, de, dp = boolean_op_with_degeneracies(a, b, "intersection", eps)
     return poly, [(c, d) for c, d, _k in de], [v for v, _k in dp]
+
+
+def polygon_region_area(p: Polygon) -> float:
+    """S2Polygon::GetArea: even-odd region area (holes subtract); the
+    full polygon is 4*pi and the empty polygon 0."""
+    from .measures import even_odd_area
+
+    if p.is_full:
+        return 4.0 * math.pi
+    loops = [l.vertices for l in p.loops if not l.is_empty_or_full]
+    if not loops:
+        return 0.0
+    return even_odd_area(loops)
+
+
+def get_overlap_fractions(a: Polygon, b: Polygon) -> tuple[float, float]:
+    """S2Polygon::GetOverlapFractions (s2polygon.cc:600-610): the
+    fraction of each polygon's area covered by their intersection,
+    clamped to 1 (and defined as 1 for an empty polygon).  Uses the
+    snapped op like InitToIntersection (default kIntersectionMergeRadius)
+    so partially-collinear shared boundaries are legal inputs."""
+    inter_area = polygon_region_area(boolean_op_snapped(a, b, "intersection"))
+    a_area = polygon_region_area(a)
+    b_area = polygon_region_area(b)
+    return (
+        1.0 if inter_area >= a_area else inter_area / a_area,
+        1.0 if inter_area >= b_area else inter_area / b_area,
+    )

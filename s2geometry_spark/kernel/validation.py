@@ -48,6 +48,20 @@ def find_polygon_validation_error(poly: Polygon) -> str | None:
             return f"loop {li}: {err}"
     from .relations import _proper_crossing
 
+    # loops may share vertices but not edges: if any loop contains edge
+    # AB, no loop may contain AB or BA (s2polygon.cc FindValidationError
+    # / s2shapeutil::FindDuplicateEdges semantics)
+    seen: set[tuple[bytes, bytes]] = set()
+    for li, loop in enumerate(poly.loops):
+        v = loop.vertices
+        if loop.is_empty_or_full or len(v) < 3:
+            continue
+        for k in range(len(v)):
+            a, b = v[k].tobytes(), v[(k + 1) % len(v)].tobytes()
+            if (a, b) in seen or (b, a) in seen:
+                return f"loop {li}: duplicate edge"
+            seen.add((a, b))
+
     for i in range(len(poly.loops)):
         for j in range(i + 1, len(poly.loops)):
             a = Polygon([poly.loops[i]])
