@@ -196,3 +196,65 @@ def expand_radius(ids: list[CID], min_radius_rad: float, max_level_diff: int = 8
 def leaf_cells_covered(ids: list[CID]) -> int:
     """LeafCellsCovered (s2cell_union.cc:487-494)."""
     return sum(1 << ((MAX_LEVEL - c.level()) << 1) for c in ids)
+
+
+def is_valid(ids: list[CID]) -> bool:
+    """S2CellUnion::IsValid (s2cell_union.cc:145-152): every id valid,
+    sorted, and non-overlapping (prev.range_max < next.range_min)."""
+    if ids and not ids[0].is_valid():
+        return False
+    for i in range(1, len(ids)):
+        if not ids[i].is_valid():
+            return False
+        if ids[i - 1].range_max() >= ids[i].range_min():
+            return False
+    return True
+
+
+def is_normalized(ids: list[CID]) -> bool:
+    """S2CellUnion::IsNormalized: valid + no four siblings present."""
+    if not is_valid(ids):
+        return False
+    for i in range(3, len(ids)):
+        if _are_siblings(ids[i - 3], ids[i - 2], ids[i - 1], ids[i]):
+            return False
+    return True
+
+
+def whole_sphere() -> list[CID]:
+    """S2CellUnion::WholeSphere (s2cell_union.cc:69-73): the six faces."""
+    return [CID.from_face(f) for f in range(6)]
+
+
+def intersects(a: list[CID], b: list[CID]) -> bool:
+    """S2CellUnion::Intersects: any cell of a intersects any of b."""
+    return any(any(x.intersects(y) for y in b) for x in a)
+
+
+def contains_union(a: list[CID], b: list[CID]) -> bool:
+    """S2CellUnion::Contains(S2CellUnion): every cell of b is contained."""
+    return all(contains_id(a, y) for y in b)
+
+
+def intersection_id(ids: list[CID], cid: CID) -> list[CID]:
+    """S2CellUnion::Intersection(S2CellId) (s2cell_union.cc:262-282)."""
+    out: list[CID] = []
+    if contains_id(ids, cid):
+        out.append(cid)
+    else:
+        for x in ids:
+            if cid.contains(x):
+                out.append(x)
+    return out
+
+
+def to_string(ids: list[CID]) -> str:
+    """S2CellUnion::ToString (s2cell_union.cc:568-577): token list capped
+    at 500 entries with a ",..." suffix."""
+    k_max = 500
+    out = f"Size:{len(ids)} S2CellIds:" + ",".join(
+        c.token() for c in ids[:k_max]
+    )
+    if len(ids) > k_max:
+        out += ",..."
+    return out

@@ -181,3 +181,150 @@ def test_from_begin_end():
     u = CU.from_begin_end(begin, end)
     assert len(u) == 6
     assert all(c.is_face() for c in u)
+
+
+# ----------------- s2cell_union_test.cc long-tail semantic cases
+
+
+def test_duplicate_cells_not_valid():
+    """DuplicateCellsNotValid: a verbatim union with a repeated leaf."""
+    from s2geometry_spark.kernel import cellid as cid_np
+    from s2geometry_spark.kernel import cellunion as CU
+    from s2geometry_spark.kernel.cid import CID
+
+    leaf = cid_np.from_point(
+        np.array([1.0]), np.array([0.0]), np.array([0.0])
+    )
+    cid = CID(int(leaf[0]))
+    assert not CU.is_valid([cid, cid])
+
+
+def test_unsorted_cells_not_valid():
+    """UnsortedCellsNotValid."""
+    from s2geometry_spark.kernel import cellid as cid_np
+    from s2geometry_spark.kernel import cellunion as CU
+    from s2geometry_spark.kernel.cid import CID
+
+    leaf = cid_np.from_point(
+        np.array([1.0]), np.array([0.0]), np.array([0.0])
+    )
+    cid = CID(int(leaf[0])).parent(10)
+    assert not CU.is_valid([cid, cid.prev()])
+
+
+def test_invalid_cell_id_not_valid():
+    """InvalidCellIdNotValid: S2CellId::None() invalidates the union."""
+    from s2geometry_spark.kernel import cellunion as CU
+    from s2geometry_spark.kernel.cid import CID
+
+    assert not CID.none().is_valid()
+    assert not CU.is_valid([CID.none()])
+
+
+def test_whole_sphere():
+    """WholeSphere: covers 6 * 2^60 leaves; Expand(0) is a no-op."""
+    from s2geometry_spark.kernel import cellunion as CU
+
+    ws = CU.whole_sphere()
+    assert CU.leaf_cells_covered(ws) == 6 * (1 << 60)
+    assert CU.expand_level(ws, 0) == CU.whole_sphere()
+
+
+def test_s2cellid_constructor():
+    """S2CellIdConstructor: a one-cell union keeps the face cell."""
+    from s2geometry_spark.kernel import cellunion as CU
+    from s2geometry_spark.kernel.cid import CID
+
+    face1 = CID.from_face(1)
+    u = CU.normalize([face1])
+    assert len(u) == 1 and u[0] == face1
+
+
+def test_to_string():
+    """ToStringEmpty / OneCell / TwoCells / Over500Cells."""
+    from s2geometry_spark.kernel import cellunion as CU
+    from s2geometry_spark.kernel.cid import CID
+
+    assert CU.to_string([]) == "Size:0 S2CellIds:"
+    assert CU.to_string([CID.from_face(1)]) == "Size:1 S2CellIds:3"
+    assert (
+        CU.to_string([CID.from_face(1), CID.from_face(2)])
+        == "Size:2 S2CellIds:3,5"
+    )
+    ids = CU.denormalize([CID.from_face(1)], 6, 1)  # 4096 cells
+    s = CU.to_string(ids)
+    assert s.count(",") == 500
+    assert s.endswith(",...")
+
+
+def test_empty_and_non_empty_boolean_ops():
+    """EmptyAndNonEmptyBooleanOps: the full Contains/Intersects/Union/
+    Intersection/Difference matrix over the empty union and {face 1}."""
+    from s2geometry_spark.kernel import cellunion as CU
+    from s2geometry_spark.kernel.cid import CID
+
+    empty: list = []
+    face1 = CID.from_face(1)
+    ne = [face1]
+
+    assert not CU.contains_id(empty, face1)
+    assert CU.contains_id(ne, face1)
+    assert CU.contains_union(empty, empty)
+    assert CU.contains_union(ne, empty)
+    assert not CU.contains_union(empty, ne)
+    assert CU.contains_union(ne, ne)
+
+    assert not CU.intersects(empty, [face1])
+    assert CU.intersects(ne, [face1])
+    assert not CU.intersects(empty, empty)
+    assert not CU.intersects(ne, empty)
+    assert not CU.intersects(empty, ne)
+    assert CU.intersects(ne, ne)
+
+    assert CU.union(empty, empty) == empty
+    assert CU.union(ne, empty) == ne
+    assert CU.union(empty, ne) == ne
+    assert CU.union(ne, ne) == ne
+
+    assert CU.intersection_id(empty, face1) == empty
+    assert CU.intersection_id(ne, face1) == ne
+    assert CU.intersection(empty, empty) == empty
+    assert CU.intersection(ne, empty) == empty
+    assert CU.intersection(empty, ne) == empty
+    assert CU.intersection(ne, ne) == ne
+
+    assert CU.difference(empty, empty) == empty
+    assert CU.difference(ne, empty) == ne
+    assert CU.difference(empty, ne) == empty
+    assert CU.difference(ne, ne) == empty
+
+
+def test_intersection_one_input_normalized():
+    """IntersectionOneInputNormalized: face ∩ verbatim children = the
+    children verbatim (no renormalization of the other input)."""
+    from s2geometry_spark.kernel import cellunion as CU
+    from s2geometry_spark.kernel.cid import CID
+
+    fid = CID.from_face(3)
+    children = [fid.child(k) for k in range(4)]
+    assert CU.intersection([fid], children) == children
+
+
+def test_intersection_with_cell_id_not_in_union_is_empty():
+    """IntersectionWithCellIdNotInUnionIsEmpty: a deep leaf-path cell vs
+    a disjoint coarser cell on the same face."""
+    from s2geometry_spark.kernel import cellunion as CU
+    from s2geometry_spark.kernel.cid import CID
+
+    def mk(s):
+        face, path = s.split("/")
+        c = CID.from_face(int(face))
+        for ch in path:
+            c = c.child(int(ch))
+        return c
+
+    xcells = [mk("2/1021322000001121003")]
+    yid = mk("2/10213223")
+    u = CU.intersection_id(xcells, yid)
+    assert u == []
+    assert not CU.contains_id(u, yid)
