@@ -400,7 +400,17 @@ def test_contains_matches_crossing_sign():
         c = child.get_center()
         verts.append(c / np.linalg.norm(c))
     loop = Loop(np.array(verts))
-    a0 = Cell(cid.child(0).child(2)).get_vertex(0)
+    v0 = Cell(cid.child(0).child(2)).get_vertex(0)
+    # the reference gets a probe 1 ulp from verts[0] for free because its
+    # GetCenter().Normalize() and GetVertex() round differently; this
+    # engine's tower computes both to the SAME double (and whether they
+    # differ proved microarch-dependent), so construct the probe
+    # explicitly one ulp inside vertex 0 — the same configuration
+    centroid = np.array(verts).mean(axis=0)
+    centroid /= np.linalg.norm(centroid)
+    d = centroid - v0
+    a0 = v0 + 1e-15 * (d / np.linalg.norm(d))
+    a0 = a0 / np.linalg.norm(a0)
     assert not np.array_equal(a0, verts[0])
 
     origin = np.asarray(ORIGIN, float)

@@ -392,51 +392,5 @@ def test_normalized_compatible_with_contains():
         assert not bool(Loop(norm).contains(p)[0])
 
 
-def test_contains_matches_crossing_sign():
-    """ContainsMatchesCrossingSign (test.cc:600-660): the loop built
-    from the four child-cell centers of the level-21 cell at (1,1,1)
-    must contain a point one ulp inside vertex 0 whose edge to Origin
-    crosses exactly one boundary edge — the historical
-    too-tight-bound bug.
-
-    Deviation: the reference gets its probe a0 for free because its
-    GetCenter().Normalize() and GetVertex() round differently; this
-    engine's vectorized tower computes both to the SAME double, so the
-    probe is constructed explicitly one ulp inside vertex 0 (the same
-    geometric configuration the reference's rounding produces).
-    """
-    from s2geometry_spark.kernel import cellid as cid_np
-    from s2geometry_spark.kernel import predicates as P
-    from s2geometry_spark.kernel.predicates import crossing_sign
-
-    one = np.array([1.0]) / math.sqrt(3.0)
-    leaf = cid_np.from_point(one, one, one)
-    cell_id = CID(int(leaf[0])).parent(21)
-    points = np.stack(
-        [Cell(cell_id.child(i)).get_center() for i in range(4)]
-    )
-    v0 = Cell(cell_id.child(0).child(2)).get_vertex(0)
-    centroid = points.mean(axis=0)
-    centroid /= np.linalg.norm(centroid)
-    d = centroid - v0
-    a0 = v0 + 1e-15 * (d / np.linalg.norm(d))
-    a0 = a0 / np.linalg.norm(a0)
-    assert not np.array_equal(points[0], a0)
-
-    origin = P.ORIGIN
-    v = points
-    # the edge a0 -> Origin crosses exactly the (v1, v2) boundary edge,
-    # the reference's expected sign pattern (test.cc:646-655)
-    assert crossing_sign(a0, origin, v[0], v[1]) == -1
-    assert crossing_sign(a0, origin, v[1], v[2]) == 1
-    assert crossing_sign(a0, origin, v[2], v[3]) == -1
-    assert crossing_sign(a0, origin, v[3], v[0]) == -1
-
-    loop = Loop(points)
-    assert not bool(loop.contains(origin[None])[0])
-    assert bool(loop.contains(a0[None])[0])
-
-    # since a0 is inside the loop, it must be inside the rect bound
-    # (the historical failure: a bound too tight to admit a0)
-    bound = rect_bound_of_chain(points, closed=True)
-    assert bound.contains_point(a0)
+# ContainsMatchesCrossingSign lives in tests/test_loop_relations.py
+# (ported there with the explicit one-ulp interior probe).
