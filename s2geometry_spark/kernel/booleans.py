@@ -1341,3 +1341,45 @@ def get_overlap_fractions(a: Polygon, b: Polygon) -> tuple[float, float]:
         1.0 if inter_area >= a_area else inter_area / a_area,
         1.0 if inter_area >= b_area else inter_area / b_area,
     )
+
+
+def approx_contains(a: Polygon, b: Polygon, tolerance_rad: float) -> bool:
+    """S2Polygon::ApproxContains (s2polygon.cc:676-680): true when
+    (b \\ a) snapped with IdentitySnapFunction(tolerance) is empty."""
+    from .builder import IdentitySnapFunction
+
+    return boolean_op_snapped(
+        b, a, "difference", IdentitySnapFunction(tolerance_rad)
+    ).is_empty
+
+
+def approx_disjoint(a: Polygon, b: Polygon, tolerance_rad: float) -> bool:
+    """S2Polygon::ApproxDisjoint (s2polygon.cc:682-686): true when
+    (b ∩ a) snapped with IdentitySnapFunction(tolerance) is empty."""
+    from .builder import IdentitySnapFunction
+
+    return boolean_op_snapped(
+        b, a, "intersection", IdentitySnapFunction(tolerance_rad)
+    ).is_empty
+
+
+def cell_union_border_polygon(ids) -> Polygon:
+    """S2Polygon::InitToCellUnionBorder (s2polygon.cc:1353-1380): the
+    union of the cells' quads with shared edges merged by snapping
+    within half of kMinWidth at the leaf level (two cell edges can never
+    come closer than kMinWidth, so this merges shared edges without
+    merging distinct ones)."""
+    from .builder import IdentitySnapFunction
+    from .cell import Cell
+    from .contains import Loop
+    from .metrics import MIN_WIDTH
+
+    snap = IdentitySnapFunction(0.5 * MIN_WIDTH.get_value(30))
+    result = Polygon([])
+    for cid in ids:
+        cell = Cell(cid)
+        quad = Polygon(
+            [Loop(np.stack([cell.get_vertex(k) for k in range(4)]))]
+        )
+        result = boolean_op_snapped(result, quad, "union", snap)
+    return result
