@@ -710,7 +710,14 @@ def _boolean_op_snapped_impl(a: Polygon, b: Polygon, op: str,
     # drop the full sentinel, turning full-operand ops empty —
     # s2boolean_operation_test.cc FullAndEmptyResults).
     if a.is_empty or b.is_empty or a.is_full or b.is_full:
-        return fns[op](a, b)
+        res = fns[op](a, b)
+        if res.is_empty or res.is_full:
+            return res
+        # the surviving operand still passes through the snap, like the
+        # reference's output layer (a large snap radius may collapse it
+        # entirely — s2polygon_test.cc InitToSnappedWithSnapLevel's
+        # ApproxContains at coarse levels)
+        return snap_polygons_joint([res], snap)[0]
     sa, sb = snap_polygons_joint([a, b], snap)
     if sa.is_empty or sb.is_empty or sa.is_full or sb.is_full:
         return fns[op](sa, sb)
@@ -1383,3 +1390,14 @@ def cell_union_border_polygon(ids) -> Polygon:
         )
         result = boolean_op_snapped(result, quad, "union", snap)
     return result
+
+
+def init_to_snapped(polygon: Polygon, snap_level: int = 30) -> Polygon:
+    """S2Polygon::InitToSnapped (s2polygon.cc:1048-1056): the full
+    builder snap — vertex phase + the exact Voronoi EDGE phase, so edges
+    passing within the snap radius of a site are split onto it (the
+    vertex-only snap reproduces the historical InitToSnappedIsValid_B
+    self-crossing)."""
+    from .builder import S2CellIdSnapFunction
+
+    return snap_polygons_joint([polygon], S2CellIdSnapFunction(snap_level))[0]
