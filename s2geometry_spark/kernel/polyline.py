@@ -444,3 +444,30 @@ def nearly_covers(cover: np.ndarray, covered: np.ndarray,
         ):
             pending.append((si, next_j, True))
     return False
+
+
+def get_snap_level(vertices: np.ndarray) -> int:
+    """S2Polyline::GetSnapLevel (s2polyline.cc:225-241): the single cell
+    level every vertex is a center of, else -1."""
+    from .coords import xyz_to_face_siti
+
+    v = np.asarray(vertices, float).reshape(-1, 3)
+    if len(v) == 0:
+        return -1
+    _f, _si, _ti, level = xyz_to_face_siti(v[:, 0], v[:, 1], v[:, 2])
+    level = np.asarray(level)
+    if (level < 0).any():
+        return -1
+    if (level != level[0]).any():
+        return -1
+    return int(level[0])
+
+
+def init_to_simplified(vertices: np.ndarray, snap) -> np.ndarray:
+    """S2Polyline::InitToSimplified (s2polyline.cc): builder snap with
+    simplify_edge_chains=true — kernel.builder.simplify_snapped_polylines
+    over a single layer."""
+    from .builder import simplify_snapped_polylines
+
+    out = simplify_snapped_polylines([np.asarray(vertices, float)], snap)
+    return out[0] if out else np.zeros((0, 3))

@@ -319,3 +319,41 @@ def test_approx_equals():
     assert not ae("0:0, 0:10, 0:20", "0:0, 0:20", 0.1)
     # same vertices in a different order
     assert not ae("0:0, 5:5, 0:10", "5:5, 0:10, 0:0", 0.1)
+
+
+def test_get_snap_level():
+    """GetSnapLevel (s2polyline_test.cc): same-level cell centers report
+    that level; mixed levels or unsnapped vertices report -1."""
+    from s2geometry_spark.kernel import cellid as cid_np
+    from s2geometry_spark.kernel.cid import CID
+    from s2geometry_spark.kernel.polyline import get_snap_level
+
+    def center(lat, lng, level):
+        leaf = cid_np.from_point(*[np.array([c]) for c in _pts(f"{lat}:{lng}")[0]])
+        cid = CID(int(leaf[0])).parent(level)
+        x, y, z = cid_np.to_point(np.array([cid.id], dtype=np.uint64))
+        return np.array([x[0], y[0], z[0]])
+
+    assert get_snap_level(
+        np.stack([center(10, 10, 20), center(20, 20, 20)])) == 20
+    assert get_snap_level(
+        np.stack([center(10, 10, 20), center(20, 20, 22)])) == -1
+    assert get_snap_level(_pts("10:10, 20:20")) == -1
+
+
+def test_init_to_simplified():
+    """InitToSimplified (s2polyline_test.cc): leaf-level snap +
+    simplify keeps all 4 vertices, stays within E7(1), and reports
+    snap level kMaxLevel."""
+    from s2geometry_spark.kernel.builder import S2CellIdSnapFunction
+    from s2geometry_spark.kernel.polyline import (
+        approx_equals,
+        get_snap_level,
+        init_to_simplified,
+    )
+
+    original = _pts("10:10, 20:20, 20:30, 10:40")
+    snapped = init_to_simplified(original, S2CellIdSnapFunction(30))
+    assert len(snapped) == len(original)
+    assert approx_equals(snapped, original, math.radians(1e-7))
+    assert get_snap_level(snapped) == 30
