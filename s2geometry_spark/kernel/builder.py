@@ -797,3 +797,80 @@ def add_extra_sites(
         if not added:
             break
     return np.asarray(site_list).reshape(-1, 3)
+
+
+def init_to_simplified_polygon(polygon, snap: SnapFunction):
+    """S2Polygon::InitToSimplified (s2polygon.cc:1058-1064): builder
+    snap with simplify_edge_chains=true over the polygon's loops.  Each
+    loop rides the merged-multigraph EdgeChainSimplifier as a CLOSED
+    chain (the reassembly walk already tolerates the original start
+    vertex being simplified away); loops that collapse below 3 distinct
+    sites vanish (TinyLoopDisappears)."""
+    from .contains import Loop, Polygon
+
+    if not polygon.loops:
+        return Polygon([])
+    closed = [
+        np.concatenate([l.vertices, l.vertices[:1]])
+        for l in polygon.loops
+        if len(l.vertices) >= 3
+    ]
+    out = simplify_snapped_polylines(closed, snap)
+    # route the simplified edges through the POLYGON layer (sibling
+    # pairs between loops cancel and loops reassemble via the left-turn
+    # map) — matching the reference where the simplified graph feeds
+    # S2PolygonLayer (s2polygon_test.cc EdgesOverlap: a shared partial
+    # boundary cancels, merging the two loops into one outline)
+    from .graph import Graph, process_edges
+    from .id_set_lexicon import IdSetLexicon
+    from .layers import PolygonLayer
+
+    verts: list[np.ndarray] = []
+    vid: dict[bytes, int] = {}
+    graph_edges: list[tuple[int, int]] = []
+    input_ids: list[int] = []
+    lexicon = IdSetLexicon()
+    iid = 0
+    for v in out:
+        if len(v) > 1 and np.all(v[0] == v[-1]):
+            v = v[:-1]
+        keep = [0]
+        for i in range(1, len(v)):
+            if not np.all(v[i] == v[keep[-1]]):
+                keep.append(i)
+        v = v[np.asarray(keep, dtype=np.int64)]
+        if len(v) < 3:
+            continue
+        sids = []
+        for p_ in v:
+            key = p_.tobytes()
+            if key not in vid:
+                vid[key] = len(verts)
+                verts.append(p_)
+            sids.append(vid[key])
+        for i in range(len(sids)):
+            graph_edges.append((sids[i], sids[(i + 1) % len(sids)]))
+            input_ids.append(lexicon.add([iid]))
+            iid += 1
+    if not graph_edges:
+        return Polygon([])
+    layer = PolygonLayer()
+    opts, edges2, ids2, error = process_edges(
+        layer.graph_options(), graph_edges, input_ids, lexicon
+    )
+    if error:
+        raise ValueError(error)
+    order = sorted(range(len(edges2)), key=lambda i: (edges2[i], i))
+    g = Graph(
+        opts,
+        np.asarray(verts).reshape(-1, 3),
+        [edges2[i] for i in order],
+        [ids2[i] for i in order],
+        lexicon,
+        {},
+    )
+    g.is_full_polygon = False
+    err = layer.build(g)
+    if err:
+        raise ValueError(err)
+    return Polygon([Loop(v) for v in layer.loops])

@@ -272,10 +272,16 @@ class EdgeChainSimplifier:
             by_layer.setdefault(self.layers[e], []).append((self.edges[e][1], True))
         for e in self.in_ids[v]:
             by_layer.setdefault(self.layers[e], []).append((self.edges[e][0], False))
-        for tallies in by_layer.values():
+        # v1/v2 persist ACROSS layers (InteriorVertexMatcher resets only
+        # the counters in StartLayer, s2builder.cc:1710-1713): every
+        # layer passing through v0 must connect the SAME two neighbors,
+        # else the chain walk would merge edges from divergent paths
+        # (the EdgesOverlap partially-shared-boundary case)
+        v1 = v2 = -1
+        too_many = False
+        for _layer in sorted(by_layer):
+            tallies = by_layer[_layer]
             excess_out = n0 = n1 = n2 = 0
-            v1 = v2 = -1
-            too_many = False
             for w, outgoing in tallies:
                 excess_out += 1 if outgoing else -1
                 if w == v:
