@@ -592,7 +592,8 @@ def snap_polylines_with_separation(
 
 
 def simplify_snapped_polylines(
-    polylines: list[np.ndarray], snap: SnapFunction
+    polylines: list[np.ndarray], snap: SnapFunction,
+    forced: list[np.ndarray] | None = None,
 ) -> list[np.ndarray]:
     """S2Builder's simplify_edge_chains for polyline layers
     (s2builder.h:119, options s2builder.h:425-426), one layer per input
@@ -680,12 +681,18 @@ def simplify_snapped_polylines(
                 site_inputs.setdefault(sid, []).append(v[i])
 
     sep = min_edge_vertex_separation(snap)
+    forced_ids: set[int] = set()
+    for f in (forced or []):
+        f = np.asarray(f, float).reshape(3)
+        d2 = ((S - f) ** 2).sum(-1)
+        forced_ids.add(int(d2.argmin()))
     simplifier = EdgeChainSimplifier(
         S,
         edges,
         layers,
         input_ids,
         site_inputs,
+        forced=forced_ids,
         edge_snap_r2=edge_snap_r2,
         min_sep_r2=_angle2chord2(sep),
         near_r2=_angle2chord2(max_edge_deviation(snap.snap_radius) + sep),

@@ -236,7 +236,9 @@ class EdgeChainSimplifier:
         min_sep_r2: float,
         near_r2: float,
         max_len2: float,
+        forced: set[int] | None = None,
     ) -> None:
+        self.forced = forced or set()
         self.S = np.asarray(sites, float).reshape(-1, 3)
         self.edges = edges
         self.layers = layers
@@ -267,6 +269,8 @@ class EdgeChainSimplifier:
             return False
         if len(self.out_ids[v]) != len(self.in_ids[v]):
             return False
+        if v in self.forced:
+            return False  # keep forced vertices (s2builder.cc:1764)
         by_layer: dict[int, list[tuple[int, bool]]] = {}
         for e in self.out_ids[v]:
             by_layer.setdefault(self.layers[e], []).append((self.edges[e][1], True))

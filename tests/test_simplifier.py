@@ -391,3 +391,69 @@ class TestSimplifyEdgeChains:
             [[(-30.49, -29.51), (29.51, 30.49)]], IntLatLngSnapFunction(0)
         )
         assert out[0] == [(-30, -30), (-1, 1), (30, 30)]
+
+
+def test_simplify_keeps_forced_vertices():
+    """SimplifyKeepsForcedVertices (s2builder_test.cc): a forced vertex
+    is never an interior chain vertex, so 0:1 survives while 0:2 is
+    simplified away."""
+    from s2geometry_spark.kernel.builder import (
+        IdentitySnapFunction,
+        simplify_snapped_polylines,
+    )
+    from s2geometry_spark.kernel.contains import format_point, parse_points
+
+    v = parse_points("0:0, 0:1, 0:2, 0:3")
+    out = simplify_snapped_polylines(
+        [v], IdentitySnapFunction(1e-15), forced=[parse_points("0:1")[0]]
+    )
+    got = ", ".join(format_point(p) for p in out[0])
+    assert got == "0:0, 0:1, 0:3"
+
+
+def test_simplify_preserves_topology():
+    """SimplifyPreservesTopology (s2builder_test.cc): concentric loops
+    simplified JOINTLY stay nested and near their inputs.  (Reference:
+    20 loops x 1000 vertices; 10 x 250 here with the same ~0.125-degree
+    vertex spacing and the same radius schedule.)"""
+    from s2geometry_spark.kernel.builder import (
+        IdentitySnapFunction,
+        init_to_simplified_polygon,
+        simplify_snapped_polylines,
+    )
+    from s2geometry_spark.kernel.contains import Loop, Polygon
+    from s2geometry_spark.kernel.fractal import make_regular_points
+    from s2geometry_spark.kernel.looprel import boundary_near
+
+    num_loops = 10
+    num_vertices = 250
+    base_radius = math.radians(5.0)
+    snap_radius = math.radians(0.1)
+    center = np.array([1.0, 0.0, 0.0])
+    inputs = []
+    for j in range(num_loops):
+        radius = base_radius + 0.7 * j * j / num_loops * snap_radius
+        inputs.append(
+            np.asarray(make_regular_points(center, radius, num_vertices))
+        )
+    closed = [np.concatenate([v, v[:1]]) for v in inputs]
+    out = simplify_snapped_polylines(closed, IdentitySnapFunction(snap_radius))
+    loops = []
+    for v in out:
+        if len(v) > 1 and np.all(v[0] == v[-1]):
+            v = v[:-1]
+        assert len(v) >= 3
+        loops.append(v.copy())
+    from s2geometry_spark.kernel import booleans as B
+
+    for j in range(num_loops):
+        assert boundary_near(loops[j], inputs[j], snap_radius), j
+        if j > 0:
+            # adjacent rings may have snapped onto SHARED sites (their
+            # separation is far below the snap radius), so containment
+            # uses polygon semantics like the reference's
+            # S2Polygon::Contains: inner \ outer must be empty
+            assert B.approx_contains(
+                Polygon([Loop(loops[j])]), Polygon([Loop(loops[j - 1])]),
+                1e-15,
+            ), j
