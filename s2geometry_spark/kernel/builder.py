@@ -479,7 +479,8 @@ def min_edge_length_to_split_rad(snap_radius_rad: float) -> float:
 
 
 def snap_polylines_with_separation(
-    polylines: list[np.ndarray], snap: SnapFunction, max_passes: int = 50
+    polylines: list[np.ndarray], snap: SnapFunction, max_passes: int = 50,
+    forced: list[np.ndarray] | None = None,
 ) -> list[np.ndarray]:
     """Edge phase + AddExtraSites (s2builder.cc:888-1010), both cases:
 
@@ -498,7 +499,7 @@ def snap_polylines_with_separation(
     from .polyline import _project_to_edge as _proj
 
     all_v = np.concatenate([np.asarray(p, float).reshape(-1, 3) for p in polylines])
-    sites, _ = choose_sites(all_v, snap)
+    sites, _ = choose_sites(all_v, snap, forced=forced)
     sites = [s for s in sites]
     min_sep = min_edge_vertex_separation(snap)
     min_sep2 = _angle2chord2(min_sep)
@@ -618,7 +619,7 @@ def simplify_snapped_polylines(
     input-edge-id order (the S2PolylineLayer assembly rule)."""
     from .simplifier import EdgeChainSimplifier
 
-    chains = snap_polylines_with_separation(polylines, snap)
+    chains = snap_polylines_with_separation(polylines, snap, forced=forced)
     chains = [np.asarray(c, float).reshape(-1, 3) for c in chains]
     if not chains:
         return chains
@@ -878,6 +879,107 @@ def init_to_simplified_polygon(polygon, snap: SnapFunction):
     )
     g.is_full_polygon = False
     err = layer.build(g)
+    if err:
+        raise ValueError(err)
+    return Polygon([Loop(v) for v in layer.loops])
+
+
+def _cell_edge_incidence_mask(cell, p: np.ndarray, tolerance_uv: float) -> int:
+    """GetCellEdgeIncidenceMask (s2polygon.cc:1066-1085): bit i set iff p
+    lies within tolerance_uv of S2Cell::edge(i) in (u, v) space."""
+    from .coords import valid_face_xyz_to_uv
+
+    # FaceXYZtoUV: defined only when p is on the cell face's hemisphere
+    norm_axis = {0: 0, 1: 1, 2: 2, 3: 0, 4: 1, 5: 2}[cell.face]
+    comp = p[norm_axis] if cell.face < 3 else -p[norm_axis]
+    if comp <= 0:
+        return 0
+    u, v = valid_face_xyz_to_uv(
+        np.array([cell.face]), p[None, 0], p[None, 1], p[None, 2]
+    )
+    u, v = float(u[0]), float(v[0])
+    mask = 0
+    if abs(v - cell.v_lo) <= tolerance_uv:
+        mask |= 1
+    if abs(u - cell.u_hi) <= tolerance_uv:
+        mask |= 2
+    if abs(v - cell.v_hi) <= tolerance_uv:
+        mask |= 4
+    if abs(u - cell.u_lo) <= tolerance_uv:
+        mask |= 8
+    return mask
+
+
+def init_to_simplified_in_cell(polygon, cell, snap_radius_rad: float,
+                               boundary_tolerance_rad: float = 1e-15):
+    """S2Polygon::InitToSimplifiedInCell (s2polygon.cc:1087-1160): the
+    two-pass algorithm — pass 1 simplifies ONLY the interior edges
+    (boundary vertices forced so they cannot move; boundary edges pass
+    through verbatim), pass 2 reassembles everything through the polygon
+    layer with a kIntersectionError snap to clear any intersection the
+    interior simplification could have created near the boundary."""
+    from .booleans import _INTERSECTION_ERROR
+    from .contains import Loop, Polygon
+    from .layers import Builder, PolygonLayer
+    from .measures import even_odd_signs
+
+    boundary_tolerance_uv = math.sqrt(6) * boundary_tolerance_rad
+
+    loops_v = [l.vertices for l in polygon.loops if len(l.vertices) >= 3]
+    if not loops_v:
+        return Polygon([])
+    signs = even_odd_signs(loops_v) if len(loops_v) > 1 else [1]
+
+    boundary_polylines: list[np.ndarray] = []
+    interior_chains: list[np.ndarray] = []
+    forced: list[np.ndarray] = []
+    for sgn, v in zip(signs, loops_v):
+        w = v if sgn > 0 else v[::-1]
+        n = len(w)
+        masks = [
+            _cell_edge_incidence_mask(cell, w[j], boundary_tolerance_uv)
+            for j in range(n)
+        ]
+        chain: list[np.ndarray] = []
+        for j in range(n):
+            v0, v1 = w[j], w[(j + 1) % n]
+            m0, m1 = masks[j], masks[(j + 1) % n]
+            if (m0 & m1) != 0:
+                # boundary edge: passed through verbatim, endpoints forced
+                forced.append(v1)
+                boundary_polylines.append(np.stack([v0, v1]))
+                if chain:
+                    interior_chains.append(np.asarray(chain))
+                    chain = []
+            else:
+                if not chain:
+                    chain = [v0]
+                chain.append(v1)
+                if m1 != 0:
+                    forced.append(v1)
+                    interior_chains.append(np.asarray(chain))
+                    chain = []
+        if chain:
+            interior_chains.append(np.asarray(chain))
+
+    simplified = (
+        simplify_snapped_polylines(
+            interior_chains, IdentitySnapFunction(snap_radius_rad),
+            forced=forced,
+        )
+        if interior_chains
+        else []
+    )
+
+    builder = Builder(IdentitySnapFunction(_INTERSECTION_ERROR),
+                      idempotent=False)
+    layer = PolygonLayer()
+    builder.start_layer(layer)
+    for pl in boundary_polylines:
+        builder.add_polyline(pl)
+    for pl in simplified:
+        builder.add_polyline(pl)
+    err = builder.build()
     if err:
         raise ValueError(err)
     return Polygon([Loop(v) for v in layer.loops])
