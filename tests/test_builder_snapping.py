@@ -147,3 +147,53 @@ def test_s2cellid_snapping_at_all_levels():
                 c = c / np.linalg.norm(c)
                 assert np.array_equal(c, v), level
         assert boundary_near(got, loops, snap.snap_radius)
+
+
+# ------------------- VoronoiSiteExclusionBug1/2 (s2builder_test.cc)
+
+
+def _run_forced_polyline(polyline_str, forced_strs, snap_deg):
+    from s2geometry_spark.kernel.coords import xyz_to_latlng
+    from s2geometry_spark.kernel.layers import PolylineLayer
+
+    b = Builder(IdentitySnapFunction(math.radians(snap_deg)))
+    layer = PolylineLayer()
+    b.start_layer(layer)
+    b.add_polyline(parse_points(polyline_str))
+    for s in forced_strs:
+        b.force_vertex(parse_points(s)[0])
+    err = b.build()
+    assert err is None, err
+    v = layer.polyline
+    lat, lng = xyz_to_latlng(v[:, 0], v[:, 1], v[:, 2])
+    return list(zip(lat.tolist(), lng.tolist()))
+
+
+def test_voronoi_site_exclusion_bug1():
+    """VoronoiSiteExclusionBug1: with edge length + snap radius > 180
+    degrees the edge must not snap to the second forced vertex."""
+    got = _run_forced_polyline(
+        "29.40:173.03, -18.02:-5.83",
+        ["25.84:131.46", "-29.23:-166.58"],
+        64.83,
+    )
+    want = [(25.84, 131.46), (-18.02, -5.83)]
+    assert len(got) == len(want)
+    for (glat, glng), (wlat, wlng) in zip(got, want):
+        assert abs(glat - wlat) < 1e-9 and abs(glng - wlng) < 1e-9, got
+
+
+def test_voronoi_site_exclusion_bug2():
+    """VoronoiSiteExclusionBug2: snapping to the given vertices would
+    deviate too far, so an extra site is added.  (The reference's own
+    expectation differs in the last double digit across platforms, so
+    the extra site is pinned to 1e-9 degrees.)"""
+    got = _run_forced_polyline(
+        "47.06:-175.17, -47.59:10.57",
+        ["36.36:47.63", "-28.34:-72.46"],
+        67.75,
+    )
+    want = [(47.06, -175.17), (-34.4968065428191, 69.7125289482374)]
+    assert len(got) == len(want), got
+    for (glat, glng), (wlat, wlng) in zip(got, want):
+        assert abs(glat - wlat) < 1e-9 and abs(glng - wlng) < 1e-9, got
