@@ -105,7 +105,10 @@ def valid_face_xyz_to_uv(
 ) -> tuple[np.ndarray, np.ndarray]:
     """ValidFaceXYZtoUV (s2coords.h:389-403): one division per coordinate."""
     face = np.asarray(face)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over= covers subnormal coordinates (e.g. 1e-322) whose quotient
+    # against the masked off-face lanes overflows before np.choose
+    # discards them
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.choose(face, [y / x, -x / y, -x / z, z / x, z / y, -y / z])
         v = np.choose(face, [z / x, z / y, -y / z, y / x, -x / y, -x / z])
     return u, v
