@@ -350,7 +350,8 @@ def decode_polygon_uncompressed(dec: Decoder) -> list[tuple[np.ndarray, int]]:
 #  s2polyline.cc:477-536)
 # ---------------------------------------------------------------------------
 
-COMPRESSED_VERSION = 4
+COMPRESSED_VERSION = 4  # loops/polygons (s2polygon.cc:111)
+POLYLINE_COMPRESSED_VERSION = 2  # s2polyline.cc:76
 MAX_CELL_LEVEL = 30
 _K_ORIGIN_INSIDE = 1  # CompressedLoopProperty bit 0 (s2loop.cc:96-100)
 _K_BOUND_ENCODED = 2  # bit 1
@@ -465,14 +466,14 @@ def encode_polyline_compact(vertices, enc: Encoder | None = None) -> Encoder:
     enc = enc or Encoder()
     v = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
     if len(v) == 0:
-        enc.put8(COMPRESSED_VERSION)
+        enc.put8(POLYLINE_COMPRESSED_VERSION)
         enc.put8(MAX_CELL_LEVEL)
         enc.put_varint32(0)
         return enc
     snap_level, use_compressed = _choose_snap_format(v)
     if not use_compressed:
         return encode_polyline(v, enc)
-    enc.put8(COMPRESSED_VERSION)
+    enc.put8(POLYLINE_COMPRESSED_VERSION)
     enc.put8(snap_level)
     enc.put_varint32(len(v))
     encode_points_compressed(v, snap_level, enc)
@@ -489,7 +490,7 @@ def decode_polyline_any(dec: Decoder) -> np.ndarray:
         n = dec.get32()
         raw = dec.getn(24 * n)
         return np.frombuffer(raw, dtype="<f8").reshape(-1, 3).copy()
-    if version == COMPRESSED_VERSION:
+    if version == POLYLINE_COMPRESSED_VERSION:
         snap_level = dec.get8()
         if snap_level > MAX_CELL_LEVEL:
             raise ValueError(f"bad snap level {snap_level}")

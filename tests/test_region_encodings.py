@@ -266,7 +266,7 @@ def test_polyline_compact_roundtrip():
     snapped = np.stack([x, y, z], -1)
 
     enc = E.encode_polyline_compact(snapped)
-    assert bytes(enc.buf)[0] == E.COMPRESSED_VERSION
+    assert bytes(enc.buf)[0] == E.POLYLINE_COMPRESSED_VERSION
     assert len(enc.buf) < 24 * len(snapped)
     got = E.decode_polyline_any(E.Decoder(bytes(enc.buf)))
     assert np.array_equal(got, snapped)
