@@ -118,6 +118,53 @@ class CID:
     def child_position(self, level: int) -> int:
         return (self.id >> (2 * (MAX_LEVEL - level) + 1)) & 3
 
+    # ---- position field / curve iteration (s2cell_id.h:117-132,
+    # 360-365, 736-746)
+    FACE_BITS = 3
+    MAX_POSITION = M64 >> 3
+
+    def pos(self) -> int:
+        """The 61-bit Hilbert curve position within the face."""
+        return self.id & (M64 >> CID.FACE_BITS)
+
+    @staticmethod
+    def from_face_pos_level(face: int, pos: int, level: int) -> "CID":
+        return CID(((face << POS_BITS) + (pos | 1)) & M64).parent(level)
+
+    @staticmethod
+    def begin(level: int) -> "CID":
+        return CID.from_face(0).child_begin(level)
+
+    @staticmethod
+    def end(level: int) -> "CID":
+        return CID.from_face(5).child_end(level)
+
+    def distance_from_begin(self) -> int:
+        """Number of level-`level()` steps from Begin(level())
+        (s2cell_id.cc:139-142)."""
+        return self.id >> (2 * (MAX_LEVEL - self.level()) + 1)
+
+    def advance(self, steps: int) -> "CID":
+        step_shift = 2 * (MAX_LEVEL - self.level()) + 1
+        return CID((self.id + (steps << step_shift)) & M64)
+
+    def center_si_ti(self) -> tuple[int, int, int]:
+        """GetCenterSiTi (s2cell_id.h:555-581): (face, si, ti) of the
+        cell center; always odd multiples of the cell size."""
+        import numpy as np
+
+        from .cellid import to_face_ij_orientation
+
+        f, i, j, _ = to_face_ij_orientation(
+            np.array([self.id], dtype=np.uint64)
+        )
+        i, j = int(i[0]), int(j[0])
+        if self.is_leaf():
+            delta = 1
+        else:
+            delta = 2 if ((i ^ (self.id >> 2)) & 1) else 0
+        return int(f[0]), 2 * i + delta, 2 * j + delta
+
     # ---- tokens / numpy interop
     def token(self) -> str:
         if self.id == 0:
@@ -137,3 +184,33 @@ class CID:
     @staticmethod
     def sentinel() -> "CID":
         return CID(M64)
+
+    # ---- wire coding (s2cell_id.cc Encode/Decode + the legacy
+    # token Coder: nul-terminated token, <= 16 hex chars)
+    def encode(self, enc) -> None:
+        enc.put64(self.id)
+
+    @staticmethod
+    def decode(dec) -> "CID":
+        return CID(dec.get64())
+
+    def coder_encode(self, enc) -> None:
+        for ch in self.token().encode("ascii"):
+            enc.put8(ch)
+        enc.put8(0)
+
+    @staticmethod
+    def coder_decode(dec) -> "CID":
+        """Raises ValueError on a missing nul terminator or an
+        over-long token (S2CellId::Coder semantics)."""
+        tok = bytearray()
+        while True:
+            if dec.avail() <= 0:
+                raise ValueError("cell id token: missing nul terminator")
+            b = dec.get8()
+            if b == 0:
+                break
+            tok.append(b)
+            if len(tok) > 16:
+                raise ValueError("cell id token too long")
+        return CID.from_token(tok.decode("ascii"))
