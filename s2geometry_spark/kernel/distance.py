@@ -242,3 +242,88 @@ def chord2_plus_error(l2: float, error: float) -> float:
     if l2 == 4.0 and error > 0:
         return 4.0
     return max(0.0, min(4.0, l2 + error))
+
+
+# ------------------------------------------------------------------ s2edge_distances.cc edge-pair / ray helpers
+
+
+def interpolate_edge(a, b, t: float):
+    """S2::Interpolate (s2edge_distances.cc:77-81): the point at
+    parametric position t along AB; extrapolates for t outside [0, 1]
+    by walking t * angle(a, b) along the great circle."""
+    import math
+
+    import numpy as np
+
+    from .polyline import point_on_line
+
+    a = np.asarray(a, float).reshape(3)
+    b = np.asarray(b, float).reshape(3)
+    if t == 0:
+        return a.copy()
+    if t == 1:
+        return b.copy()
+    ang = math.atan2(np.linalg.norm(np.cross(a, b)), float(a @ b))
+    return point_on_line(a, b, t * ang)
+
+
+def point_to_left(a, b, r_rad: float):
+    """S2::GetPointToLeft (s2edge_distances.cc:61-67): the point at
+    distance r from A, perpendicular to AB on its left."""
+    import numpy as np
+
+    from .clipping import robust_cross_prod
+    from .polyline import point_on_line
+
+    n = robust_cross_prod(np.asarray(a, float), np.asarray(b, float))
+    n = n / np.linalg.norm(n)
+    return point_on_line(np.asarray(a, float), n, r_rad)
+
+
+def point_to_right(a, b, r_rad: float):
+    """S2::GetPointToRight (s2edge_distances.cc:69-75)."""
+    import numpy as np
+
+    from .clipping import robust_cross_prod
+    from .polyline import point_on_line
+
+    n = robust_cross_prod(np.asarray(b, float), np.asarray(a, float))
+    n = n / np.linalg.norm(n)
+    return point_on_line(np.asarray(a, float), n, r_rad)
+
+
+def edge_pair_closest_points(a0, a1, b0, b1):
+    """S2::GetEdgePairClosestPoints (s2edge_distances.cc:396-418):
+    the pair (on-AB, on-CD) achieving the minimum distance; the
+    intersection point doubled when the edges cross."""
+    import numpy as np
+
+    from . import predicates as P
+    from .booleans import _intersection_point
+    from .polyline import _project_to_edge
+
+    a0 = np.asarray(a0, float)
+    a1 = np.asarray(a1, float)
+    b0 = np.asarray(b0, float)
+    b1 = np.asarray(b1, float)
+    if P.crossing_sign(a0, a1, b0, b1) > 0:
+        x = _intersection_point(a0, a1, b0, b1)
+        return x, x
+    cands = [
+        (float(point_edge_dist2(a0[None], b0[None], b1[None])[0, 0]), 0),
+        (float(point_edge_dist2(a1[None], b0[None], b1[None])[0, 0]), 1),
+        (float(point_edge_dist2(b0[None], a0[None], a1[None])[0, 0]), 2),
+        (float(point_edge_dist2(b1[None], a0[None], a1[None])[0, 0]), 3),
+    ]
+    # strict-improvement order mirrors the reference's UpdateMinDistance
+    best_d, best = cands[0]
+    for d, k in cands[1:]:
+        if d < best_d:
+            best_d, best = d, k
+    if best == 0:
+        return a0, _project_to_edge(a0, b0, b1)
+    if best == 1:
+        return a1, _project_to_edge(a1, b0, b1)
+    if best == 2:
+        return _project_to_edge(b0, a0, a1), b0
+    return _project_to_edge(b1, a0, a1), b1
