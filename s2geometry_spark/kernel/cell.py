@@ -109,6 +109,41 @@ class Cell:
         self.v_lo = float(coords.st_to_uv(lim * j_lo))
         self.v_hi = float(coords.st_to_uv(lim * (j_lo + size)))
 
+    # ---- size / edge coordinates (s2cell.h:129-181)
+    def get_size_ij(self) -> int:
+        return 1 << (MAX_LEVEL - self.level)
+
+    def _uv_vertex(self, k: int):
+        """GetBoundUV().GetVertex(k): CCW from (u_lo, v_lo)."""
+        k &= 3
+        u = self.u_hi if (k == 1 or k == 2) else self.u_lo
+        v = self.v_hi if (k >= 2) else self.v_lo
+        return u, v
+
+    def get_uv_coord_of_edge(self, k: int) -> float:
+        """The constant U or V coordinate of boundary k
+        (s2cell.h:148-154): edges 0/2 are constant in V, 1/3 in U."""
+        k %= 4
+        u, v = self._uv_vertex(k)
+        return v if k % 2 == 0 else u
+
+    def get_ij_coord_of_edge(self, k: int) -> int:
+        """The constant I or J coordinate of boundary k
+        (s2cell.h:167-181), rounded to the IJ lattice."""
+        lim = 1 << MAX_LEVEL
+        import math as _math
+
+        return int(
+            _math.floor(
+                lim * float(coords.uv_to_st(self.get_uv_coord_of_edge(k)))
+                + 0.5
+            )
+        )
+
+    def get_cell_union_bound(self) -> list:
+        """GetCellUnionBound (s2cell.cc): the cell covers itself."""
+        return [self.id]
+
     # ---- geometry
     def get_vertex_raw(self, k: int) -> np.ndarray:
         """uv rect corner k, CCW from lower-left (s2cell.h:136-140)."""
