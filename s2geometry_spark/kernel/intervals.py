@@ -296,6 +296,34 @@ class S1Interval:
             return S1Interval.full()
         return S1Interval(self.hi, self.lo, checked=True)
 
+    def get_complement_center(self) -> float:
+        """S1Interval::GetComplementCenter (s1interval.cc:135-139)."""
+        if self.lo != self.hi:
+            return self.complement().get_center()
+        return self.hi + PI if self.hi <= 0 else self.hi - PI
+
+    def directed_hausdorff(self, y: "S1Interval") -> float:
+        """S1Interval::GetDirectedHausdorffDistance
+        (s1interval.cc:145-162)."""
+        if y.contains_interval(self):
+            return 0.0
+        if y.is_empty():
+            return PI
+        yc = y.get_complement_center()
+        if self.contains(yc):
+            return _positive_distance(y.hi, yc)
+        hi_hi = (
+            _positive_distance(y.hi, self.hi)
+            if S1Interval(y.hi, yc, checked=True).contains(self.hi)
+            else 0.0
+        )
+        lo_lo = (
+            _positive_distance(self.lo, y.lo)
+            if S1Interval(yc, y.lo, checked=True).contains(self.lo)
+            else 0.0
+        )
+        return max(hi_hi, lo_lo)
+
     def union(self, y: "S1Interval") -> "S1Interval":
         if y.is_empty():
             return S1Interval(self.lo, self.hi, checked=True)

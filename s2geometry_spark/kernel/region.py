@@ -534,6 +534,25 @@ class LatLngRect:
         z = alpha * (z2 + z1) * (z2 - z1)
         return np.array([r * math.cos(lng), r * math.sin(lng), z])
 
+    def get_directed_hausdorff_distance(self, other: "LatLngRect") -> float:
+        """GetDirectedHausdorffDistance (s2latlng_rect.cc:593-605):
+        max over p in self of min over q in other of d(p, q)."""
+        if self.is_empty():
+            return 0.0
+        if other.is_empty():
+            return PI
+        lng_distance = self.lng.directed_hausdorff(other.lng)
+        return _edge_pair_directed_hausdorff(
+            lng_distance, self.lat, other.lat
+        )
+
+    def get_hausdorff_distance(self, other: "LatLngRect") -> float:
+        """GetHausdorffDistance: max of the two directed distances."""
+        return max(
+            self.get_directed_hausdorff_distance(other),
+            other.get_directed_hausdorff_distance(self),
+        )
+
     def get_distance_rect(self, b: "LatLngRect") -> float:
         """GetDistance(S2LatLngRect) (s2latlng_rect.cc:507-560), radians."""
         from .distance import chord2_to_angle, point_edge_dist2
@@ -1131,3 +1150,111 @@ def _region_union_rect_bound(self) -> LatLngRect:
 
 
 RegionUnion.get_rect_bound = _region_union_rect_bound
+
+
+# ------------------------------------------------- rect Hausdorff helpers
+
+
+def _r1_directed_hausdorff(a: R1Interval, b: R1Interval) -> float:
+    """R1Interval::GetDirectedHausdorffDistance (r1interval.h:145-149)."""
+    if a.is_empty():
+        return 0.0
+    if b.is_empty():
+        return math.inf
+    return max(0.0, max(a.hi - b.hi, b.lo - a.lo))
+
+
+def _ll_point(lat_rad: float, lng_rad: float) -> np.ndarray:
+    x, y, z = latlng_to_xyz(
+        np.array([math.degrees(lat_rad)]), np.array([math.degrees(lng_rad)])
+    )
+    return np.array([x[0], y[0], z[0]])
+
+
+def _point_edge_angle(x, a, b) -> float:
+    from .distance import chord2_to_angle, point_edge_dist2
+
+    d2 = point_edge_dist2(np.asarray(x, float)[None],
+                          np.asarray(a, float)[None],
+                          np.asarray(b, float)[None])[0, 0]
+    return float(chord2_to_angle(d2))
+
+
+def _bisector_intersection(lat: R1Interval, lng: float) -> np.ndarray:
+    """S2LatLngRect::GetBisectorIntersection (s2latlng_rect.cc:692-706):
+    intersection of longitude 0 with the bisector of an edge on
+    longitude `lng` spanning `lat`."""
+    lng = abs(lng)
+    lat_center = lat.get_center()
+    if lat_center >= 0:
+        ortho_bisector = _ll_point(lat_center - PI / 2, lng)
+    else:
+        ortho_bisector = _ll_point(-lat_center - PI / 2, lng - PI)
+    ortho_lng = np.array([0.0, -1.0, 0.0])
+    return robust_cross_prod(ortho_lng, ortho_bisector)
+
+
+def _interior_max_distance(a_lat: R1Interval, b: np.ndarray) -> float:
+    """S2LatLngRect::GetInteriorMaxDistance (s2latlng_rect.cc:711-727):
+    max distance from b to the longitude-0 segment spanning a_lat, when
+    attained in the interior (else -1)."""
+    if a_lat.is_empty() or b[0] >= 0:
+        return -1.0
+    ip = np.array([-b[0], 0.0, -b[2]])
+    ip = ip / np.linalg.norm(ip)
+    ip_lat = math.asin(max(-1.0, min(1.0, ip[2])))
+    if a_lat.interior_contains(ip_lat):
+        bn = np.asarray(b, float)
+        return math.atan2(
+            float(np.linalg.norm(np.cross(bn, ip))), float(bn @ ip)
+        )
+    return -1.0
+
+
+def _edge_pair_directed_hausdorff(
+    lng_diff: float, a: R1Interval, b: R1Interval
+) -> float:
+    """The static GetDirectedHausdorffDistance over two longitudinal
+    edges (s2latlng_rect.cc:610-688)."""
+    assert 0 <= lng_diff <= PI
+    if lng_diff == 0:
+        return _r1_directed_hausdorff(a, b)
+
+    b_lng = lng_diff
+    b_lo = _ll_point(b.lo, b_lng)
+    b_hi = _ll_point(b.hi, b_lng)
+
+    a_lo = _ll_point(a.lo, 0)
+    a_hi = _ll_point(a.hi, 0)
+    max_distance = max(
+        _point_edge_angle(a_lo, b_lo, b_hi),
+        _point_edge_angle(a_hi, b_lo, b_hi),
+    )
+
+    if lng_diff <= PI / 2:
+        if a.contains(0) and b.contains(0):
+            max_distance = max(max_distance, lng_diff)
+    else:
+        p = _bisector_intersection(b, b_lng)
+        p = p / np.linalg.norm(p)
+        p_lat = math.asin(max(-1.0, min(1.0, p[2])))
+        if a.contains(p_lat):
+            d = math.atan2(
+                float(np.linalg.norm(np.cross(p, b_lo))), float(p @ b_lo)
+            )
+            max_distance = max(max_distance, d)
+        if p_lat > a.lo:
+            max_distance = max(
+                max_distance,
+                _interior_max_distance(
+                    R1Interval(a.lo, min(p_lat, a.hi)), b_lo
+                ),
+            )
+        if p_lat < a.hi:
+            max_distance = max(
+                max_distance,
+                _interior_max_distance(
+                    R1Interval(max(p_lat, a.lo), a.hi), b_hi
+                ),
+            )
+    return max_distance
