@@ -226,3 +226,87 @@ def get_crossing_edges(
             if s > 0 or (s == 0 and not interior_only):
                 out.append((shape.shape_id, int(e)))
     return out
+
+
+def visit_closest_edges(
+    shapes: list[Shape],
+    target: np.ndarray,
+    visitor,
+    max_distance_rad: float | None = None,
+    max_results: int | None = None,
+    include_interiors: bool = True,
+    shape_filter=None,
+):
+    """S2ClosestEdgeQuery::VisitClosestEdges (s2closest_edge_query.h):
+    streams (shape_id, edge_id, dist2) results to `visitor` in
+    nondecreasing distance order until the visitor returns False or the
+    supply is exhausted.  Interior hits are reported as edge_id -1 with
+    distance Zero.  `shape_filter(shape_id)` is consulted lazily as each
+    result is about to be visited, so a filter that updates during the
+    visit (e.g. one-result-per-shape) behaves like the reference's
+    ShapeFilter.  Returns the number of results visited."""
+    import math
+
+    target = np.asarray(target, float).reshape(1, 3)
+    cand: list[tuple[float, int, int]] = []
+    for shape in shapes:
+        if (
+            include_interiors
+            and shape.polygon is not None
+            and bool(shape.polygon.contains(target)[0])
+        ):
+            cand.append((0.0, shape.shape_id, -1))
+        if len(shape.edges_c):
+            d2 = point_edge_dist2(target, shape.edges_c, shape.edges_d)[0]
+            for e in range(len(d2)):
+                cand.append((float(d2[e]), shape.shape_id, int(e)))
+    cand.sort()
+    limit2 = None
+    if max_distance_rad is not None:
+        s = 2 * math.sin(0.5 * min(math.pi, max_distance_rad))
+        limit2 = s * s
+    count = 0
+    for d2, sid, eid in cand:
+        if limit2 is not None and not (d2 < limit2):
+            break
+        if max_results is not None and count >= max_results:
+            break
+        if shape_filter is not None and not shape_filter(sid):
+            continue
+        count += 1
+        if not visitor(sid, eid, d2):
+            break
+    return count
+
+
+def visit_closest_shapes(
+    shapes: list[Shape],
+    target: np.ndarray,
+    visitor,
+    **kw,
+):
+    """S2ClosestEdgeQuery::VisitClosestShapes: the closest result of
+    each shape, in nondecreasing distance order (implemented with an
+    updating shape filter exactly like the reference)."""
+    seen: set[int] = set()
+
+    def filt(sid: int) -> bool:
+        return sid not in seen
+
+    def wrap(sid, eid, d2):
+        seen.add(sid)
+        return visitor(sid, eid, d2)
+
+    user_filter = kw.pop("shape_filter", None)
+    if user_filter is not None:
+        inner = filt
+
+        def filt2(sid):
+            return inner(sid) and user_filter(sid)
+
+        return visit_closest_edges(
+            shapes, target, wrap, shape_filter=filt2, **kw
+        )
+    return visit_closest_edges(
+        shapes, target, wrap, shape_filter=filt, **kw
+    )
