@@ -168,11 +168,18 @@ def encode_cell_union(ids, enc: Encoder | None = None) -> Encoder:
     return enc
 
 
-def decode_cell_union(dec: Decoder) -> list[int]:
+def decode_cell_union(
+    dec: Decoder, max_num_cells: int = 1_000_000
+) -> list[int]:
+    """Refuses unions above max_num_cells like the reference's
+    --s2cell_union_decode_max_num_cells guard (s2cell_union.cc:47,
+    544-554)."""
     version = dec.get8()
     if version > LOSSLESS_VERSION:
         raise ValueError(f"unknown S2CellUnion version {version}")
     n = dec.get64()
+    if n > max_num_cells:
+        raise ValueError(f"cell union too large to decode: {n}")
     return [dec.get64() for _ in range(n)]
 
 
