@@ -438,15 +438,19 @@ def _separation_site(
     x: np.ndarray,
     y: np.ndarray,
     snap: SnapFunction,
+    radius_rad: float | None = None,
 ) -> np.ndarray:
     """GetSeparationSite (s2builder.cc:1090-1129): a new site in the
     coverage gap of edge XY between the coverage intervals of v0 and v1,
-    as close as possible to the site to avoid."""
+    as close as possible to the site to avoid.  `radius_rad` overrides
+    the coverage-disc radius (the builder passes edge_snap_radius,
+    which exceeds snap_radius by the intersection tolerance)."""
+    r = snap.snap_radius if radius_rad is None else radius_rad
     xy_dir = y - x
     n = np.cross(x, y)
     new_site = _project_to_edge(site_to_avoid, x, y)
-    gap_min = _coverage_endpoint(v0, n, snap.snap_radius)
-    gap_max = _coverage_endpoint(v1, -n, snap.snap_radius)
+    gap_min = _coverage_endpoint(v0, n, r)
+    gap_max = _coverage_endpoint(v1, -n, r)
     if float((new_site - gap_min) @ xy_dir) < 0:
         new_site = gap_min
     elif float((gap_max - new_site) @ xy_dir) < 0:
@@ -735,23 +739,54 @@ def simplify_snapped_polylines(
 
 
 def add_extra_sites(
-    sites: np.ndarray, edges: list, snap: SnapFunction, max_passes: int = 50
+    sites: np.ndarray, edges: list, snap: SnapFunction, max_passes: int = 50,
+    edge_snap_radius_rad: float | None = None,
+    forced_count: int = 0,
+    check_all_site_crossings: bool = False,
 ) -> np.ndarray:
-    """AddExtraSites (s2builder.cc:888-1010) over an explicit edge list:
+    """AddExtraSites (s2builder.cc:888-1047) over an explicit edge list:
     separation sites for any site closer than min_edge_vertex_separation
     to a snapped chain edge, plus long-edge deviation splits; iterated
     to a fixed point.  Returns the augmented site array (original sites
-    keep their indices)."""
+    keep their indices).
+
+    `edge_snap_radius_rad` (default: snap_radius) is the builder's
+    edge_snap_radius() — snap_radius + intersection tolerance — which
+    governs chain admission and the deviation thresholds
+    (s2builder.cc:233-252).  When `check_all_site_crossings` is set (or
+    for forced sites, ids < forced_count), a snapped edge passing on the
+    WRONG SIDE of a site also gets a separation site even when it is not
+    too close (s2builder.cc:1018-1043) — required for topology
+    preservation at zero snap radius with a nonzero tolerance."""
     from .distance import is_edge_b_near_edge_a, point_edge_dist2
     from .polyline import _project_to_edge as _proj
+    from . import predicates as _P
+    from .voronoi import compare_edge_directions as _ced
 
-    if snap.snap_radius <= 0 or len(sites) == 0:
+    r_edge = snap.snap_radius if edge_snap_radius_rad is None \
+        else edge_snap_radius_rad
+    if r_edge <= 0 or len(sites) == 0:
         return np.asarray(sites, float).reshape(-1, 3)
     site_list = [np.asarray(s, float) for s in np.asarray(sites).reshape(-1, 3)]
     min_sep = min_edge_vertex_separation(snap)
     min_sep2 = _angle2chord2(min_sep)
-    max_dev = max_edge_deviation(snap.snap_radius)
-    min_len2 = _angle2chord2(min_edge_length_to_split_rad(snap.snap_radius))
+    max_dev = max_edge_deviation(r_edge)
+    min_len2 = _angle2chord2(min_edge_length_to_split_rad(r_edge))
+
+    def _wrong_side(avoid, v0, v1, x, y) -> bool:
+        """s2builder.cc:1030-1043: the snapped edge v0v1 crosses to the
+        other side of `avoid` relative to the input edge xy, with the
+        site between both edges' endpoints along xy."""
+        a_sign = int(_P.sign(x[None], y[None], avoid[None])[0])
+        v_sign = int(_P.sign(v0[None], v1[None], avoid[None])[0])
+        if a_sign == v_sign:
+            return False
+        return (
+            _ced(x, y, x, avoid) > 0
+            and _ced(x, y, avoid, y) > 0
+            and _ced(x, y, v0, avoid) > 0
+            and _ced(x, y, avoid, v1) > 0
+        )
 
     for _pass in range(max_passes):
         S = np.asarray(site_list).reshape(-1, 3)
@@ -759,7 +794,7 @@ def add_extra_sites(
         for x, y in edges:
             if np.all(x == y):
                 continue
-            chain = snap_edge_chain(x, y, S, snap.snap_radius)
+            chain = snap_edge_chain(x, y, S, r_edge)
             chain_set = set(chain)
             if len(chain) < 2:
                 continue
@@ -772,7 +807,9 @@ def add_extra_sites(
                     for w in (0.5, 0.25, 0.75, 0.375, 0.625):
                         mid = w * p0 + (1.0 - w) * p1
                         mid = mid / np.linalg.norm(mid)
-                        new_site = _separation_site(mid, v0, v1, x, y, snap)
+                        new_site = _separation_site(
+                            mid, v0, v1, x, y, snap, radius_rad=r_edge
+                        )
                         if not any(np.all(new_site == s) for s in site_list):
                             site_list.append(new_site)
                             added = True
@@ -781,7 +818,7 @@ def add_extra_sites(
             if added:
                 break
             d2_edge = point_edge_dist2(S, x[None], y[None])[:, 0]
-            query_r = 1.1 * snap.snap_radius + min_sep
+            query_r = 1.1 * r_edge + min_sep
             near = np.nonzero(d2_edge <= _angle2chord2(query_r))[0]
             for sid in near.tolist():
                 if sid in chain_set:
@@ -792,8 +829,15 @@ def add_extra_sites(
                     d2 = point_edge_dist2(
                         avoid[None], v0[None], v1[None]
                     )[0, 0]
-                    if d2 < min_sep2:
-                        new_site = _separation_site(avoid, v0, v1, x, y, snap)
+                    too_close = min_sep2 > 0 and d2 < min_sep2
+                    if not too_close and (
+                        sid < forced_count or check_all_site_crossings
+                    ):
+                        too_close = _wrong_side(avoid, v0, v1, x, y)
+                    if too_close:
+                        new_site = _separation_site(
+                            avoid, v0, v1, x, y, snap, radius_rad=r_edge
+                        )
                         if not any(
                             np.all(new_site == s) for s in site_list
                         ):

@@ -45,16 +45,35 @@ class Builder:
 
     def __init__(self, snap: SnapFunction | None = None,
                  split_crossing_edges: bool = False,
-                 idempotent: bool = True):
+                 idempotent: bool = True,
+                 simplify_edge_chains: bool = False,
+                 intersection_tolerance: float = 0.0):
         self.snap = snap or IdentitySnapFunction(0.0)
         self.split_crossing_edges = split_crossing_edges
         self.idempotent = idempotent
+        self.simplify_edge_chains = simplify_edge_chains
+        self.intersection_tolerance = intersection_tolerance
         self._labels: list[int] = []
         self._edges: list[tuple[np.ndarray, np.ndarray]] = []
         self._edge_labels: list[tuple[int, ...]] = []
         self._layer = None
+        self._layers: list = []
+        self._layer_begins: list[int] = []
         self._is_full = False
         self._forced: list[np.ndarray] = []
+        self._intersections: list[np.ndarray] = []
+
+    def _edge_snap_radius(self) -> float:
+        """edge_snap_radius() (s2builder.h:300-320): snap_radius plus the
+        intersection tolerance; split_crossing_edges implies a tolerance
+        of at least kIntersectionError, so that edges snap to the
+        (slightly inexact) intersection sites created for crossings."""
+        from .booleans import _INTERSECTION_ERROR
+
+        itol = self.intersection_tolerance
+        if self.split_crossing_edges:
+            itol = max(itol, _INTERSECTION_ERROR)
+        return self.snap.snap_radius + itol
 
     # ---- labels
     def set_label(self, label: int) -> None:
@@ -72,10 +91,19 @@ class Builder:
     # ---- geometry
     def start_layer(self, layer) -> None:
         self._layer = layer
+        self._layers.append(layer)
+        self._layer_begins.append(len(self._edges))
 
     def force_vertex(self, p) -> None:
         """S2Builder::ForceVertex: p becomes a site unconditionally."""
         self._forced.append(np.asarray(p, float))
+
+    def add_intersection(self, p) -> None:
+        """S2Builder::AddIntersection (s2builder.h:560-580): the point
+        becomes a site, and (with intersection_tolerance set) nearby
+        edges snap to it just like split_crossing_edges intersections."""
+        assert self.intersection_tolerance > 0.0 or self.split_crossing_edges
+        self._intersections.append(np.asarray(p, float))
 
     def input_edge(self, input_edge_id: int):
         """S2Builder::input_edge accessor."""
@@ -117,6 +145,10 @@ class Builder:
         collapse it (a vertex within snap_radius of a non-incident edge
         splits that edge into a sibling pair)."""
         if not self.idempotent or self.split_crossing_edges:
+            return False
+        if self._intersections or self.intersection_tolerance > 0.0:
+            # AddIntersection / a nonzero tolerance means edges must snap
+            # to the (inexact) intersection sites (s2builder.h:560-580)
             return False
         if self._forced:
             # forced vertices void the idempotency guarantee: they may
@@ -167,90 +199,196 @@ class Builder:
 
     # ---- build
     def build(self) -> str | None:
-        layer = self._layer
-        assert layer is not None
-        opts = layer.graph_options()
+        """Build EVERY layer started since construction over ONE shared
+        snap pass (S2Builder::Build → BuildLayers, s2builder.cc:1290-1360):
+        vertices from all layers snap to a single site set, per-edge site
+        chains use edge_snap_radius() (snap_radius + the intersection
+        tolerance, s2builder.h:300-320), simplify_edge_chains runs the
+        EdgeChainSimplifier over the merged multigraph (SimplifyEdgeChains,
+        s2builder.cc:1516-1546), and each layer then assembles its own
+        Graph under its GraphOptions.  Returns the first error (or None)."""
+        assert self._layers
+        begins = self._layer_begins + [len(self._edges)]
 
         verts = []
         for a, b in self._edges:
             verts.append(a)
             verts.append(b)
-        extra: list[np.ndarray] = []
+        extra: list[np.ndarray] = [
+            np.asarray(p, float) for p in self._intersections
+        ]
         if self.split_crossing_edges:
-            extra = self._crossing_sites()
+            extra += self._crossing_sites()
         all_v = (
             np.asarray(verts + extra).reshape(-1, 3)
-            if verts
+            if (verts or extra)
             else np.zeros((0, 3))
         )
         sites, vmap = choose_sites(all_v, self.snap, forced=self._forced)
         snapping_not_needed = (
-            self.snap.snap_radius == 0.0 and not self.split_crossing_edges
+            self.snap.snap_radius == 0.0
+            and not self.split_crossing_edges
+            and not self._intersections
+            and self.intersection_tolerance == 0.0
         ) or self._snapping_not_needed(all_v)
+        r_edge = self._edge_snap_radius()
         if not snapping_not_needed and len(self._edges) <= 10_000:
             # AddExtraSites: separation sites + deviation splits keep
             # every site ≥ min_edge_vertex_separation from non-incident
-            # snapped edges (s2builder.cc:888-1010); fixture-scale gate
+            # snapped edges (s2builder.cc:888-1010); fixture-scale gate.
+            # check_all_site_crossings (s2builder.cc:279-283): explicit
+            # wrong-side-of-site checks when edges can snap further than
+            # vertices (max_edge_deviation > edge_snap_radius + min_sep —
+            # only with a nonzero intersection tolerance and a tiny
+            # snap radius), and always for forced vertices.
+            from .builder import max_edge_deviation, min_edge_vertex_separation
+
+            check_all = max_edge_deviation(r_edge) > (
+                r_edge + min_edge_vertex_separation(self.snap)
+            ) and (self.intersection_tolerance > 0.0
+                   or self.split_crossing_edges)
             sites = add_extra_sites(
-                sites, [e for e in self._edges], self.snap
+                sites, [e for e in self._edges], self.snap,
+                edge_snap_radius_rad=r_edge,
+                forced_count=len(self._forced),
+                check_all_site_crossings=check_all,
             )
 
-        lexicon = IdSetLexicon()
-        label_sets: dict[int, tuple[int, ...]] = {}
-        graph_edges: list[tuple[int, int]] = []
-        input_ids: list[int] = []
-
-        undirected = opts.edge_type == UNDIRECTED
-
-        def emit(v0: int, v1: int, iid: int) -> None:
-            graph_edges.append((v0, v1))
-            input_ids.append(lexicon.add([iid]))
-            if undirected:
-                # the reference adds the unlabeled reverse IMMEDIATELY
-                # after each forward edge (s2builder.cc AddEdge); this
-                # insertion order decides sibling pairing among
-                # duplicate edges (stable sort), which the walk
-                # assembler's used-marking depends on
-                graph_edges.append((v1, v0))
-                input_ids.append(IdSetLexicon.EMPTY_SET_ID)
-
+        # ---- per-edge snapped site chains, tagged by layer ------------
+        # merged[k] = ((site0, site1), layer, [input edge ids])
+        merged: list[tuple[tuple[int, int], int, list[int]]] = []
+        li = 0
         for iid, (a, b) in enumerate(self._edges):
-            if self._edge_labels[iid]:
-                label_sets[iid] = self._edge_labels[iid]
+            while li + 1 < len(begins) and iid >= begins[li + 1]:
+                li += 1
             va, vb = int(vmap[2 * iid]), int(vmap[2 * iid + 1])
             if np.all(a == b):
-                emit(va, va, iid)
+                merged.append(((va, va), li, [iid]))
                 continue
             if snapping_not_needed:
                 # snapping not needed (s2builder.cc snapping_needed_): with
                 # radius 0 edges map verbatim — an exactly-collinear vertex
                 # does NOT split an edge unless split_crossing_edges is set
-                emit(va, vb, iid)
+                merged.append(((va, vb), li, [iid]))
                 continue
-            chain = snap_edge_chain(a, b, sites, self.snap.snap_radius)
+            chain = snap_edge_chain(a, b, sites, r_edge)
             if len(chain) <= 1:
-                s = chain[0] if chain else va
-                emit(int(s), int(s), iid)
+                s = int(chain[0]) if chain else va
+                merged.append(((s, s), li, [iid]))
             else:
                 for k in range(len(chain) - 1):
-                    emit(int(chain[k]), int(chain[k + 1]), iid)
+                    merged.append(
+                        ((int(chain[k]), int(chain[k + 1])), li, [iid])
+                    )
 
-        out_opts, out_edges, out_ids, error = process_edges(
-            opts, graph_edges, input_ids, lexicon
+        if self.simplify_edge_chains and merged:
+            merged = self._simplify_merged(sites, merged, all_v, r_edge)
+
+        # ---- per-layer graph assembly ----------------------------------
+        first_error: str | None = None
+        for layer_idx, layer in enumerate(self._layers):
+            opts = layer.graph_options()
+            undirected = opts.edge_type == UNDIRECTED
+            lexicon = IdSetLexicon()
+            label_sets: dict[int, tuple[int, ...]] = {}
+            graph_edges: list[tuple[int, int]] = []
+            input_ids: list[int] = []
+            for (v0, v1), lyr, iids in merged:
+                if lyr != layer_idx:
+                    continue
+                for iid in iids:
+                    if self._edge_labels[iid]:
+                        label_sets[iid] = self._edge_labels[iid]
+                graph_edges.append((v0, v1))
+                input_ids.append(lexicon.add(iids))
+                if undirected:
+                    # the reference adds the unlabeled reverse IMMEDIATELY
+                    # after each forward edge (s2builder.cc AddEdge); this
+                    # insertion order decides sibling pairing among
+                    # duplicate edges (stable sort), which the walk
+                    # assembler's used-marking depends on
+                    graph_edges.append((v1, v0))
+                    input_ids.append(IdSetLexicon.EMPTY_SET_ID)
+
+            out_opts, out_edges, out_ids, error = process_edges(
+                opts, graph_edges, input_ids, lexicon
+            )
+            if error:
+                first_error = first_error or error
+                continue
+            order = sorted(
+                range(len(out_edges)), key=lambda i: (out_edges[i], i)
+            )
+            g = Graph(
+                out_opts,
+                sites,
+                [out_edges[i] for i in order],
+                [out_ids[i] for i in order],
+                lexicon,
+                label_sets,
+            )
+            g.is_full_polygon = self._is_full
+            err = layer.build(g)
+            first_error = first_error or err
+        return first_error
+
+    def _simplify_merged(
+        self,
+        sites: np.ndarray,
+        merged: list[tuple[tuple[int, int], int, list[int]]],
+        all_v: np.ndarray,
+        r_edge: float,
+    ) -> list[tuple[tuple[int, int], int, list[int]]]:
+        """SimplifyEdgeChains (s2builder.cc:1516-1546): merge all layers'
+        snapped edges into one multigraph sorted lexicographically by
+        (edge, input ids) (MergeLayerEdges), run the EdgeChainSimplifier,
+        and return the simplified (edge, layer, input-ids) triples."""
+        from .builder import (
+            _angle2chord2,
+            max_edge_deviation,
+            min_edge_length_to_split_rad,
+            min_edge_vertex_separation,
         )
-        if error:
-            return error
-        order = sorted(range(len(out_edges)), key=lambda i: (out_edges[i], i))
-        g = Graph(
-            out_opts,
+        from .simplifier import EdgeChainSimplifier
+
+        merged = sorted(merged, key=lambda t: (t[0], t[2]))
+        edges = [t[0] for t in merged]
+        layers = [t[1] for t in merged]
+        input_ids = [t[2] for t in merged]
+
+        edge_snap_r2 = _angle2chord2(r_edge)
+        # site_vertices_ analog: input vertices snapped to each site
+        site_inputs: dict[int, list[np.ndarray]] = {}
+        if len(all_v) and len(sites):
+            d2v = ((all_v[:, None, :] - sites[None, :, :]) ** 2).sum(-1)
+            nearest = d2v.argmin(axis=1)
+            for i, sid in enumerate(nearest.tolist()):
+                if d2v[i, sid] <= edge_snap_r2 * (1 + 1e-9) + 1e-30:
+                    site_inputs.setdefault(sid, []).append(all_v[i])
+        # forced sites come FIRST in choose_sites, so their ids are 0..n-1
+        forced_ids = set(range(len(self._forced)))
+        sep = min_edge_vertex_separation(self.snap)
+        simplifier = EdgeChainSimplifier(
             sites,
-            [out_edges[i] for i in order],
-            [out_ids[i] for i in order],
-            lexicon,
-            label_sets,
+            edges,
+            layers,
+            input_ids,
+            site_inputs,
+            forced=forced_ids,
+            edge_snap_r2=edge_snap_r2,
+            min_sep_r2=_angle2chord2(sep),
+            near_r2=_angle2chord2(
+                max_edge_deviation(self.snap.snap_radius) + sep
+            ),
+            max_len2=_angle2chord2(
+                min_edge_length_to_split_rad(self.snap.snap_radius)
+            ),
         )
-        g.is_full_polygon = self._is_full
-        return layer.build(g)
+        new_edges, new_layers, new_input_ids = simplifier.run()
+        return [
+            ((int(e0), int(e1)), int(lyr), list(ids))
+            for (e0, e1), lyr, ids in zip(new_edges, new_layers, new_input_ids)
+        ]
 
     def _crossing_sites(self) -> list[np.ndarray]:
         """split_crossing_edges (s2builder.h:250-290): add the

@@ -85,6 +85,14 @@ def _unperturbed_sign(x0, x1, p) -> int:
     return _sgn(_dot(_cross(_fr(x0), _fr(x1)), _fr(p)))
 
 
+def compare_edge_directions(a0, a1, b0, b1) -> int:
+    """s2pred::CompareEdgeDirections: +1 / 0 / -1 as the angle between
+    edge directions A and B is less than / equal to / greater than 90° —
+    the exact sign of (a0 × a1) · (b0 × b1) (doubles are exact
+    rationals, so the Fraction product is the exact answer)."""
+    return _sgn(_dot(_cross(_fr(a0), _fr(a1)), _cross(_fr(b0), _fr(b1))))
+
+
 def edge_circumcenter_sign(x0, x1, a, b, c) -> int:
     """Sign(X0, X1, Z) where Z = circumcenter of triangle ABC
     (ExactEdgeCircumcenterSign + symbolic fallback)."""
