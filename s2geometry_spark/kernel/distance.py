@@ -67,14 +67,29 @@ def point_edge_dist2(X: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
     # C == 0 and fall to the vertex case)
     C = np.cross(A - B, A + B)  # (M,3)
     c2 = (C * C).sum(-1)[None, :]  # (1,M)
-    x_dot_c = X @ C.T  # (N,M)
+
+    def _dot_nm(P: np.ndarray, Q: np.ndarray) -> np.ndarray:
+        # (N,3)·(M,3) → (N,M) with a FIXED x+y+z summation order.
+        # `P @ Q.T` dispatches to BLAS, whose rounding depends on the
+        # batch shape N — the same row can classify on different sides
+        # of the w1/w2 wedge test in a 50-row vs 300-row batch, making
+        # distances partition-dependent (breaks the 1-ulp successor
+        # contract of is_distance_less_or_equal and the engine's
+        # determinism-under-repartition guarantee).
+        return (
+            P[:, 0, None] * Q[None, :, 0]
+            + P[:, 1, None] * Q[None, :, 1]
+            + P[:, 2, None] * Q[None, :, 2]
+        )
+
+    x_dot_c = _dot_nm(X, C)  # (N,M)
     x_dot_c2 = x_dot_c * x_dot_c
     # interior wedge test: det(a,c,x) < 0 and det(b,c,x) > 0
     # det(a,c,x) = x·(a×c); det(b,c,x) = x·(b×c)
     AxC = np.cross(A, C)
     BxC = np.cross(B, C)
-    w1 = X @ AxC.T  # (a-x)·(c×x)
-    w2 = X @ BxC.T
+    w1 = _dot_nm(X, AxC)  # (a-x)·(c×x)
+    w2 = _dot_nm(X, BxC)
     interior = maybe_interior & (w1 < 0) & (w2 > 0) & (c2 > 0)
 
     # XR² = XQ² + QR² with QR computed from |c×x|²/|c|² directly — "based

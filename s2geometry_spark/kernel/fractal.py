@@ -49,9 +49,15 @@ def random_point(rng: np.random.RandomState) -> np.ndarray:
 def sample_cap_point(rng: np.random.RandomState, center: np.ndarray,
                      radius_rad: float) -> np.ndarray:
     """s2random::SamplePoint(cap): uniform by area within the cap —
-    height uniform in [cos(r), 1], azimuth uniform."""
-    h = rng.uniform(math.cos(min(math.pi, radius_rad)), 1.0)
-    sin_t = math.sqrt(max(0.0, 1.0 - h * h))
+    height uniform in [cos(r), 1], azimuth uniform.  The height is
+    parameterized by its DEFICIT 1−cos(r) = 2·sin²(r/2) so that caps
+    far below the 1-ulp-of-cos threshold (r ≈ 1e-8) still sample the
+    whole cap instead of collapsing to the center (the reference's
+    S2Cap stores the height deficit for the same reason, s2cap.h)."""
+    d = 2.0 * math.sin(0.5 * min(math.pi, radius_rad)) ** 2
+    deficit = rng.uniform(0.0, 1.0) * d
+    sin_t = math.sqrt(max(0.0, deficit * (2.0 - deficit)))
+    h = 1.0 - deficit
     phi = rng.uniform(0.0, 2 * math.pi)
     frame = _default_frame(np.asarray(center, dtype=np.float64))
     local = np.array([sin_t * math.cos(phi), sin_t * math.sin(phi), h])

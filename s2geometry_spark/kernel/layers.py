@@ -631,6 +631,7 @@ class PolygonLayer:
                 return error
             loop_sets = [c[0] for c in components]
         fetcher = LabelFetcher(g, self.edge_type) if self.with_labels else None
+        raw: list[tuple[np.ndarray, list[int] | None]] = []
         for edge_loops in loop_sets:
             for ep in edge_loops:
                 verts = np.asarray([g.vertex(g.edge(e)[0]) for e in ep])
@@ -639,16 +640,83 @@ class PolygonLayer:
                     if fetcher
                     else None
                 )
-                if loop_signed_area(verts) < 0:
-                    # S2Loop::Normalize: invert so the loop encloses at
-                    # most half the sphere; Invert reverses all edges
-                    # except the last, so labels reverse the same way
-                    verts = verts[::-1]
-                    if labels:
-                        labels = labels[-2::-1] + [labels[-1]]
-                self.loops.append(verts)
-                if labels is not None:
-                    self.label_set_ids.append(labels)
+                raw.append((verts, labels))
+
+        def invert(verts, labels):
+            # S2Loop::Invert reverses all edges except the last, so
+            # labels reverse the same way (layer .cc:140-146)
+            verts = verts[::-1]
+            if labels:
+                labels = labels[-2::-1] + [labels[-1]]
+            return verts, labels
+
+        if g.options.edge_type == DIRECTED:
+            # S2Polygon::InitOriented (s2polygon.cc:429-520): loop
+            # orientation is MEANINGFUL (interior on the left).  Normalize
+            # loops to make them nestable, then restore the polygon's
+            # orientation by inverting one minimal-curvature top-level
+            # shell when the origin-containment parity flipped.
+            from .contains import Loop as _Loop
+            from .measures import curvature_max_error, loop_curvature
+
+            norm: list[tuple[np.ndarray, list[int] | None, bool]] = []
+            for verts, labels in raw:
+                orig_contains = _Loop(verts).origin_inside
+                ang = loop_curvature(verts)
+                if abs(ang) > curvature_max_error(verts):
+                    flip = ang < 0
+                else:
+                    # near-zero curvature: ensure the loop does not
+                    # contain the origin
+                    flip = orig_contains
+                if flip:
+                    verts, labels = invert(verts, labels)
+                norm.append((verts, labels, orig_contains))
+            if norm:
+                flags = [_Loop(v).origin_inside for v, _l, _o in norm]
+                polygon_contains_origin = False
+                origin_idx = 0
+                for i, f in enumerate(flags):
+                    if f:
+                        polygon_contains_origin ^= True
+                        origin_idx = i
+                if norm[origin_idx][2] != polygon_contains_origin:
+                    # Invert the polygon: complement one top-level shell
+                    # with minimal curvature (S2Polygon::Invert semantics
+                    # over the flat even-odd loop set)
+                    loops_obj = [_Loop(v) for v, _l, _o in norm]
+                    depths = [
+                        sum(
+                            1
+                            for j, lj in enumerate(loops_obj)
+                            if j != i
+                            and bool(lj.contains(loops_obj[i].vertices[:1])[0])
+                        )
+                        for i in range(len(norm))
+                    ]
+                    shells = [i for i, d in enumerate(depths) if d == 0]
+                    best = min(
+                        shells, key=lambda i: loop_curvature(norm[i][0])
+                    )
+                    v, l, o = norm[best]
+                    v, l = invert(v, l)
+                    norm[best] = (v, l, o)
+            raw = [(v, l) for v, l, _o in norm]
+        else:
+            # undirected: complement choice is arbitrary, so normalize
+            # every loop to enclose at most half the sphere
+            # (layer .cc:180-196)
+            raw = [
+                invert(verts, labels)
+                if loop_signed_area(verts) < 0
+                else (verts, labels)
+                for verts, labels in raw
+            ]
+
+        for verts, labels in raw:
+            self.loops.append(verts)
+            if labels is not None:
+                self.label_set_ids.append(labels)
         if self.validate:
             return self._validation_error()
         return None
