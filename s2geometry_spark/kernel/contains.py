@@ -215,7 +215,15 @@ def parse_lax_polygon(s: str) -> Polygon:
     complement bit is representable without touching the boundary:
     append one full loop (edge-free, flips XOR parity everywhere).
     """
-    poly = parse_polygon(s)
+    return lax_polygon_reading(parse_polygon(s))
+
+
+def lax_polygon_reading(poly: Polygon) -> Polygon:
+    """The GetReferencePoint complement vote of parse_lax_polygon over an
+    already-constructed Polygon: when the XOR-of-oriented-loop-interiors
+    reading is the global complement of the lax (interior-on-left)
+    reading — e.g. holes wound CW — append one full loop to flip the
+    parity everywhere without touching the boundary."""
     if len(poly.loops) < 2 or any(l.is_empty_or_full for l in poly.loops):
         return poly
     from .shapeutil import LaxPolygon, contains_brute_force

@@ -66,6 +66,10 @@ class MixedOptions:
     polygon_model: str = SEMI_OPEN
     polyline_model: str = CLOSED
     polyline_loops_have_boundaries: bool = True
+    # split_all_crossing_polyline_edges (s2boolean_operation.h:360-376):
+    # also add a vertex at every polyline self-/same-operand crossing,
+    # not just at crossings between the two operands
+    split_all_crossing_polyline_edges: bool = False
 
 
 @dataclass
@@ -128,8 +132,16 @@ def parse_mixed(s: str) -> MixedGeometry:
             deg_points.append((v[0], "shell"))
         else:
             loops.append(Loop(v))
+    from .contains import lax_polygon_reading
+
+    # MakeIndexOrDie's polygon part is a LAX polygon: loop orientation is
+    # meaningful (interior on the left), so CW-wound holes need the
+    # complement vote (see parse_lax_polygon) before the even-odd Polygon
+    # reading is used — s2boolean_operation_test.cc OverlappingDoughnuts
+    # is the canonical CW-hole fixture.
     return MixedGeometry(
-        points, lines, Polygon(loops), deg_points=deg_points
+        points, lines, lax_polygon_reading(Polygon(loops)),
+        deg_points=deg_points,
     )
 
 
@@ -348,6 +360,7 @@ def _clip_polyline(
     other: MixedGeometry,
     opt: MixedOptions,
     mode: str,
+    self_lines: list | None = None,
 ) -> list:
     """The portion of one polyline that belongs to the result.
 
@@ -383,6 +396,17 @@ def _clip_polyline(
             continue
         for i in range(len(ol) - 1):
             other_line_edges.append((ol[i], ol[i + 1]))
+    self_line_edges = []
+    if opt.split_all_crossing_polyline_edges and self_lines is not None:
+        # split_all_crossing_polyline_edges: same-operand (incl. self-)
+        # crossings also become vertices; tagged 'self' so the
+        # crossing-POINT emission below (operand overlap only) skips them
+        for raw in self_lines:
+            ol, od = _normalize_polyline(raw)
+            if ol is None or od:
+                continue
+            for i in range(len(ol) - 1):
+                self_line_edges.append((ol[i], ol[i + 1]))
 
     keep_inside = mode == "intersect"
     edge_uses_lines = mode in ("intersect", "subtract")
@@ -432,6 +456,8 @@ def _clip_polyline(
         cuts = _cut_points(a, b, poly_edges, "poly") + _cut_points(
             a, b, other_line_edges, "line"
         )
+        if self_line_edges:
+            cuts += _cut_points(a, b, self_line_edges, "self")
         if len(cuts) > 1:
             t = b - a * float(a @ b)
             t = t / np.linalg.norm(t)
@@ -598,6 +624,84 @@ def _polygon_part(a: Polygon, b: Polygon, op: str, model: str):
     return fns[op](a, b), [], []
 
 
+def _split_output_polygon(
+    poly: Polygon, a: MixedGeometry, b: MixedGeometry
+) -> Polygon:
+    """Insert cross-operand polyline x polygon-boundary crossing points
+    as vertices of the output polygon.
+
+    The reference's CrossingProcessor records an intersection vertex at
+    every crossing between an operand-A edge and an operand-B edge
+    regardless of dimension, so a polyline that crosses the other
+    operand's polygon boundary leaves a vertex in the POLYGON output too
+    (s2boolean_operation_test.cc PolylineCrossingRectangleTwice: the
+    rectangle gains vertices 1:0, 0:-1, -1:0, 0:1).  Same-operand
+    crossings are never split (only A x B pairs are processed).
+    """
+    pairs = []
+    for lines, other_poly in ((a.polylines, b.polygon),
+                              (b.polylines, a.polygon)):
+        if not lines or not other_poly.loops:
+            continue
+        poly_edges = _edges_of(other_poly)
+        for raw in lines:
+            line = np.asarray(raw, np.float64).reshape(-1, 3)
+            for i in range(len(line) - 1):
+                c, d = line[i], line[i + 1]
+                if np.array_equal(c, d):
+                    continue
+                for p, q in poly_edges:
+                    if P.crossing_sign(c, d, p, q) > 0:
+                        pairs.append((p, q, _intersection_point(c, d, p, q)))
+    if not pairs or not poly.loops:
+        return poly
+
+    def _arcpos(p, t, y):
+        return float(np.arctan2(y @ t, y @ p))
+
+    new_loops = []
+    changed = False
+    for loop in poly.loops:
+        v = loop.vertices
+        if len(v) < 3:
+            new_loops.append(loop)
+            continue
+        out = []
+        for i in range(len(v)):
+            u, w = v[i], v[(i + 1) % len(v)]
+            out.append(u)
+            cuts = []
+            for p, q, x in pairs:
+                n = np.cross(p, q)
+                nn = np.linalg.norm(n)
+                if nn == 0.0:
+                    continue
+                n = n / nn
+                # output edge (u,w) must be a sub-segment of input edge
+                # (p,q): both endpoints on its great circle and inside
+                # the arc (output edges are never split across inputs)
+                if abs(float(n @ u)) > 1e-12 or abs(float(n @ w)) > 1e-12:
+                    continue
+                t = np.cross(n, p)
+                send = _arcpos(p, t, q)
+                su, sw, sx = (_arcpos(p, t, y) for y in (u, w, x))
+                eps = 1e-15
+                if not (-eps <= su <= send + eps and -eps <= sw <= send + eps):
+                    continue
+                lo, hi = (su, sw) if su < sw else (sw, su)
+                if lo + 1e-14 < sx < hi - 1e-14:
+                    cuts.append((abs(sx - su), x))
+            cuts.sort(key=lambda r: r[0])
+            kept = []
+            for _, x in cuts:
+                if not kept or not np.array_equal(kept[-1], x):
+                    kept.append(x)
+            out.extend(kept)
+            changed = changed or bool(kept)
+        new_loops.append(Loop(np.asarray(out, np.float64)))
+    return Polygon(new_loops) if changed else poly
+
+
 def mixed_boolean_op(
     a: MixedGeometry,
     b: MixedGeometry,
@@ -639,31 +743,39 @@ def mixed_boolean_op(
         add_points(a, b, want_in=False, include_points=False)
         add_points(b, a, want_in=False, include_points=False)
         for line in a.polylines:
-            out_lines.extend(_clip_polyline(line, b, opt, "union_subtract"))
+            out_lines.extend(_clip_polyline(line, b, opt, "union_subtract",
+                                            self_lines=a.polylines))
         for line in b.polylines:
-            out_lines.extend(_clip_polyline(line, a, opt, "union_subtract"))
+            out_lines.extend(_clip_polyline(line, a, opt, "union_subtract",
+                                            self_lines=b.polylines))
     elif op == "intersection":
         add_points(a, b, want_in=True, include_points=True)
         add_points(b, a, want_in=True, include_points=True)
         for line in a.polylines:
-            out_lines.extend(_clip_polyline(line, b, opt, "intersect"))
+            out_lines.extend(_clip_polyline(line, b, opt, "intersect",
+                                            self_lines=a.polylines))
         for line in b.polylines:
-            out_lines.extend(_clip_polyline(line, a, opt, "intersect"))
+            out_lines.extend(_clip_polyline(line, a, opt, "intersect",
+                                            self_lines=b.polylines))
     elif op == "difference":
         add_points(a, b, want_in=False, include_points=True)
         for line in a.polylines:
-            out_lines.extend(_clip_polyline(line, b, opt, "subtract"))
+            out_lines.extend(_clip_polyline(line, b, opt, "subtract",
+                                            self_lines=a.polylines))
     else:  # symmetric_difference
         add_points(a, b, want_in=False, include_points=True)
         add_points(b, a, want_in=False, include_points=True)
         for line in a.polylines:
-            out_lines.extend(_clip_polyline(line, b, opt, "subtract"))
+            out_lines.extend(_clip_polyline(line, b, opt, "subtract",
+                                            self_lines=a.polylines))
         for line in b.polylines:
-            out_lines.extend(_clip_polyline(line, a, opt, "subtract"))
+            out_lines.extend(_clip_polyline(line, a, opt, "subtract",
+                                            self_lines=b.polylines))
 
     poly, deg_e, deg_p = _polygon_part(
         a.polygon, b.polygon, op, opt.polygon_model
     )
+    poly = _split_output_polygon(poly, a, b)
     pts = (
         np.asarray(out_points)
         if out_points

@@ -583,12 +583,121 @@ def test_polyline_entering_rectangle():
 
 
 def test_polyline_crossing_rectangle_twice():
+    """s2boolean_operation_test.cc PolylineCrossingRectangleTwice — the
+    true self-intersecting input: no vertex is added at the polyline's
+    own 0:0 self-crossing (the quadratic-size-increase guarantee), but
+    the polyline x rectangle crossings become vertices of the POLYGON
+    output too."""
     o = _opt()
-    a = "# 0:-5, 0:5 | 5:0, -5:0 #"
+    a = "# 0:-5, 0:5, 5:0, -5:0 #"
     b = "# # 1:1, 1:-1, -1:-1, -1:1"
     expect(UNION, o, a, b,
-           "# 0:-5, 0:-1 | 0:1, 0:5 | 5:0, 1:0 | -1:0, -5:0 "
-           "# 1:1, 1:-1, -1:-1, -1:1", e=1)
+           "# 0:-5, 0:-1 | 0:1, 0:5, 5:0, 1:0 | -1:0, -5:0 "
+           "# 1:1, 1:0, 1:-1, 0:-1, -1:-1, -1:0, -1:1, 0:1", e=1)
     expect(INTER, o, a, b, "# 0:-1, 0:1 | 1:0, -1:0 #", e=1)
     expect(DIFF, o, a, b,
-           "# 0:-5, 0:-1 | 0:1, 0:5 | 5:0, 1:0 | -1:0, -5:0 #", e=1)
+           "# 0:-5, 0:-1 | 0:1, 0:5, 5:0, 1:0 | -1:0, -5:0 #", e=1)
+    expect(SYMM, o, a, b,
+           "# 0:-5, 0:-1 | 0:1, 0:5, 5:0, 1:0 | -1:0, -5:0 "
+           "# 1:1, 1:0, 1:-1, 0:-1, -1:-1, -1:0, -1:1, 0:1", e=1)
+
+
+def test_self_intersecting_polylines():
+    """s2boolean_operation_test.cc SelfIntersectingPolylines: the
+    cross-operand intersection point 2:4 is always created; the
+    self-intersection points 2:2 / 3:4 appear iff
+    split_all_crossing_polyline_edges (s2boolean_operation.h:360-376)."""
+    o = _opt()
+    a = "# 0:2, 4:2, 2:0, 2:5 #"
+    b = "# 0:4, 5:4, 3:6, 3:3 #"
+    expect(UNION, o, a, b,
+           "# 0:2, 4:2, 2:0, 2:4, 2:5 | 0:4, 2:4, 5:4, 3:6, 3:3 #", e=1)
+    expect(INTER, o, a, b, "# 2:4, 2:4 | 2:4, 2:4 #", e=1)
+    expect(DIFF, o, a, b, "# 0:2, 4:2, 2:0, 2:4, 2:5 #", e=1)
+    expect(SYMM, o, a, b,
+           "# 0:2, 4:2, 2:0, 2:4, 2:5 | 0:4, 2:4, 5:4, 3:6, 3:3 #", e=1)
+
+    o = MixedOptions(SEMI_OPEN, CLOSED, True,
+                     split_all_crossing_polyline_edges=True)
+    expect(UNION, o, a, b,
+           "# 0:2, 2:2, 4:2, 2:0, 2:2, 2:4, 2:5 "
+           "| 0:4, 2:4, 3:4, 5:4, 3:6, 3:4, 3:3 #", e=1)
+    expect(INTER, o, a, b, "# 2:4, 2:4 | 2:4, 2:4 #", e=1)
+    expect(DIFF, o, a, b, "# 0:2, 2:2, 4:2, 2:0, 2:2, 2:4, 2:5 #", e=1)
+    expect(SYMM, o, a, b,
+           "# 0:2, 2:2, 4:2, 2:0, 2:2, 2:4, 2:5 "
+           "| 0:4, 2:4, 3:4, 5:4, 3:6, 3:4, 3:3 #", e=1)
+
+
+def test_three_overlapping_bars():
+    """s2boolean_operation_test.cc ThreeOverlappingBars (RoundToE(2))."""
+    o = _opt()
+    a = "# # 0:0, 0:2, 3:2, 3:0; 0:3, 0:5, 3:5, 3:3"
+    b = "# # 1:1, 1:4, 2:4, 2:1"
+    expect(UNION, o, a, b,
+           "# # 0:0, 0:2, 1:2, 1:3, 0:3, 0:5, 3:5, 3:3, 2:3, 2:2, 3:2, 3:0",
+           e=2)
+    expect(INTER, o, a, b,
+           "# # 1:1, 1:2, 2:2, 2:1; 1:3, 1:4, 2:4, 2:3", e=2)
+    expect(DIFF, o, a, b,
+           "# # 0:0, 0:2, 1:2, 1:1, 2:1, 2:2, 3:2, 3:0; "
+           "0:3, 0:5, 3:5, 3:3, 2:3, 2:4, 1:4, 1:3", e=2)
+    expect(SYMM, o, a, b,
+           "# # 0:0, 0:2, 1:2, 1:1, 2:1, 2:2, 3:2, 3:0; "
+           "0:3, 0:5, 3:5, 3:3, 2:3, 2:4, 1:4, 1:3; "
+           "1:2, 1:3, 2:3, 2:2", e=2)
+
+
+def test_four_overlapping_bars():
+    """s2boolean_operation_test.cc FourOverlappingBars (RoundToE(2))."""
+    o = _opt()
+    a = "# # 1:88, 1:93, 2:93, 2:88; -1:88, -1:93, 0:93, 0:88"
+    b = "# # -2:89, -2:90, 3:90, 3:89; -2:91, -2:92, 3:92, 3:91"
+    expect(UNION, o, a, b,
+           "# # -1:88, -1:89, -2:89, -2:90, -1:90, -1:91, -2:91, -2:92, "
+           "-1:92, -1:93, 0:93, 0:92, 1:92, 1:93, 2:93, 2:92, 3:92, 3:91, "
+           "2:91, 2:90, 3:90, 3:89, 2:89, 2:88, 1:88, 1:89, 0:89, 0:88; "
+           "0:90, 1:90, 1:91, 0:91", e=2)
+    expect(INTER, o, a, b,
+           "# # 1:89, 1:90, 2:90, 2:89; 1:91, 1:92, 2:92, 2:91; "
+           "-1:89, -1:90, 0:90, 0:89; -1:91, -1:92, 0:92, 0:91", e=2)
+    expect(DIFF, o, a, b,
+           "# # 1:88, 1:89, 2:89, 2:88; 1:90, 1:91, 2:91, 2:90; "
+           "1:92, 1:93, 2:93, 2:92; -1:88, -1:89, 0:89, 0:88; "
+           "-1:90, -1:91, 0:91, 0:90; -1:92, -1:93, 0:93, 0:92", e=2)
+    expect(SYMM, o, a, b,
+           "# # 1:88, 1:89, 2:89, 2:88; -1:88, -1:89, 0:89, 0:88; "
+           "1:90, 1:91, 2:91, 2:90; -1:90, -1:91, 0:91, 0:90; "
+           "1:92, 1:93, 2:93, 2:92; -1:92, -1:93, 0:93, 0:92; "
+           "-2:89, -2:90, -1:90, -1:89; -2:91, -2:92, -1:92, -1:91; "
+           "0:89, 0:90, 1:90, 1:89; 0:91, 0:92, 1:92, 1:91; "
+           "2:89, 2:90, 3:90, 3:89; 2:91, 2:92, 3:92, 3:91", e=2)
+
+
+def test_overlapping_doughnuts():
+    """s2boolean_operation_test.cc OverlappingDoughnuts (RoundToE(1)):
+    CW-wound holes via the MakeIndexOrDie lax-polygon reading — the
+    union has two holes rather than three."""
+    o = _opt()
+    a = ("# # -1:-93, -1:-89, 3:-89, 3:-93; "
+         "0:-92, 2:-92, 2:-90, 0:-90")
+    b = ("# # -3:-91, -3:-87, 1:-87, 1:-91; "
+         "-2:-90, 0:-90, 0:-88, -2:-88")
+    expect(UNION, o, a, b,
+           "# # -1:-93, -1:-91, -3:-91, -3:-87, 1:-87, 1:-89, 3:-89, 3:-93; "
+           "0:-92, 2:-92, 2:-90, 1:-90, 1:-91, 0:-91; "
+           "-2:-90, -1:-90, -1:-89, 0:-89, 0:-88, -2:-88", e=1)
+    expect(INTER, o, a, b,
+           "# # -1:-91, -1:-90, 0:-90, 0:-91; "
+           "0:-90, 0:-89, 1:-89, 1:-90", e=1)
+    expect(DIFF, o, a, b,
+           "# # -1:-93, -1:-91, 0:-91, 0:-92, 2:-92, "
+           "2:-90, 1:-90, 1:-89, 3:-89, 3:-93; "
+           "-1:-90, -1:-89, 0:-89, 0:-90", e=1)
+    expect(SYMM, o, a, b,
+           "# # -1:-93, -1:-91, 0:-91, 0:-92, 2:-92, "
+           "2:-90, 1:-90, 1:-89, 3:-89, 3:-93; "
+           "-3:-91, -3:-87, 1:-87, 1:-89, 0:-89, 0:-88,-2:-88,-2:-90,"
+           "-1:-90,-1:-91; "
+           "-1:-90, -1:-89, 0:-89, 0:-90; "
+           "1:-91, 0:-91, 0:-90, 1:-90", e=1)
