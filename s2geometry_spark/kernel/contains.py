@@ -47,6 +47,20 @@ class Loop:
         else:
             self.is_empty_or_full = False
             v0, v1, v2 = self.vertices[0], self.vertices[1], self.vertices[2]
+            keys = {tuple(v) for v in self.vertices}
+            if len(keys) < n:
+                # Lax ring with repeated vertices (e.g. the degenerate
+                # meridian sliver of s2boolean_operation_test.cc
+                # MeridianSplitting): the single-wedge v1 probe below
+                # assumes v1 occurs once, so derive the origin state via
+                # the sibling-pair-aware GetReferencePoint walk instead
+                # (s2shapeutil_get_reference_point.cc:34-81).
+                from .shapeutil import LaxPolygon, contains_brute_force
+
+                self.origin_inside = contains_brute_force(
+                    LaxPolygon([self.vertices]), P.ORIGIN
+                )
+                return
             v1_inside = (
                 tuple(v0) != tuple(v1)
                 and tuple(v2) != tuple(v1)

@@ -464,6 +464,14 @@ def _clip_polyline(
             cuts.sort(
                 key=lambda x: np.arctan2(float(x[0] @ t), float(x[0] @ a))
             )
+            # crossings with BOTH edges of a degenerate sibling pair
+            # (e.g. the MeridianSplitting sliver) land on the same
+            # point: one vertex, not two
+            deduped = [cuts[0]]
+            for cpt in cuts[1:]:
+                if not np.array_equal(cpt[0], deduped[-1][0]):
+                    deduped.append(cpt)
+            cuts = deduped
         chain = [(a, None)] + cuts + [(b, None)]
         subs = []
         for j in range(len(chain) - 1):
@@ -561,13 +569,17 @@ def directed_boundary_loops(poly: Polygon) -> list:
     ccw = []
     for loop in poly.loops:
         v = loop.vertices
-        if len(v) < 3:
+        if len(v) < 3 or len({tuple(p) for p in v}) < 3:
+            # fully-degenerate residue rings (e.g. sibling-pair slivers
+            # from a degenerate-operand difference) carry no interior
             reps.append(None)
             ccw.append(True)
             continue
         is_ccw = loop_signed_area(v) >= 0
         ccw.append(bool(is_ccw))
-        c, d = v[0], v[1]
+        k = next(i for i in range(len(v))
+                 if not np.array_equal(v[i], v[(i + 1) % len(v)]))
+        c, d = v[k], v[(k + 1) % len(v)]
         m = c + d
         m = m / np.linalg.norm(m)
         t = d - c

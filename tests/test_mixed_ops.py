@@ -16,10 +16,12 @@ import numpy as np
 import pytest
 
 from s2geometry_spark.kernel.coords import xyz_to_latlng
+from s2geometry_spark.kernel.contains import Loop, Polygon
 from s2geometry_spark.kernel.mixed import (
     CLOSED,
     OPEN,
     SEMI_OPEN,
+    MixedGeometry,
     MixedOptions,
     mixed_boolean_op,
     parse_mixed,
@@ -701,3 +703,43 @@ def test_overlapping_doughnuts():
            "-1:-90,-1:-91; "
            "-1:-90, -1:-89, 0:-89, 0:-90; "
            "1:-91, 0:-91, 0:-90, 1:-90", e=1)
+
+
+def test_meridian_splitting():
+    """s2boolean_operation_test.cc MeridianSplitting: subtracting a
+    degenerate loop along the 180-degree meridian splits geometry so no
+    edge crosses the meridian (the GeoJSON-compat transform).  The
+    sliver operand is a LAX ring with a repeated vertex and zero area —
+    its interior must be empty (sibling-pair-aware GetReferencePoint),
+    and each crossing produces ONE cut vertex despite both sibling
+    edges being crossed.  Geodesic intersection latitudes are pinned to
+    the reference's own digits (e=9)."""
+    meridian = MixedGeometry(
+        polygon=Polygon(
+            [Loop(np.array([[0.0, 0, -1], [-1, 0, 0], [0, 0, 1], [-1, 0, 0]]))]
+        )
+    )
+    cases = [
+        ("# 0:-160, 0:170 #", "# 0:-160, 0:180, 0:170 #"),
+        ("# # 0:0, 0:120, 0:-120",
+         "# # 90:0, 0:180, 0:-120, 0:0, 0:120, 0:180"),
+        ("# # 9:179, 9:-179, 10:-179, 10:179",
+         "# # 9.00134850712993:180, 9:-179, 10:-179, 10.0014925269841:180; "
+         "10.0014925269841:180, 10:179, 9:179, 9.00134850712993:180"),
+        ("# # 8:178, 8:-178, 11:-178, 11:178; 9:179, 10:179, 10:-179, 9:-179",
+         "# # 10.0014925269841:180, 10:-179, 9:-179, 9.00134850712993:180, "
+         "8.00481316618607:180, 8:-178, 11:-178, 11.00654129428:180; "
+         "9.00134850712993:180, 9:179, 10:179, 10.0014925269841:180, "
+         "11.00654129428:180, 11:178, 8:178, 8.00481316618607:180"),
+        ("# # 9:-179, 9:179, 10:179, 10:-179",
+         "# # 0:180, 9.00134850712993:180, 9:179, 10:179, "
+         "10.0014925269841:180, 90:0, 10.0014925269841:180, 10:-179, "
+         "9:-179, 9.00134850712993:180, 0:180, -90:0"),
+    ]
+    for inp, exp in cases:
+        a = parse_mixed(inp)
+        got = mixed_boolean_op(a, meridian, "difference", MixedOptions())
+        want = parse_mixed(exp)
+        assert _points_multiset(got, 9) == _points_multiset(want, 9), inp
+        assert _lines_multiset(got, 9) == _lines_multiset(want, 9), inp
+        assert _polygon_multiset(got, 9) == _polygon_multiset(want, 9), inp
