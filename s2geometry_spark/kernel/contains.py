@@ -238,7 +238,11 @@ def lax_polygon_reading(poly: Polygon) -> Polygon:
     reading is the global complement of the lax (interior-on-left)
     reading — e.g. holes wound CW — append one full loop to flip the
     parity everywhere without touching the boundary."""
-    if len(poly.loops) < 2 or any(l.is_empty_or_full for l in poly.loops):
+    if not poly.loops or any(l.is_empty_or_full for l in poly.loops):
+        # single-loop case still votes: a lone CW loop's lax interior is
+        # the COMPLEMENT of its XOR reading (interior-on-left, e.g.
+        # s2boolean_operation_test.cc
+        # PolygonEdgeIsolatedStartVertexPlusInteriorCrossing's CW "a")
         return poly
     from .shapeutil import LaxPolygon, contains_brute_force
 

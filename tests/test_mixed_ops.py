@@ -743,3 +743,23 @@ def test_meridian_splitting():
         assert _points_multiset(got, 9) == _points_multiset(want, 9), inp
         assert _lines_multiset(got, 9) == _lines_multiset(want, 9), inp
         assert _polygon_multiset(got, 9) == _polygon_multiset(want, 9), inp
+
+
+def test_polyline_edge_isolated_start_vertex_plus_interior_crossing():
+    """s2boolean_operation_test.cc:869-884: polyline minus polygon
+    yielding an isolated start vertex (degenerate chain 0:0,0:0) PLUS a
+    clipped V-shaped remainder whose crossings must attach to the real
+    edge, not the degenerate one."""
+    o = _opt()
+    expect(DIFF, o, "# 0:0, 0:10, 0:4 # ", "# # 0:0, -5:5, 5:5",
+           "# 0:0, 0:0 | 0:5, 0:10, 0:5 #", e=1)
+
+
+def test_polygon_edge_isolated_start_vertex_plus_interior_crossing():
+    """s2boolean_operation_test.cc:886-899: CLOSED-model intersection
+    where operand a is a CLOCKWISE loop — the lax single-loop reading
+    (interior on the left = the complement) — leaving an isolated
+    vertex 0:0 as a point shell plus the tip triangle beyond lng 5."""
+    o = _opt(pgm=CLOSED)
+    expect(INTER, o, "# # 0:0, 5:5, -5:5", "# # 1:4, 0:0, 0:8",
+           "# # 0:0; 0:5, 0:8, 0.8:5", e=1)
