@@ -572,6 +572,46 @@ def snap_polygons_joint(polys: list, snap) -> list:
     return out
 
 
+def snap_result_keep_degeneracies(poly: Polygon, snap):
+    """Snap a boolean-op RESULT through the builder site set, KEEPING
+    edges that become degenerate — the reference's output-layer rule
+    ("when snapping causes an output edge to become degenerate, it is
+    still emitted, since otherwise loops that contract to a single
+    point would be lost", s2boolean_operation_test.cc:1034-1053).
+
+    Returns (rings, points): rings are closed vertex arrays that may be
+    pure sibling-pair degenerate lines; points are loops that collapsed
+    to a single site (degenerate point shells)."""
+    from .builder import choose_sites, snap_edge_chain
+
+    all_v = [l.vertices for l in poly.loops if len(l.vertices)]
+    if not all_v:
+        return [], []
+    sites, _vmap = choose_sites(np.concatenate(all_v), snap)
+    rings: list[np.ndarray] = []
+    points: list[np.ndarray] = []
+    for loop in poly.loops:
+        v = loop.vertices
+        chain: list[np.ndarray] = []
+        for i in range(len(v)):
+            for si in snap_edge_chain(
+                v[i], v[(i + 1) % len(v)], sites, snap.snap_radius
+            ):
+                s = sites[si]
+                if chain and np.all(chain[-1] == s):
+                    continue
+                chain.append(s)
+        if len(chain) > 1 and np.all(chain[0] == chain[-1]):
+            chain.pop()
+        if not chain:
+            continue
+        if len(chain) == 1:
+            points.append(chain[0])
+        else:
+            rings.append(np.asarray(chain))
+    return rings, points
+
+
 def _ring_key(v: np.ndarray) -> tuple:
     """Rotation-canonical key of a closed vertex ring."""
     rows = [tuple(p) for p in v]

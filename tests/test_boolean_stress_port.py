@@ -402,3 +402,63 @@ def test_parse_lax_polygon_identity_on_nested_operands():
     x, y, z = latlng_to_xyz(np.array([-0.5, 90.0]), np.array([-45.0, 0.0]))
     got = lax.contains(np.stack([x, y, z], -1))
     assert got.tolist() == [True, False]  # band inside, pole outside
+
+
+def test_polygon_edges_degenerate_after_snapping():
+    """s2boolean_operation_test.cc:1034-1053
+    PolygonEdgesDegenerateAfterSnapping: two narrow rectangles forming
+    a plus sign, snapped to E(0) — output edges that become degenerate
+    are STILL emitted (loops contracting to a point become degenerate
+    rings / point shells).  Compared as directed-edge SETS because the
+    reference harness's DISCARD_EXCESS likewise ignores degenerate-edge
+    multiplicity."""
+    from s2geometry_spark.kernel.booleans import (
+        difference,
+        intersection,
+        snap_result_keep_degeneracies,
+        symmetric_difference,
+        union,
+    )
+    from s2geometry_spark.kernel.builder import IntLatLngSnapFunction
+    from s2geometry_spark.kernel.contains import parse_polygon
+    from s2geometry_spark.kernel.coords import xyz_to_latlng
+
+    def key(p):
+        return tuple(round(float(x), 6) for x in xyz_to_latlng(*p))
+
+    def edge_set(rings):
+        s = set()
+        for r in rings:
+            n = len(r)
+            for i in range(n):
+                u, w = key(r[i]), key(r[(i + 1) % n])
+                if u != w:
+                    s.add((u, w))
+        return s
+
+    def ring_edges(*lls):
+        s = set()
+        n = len(lls)
+        for i in range(n):
+            s.add((lls[i], lls[(i + 1) % n]))
+        return {e for e in s if e[0] != e[1]}
+
+    a = parse_polygon("0:-1, 0:1, 0.1:1, 0.1:-1")
+    b = parse_polygon("-1:0.1, 1:0.1, 1:0, -1:0")
+    snap = IntLatLngSnapFunction(0)
+
+    vert = ring_edges((0.0, -1.0), (0.0, 0.0), (0.0, 1.0), (0.0, 0.0))
+    horiz = ring_edges((-1.0, 0.0), (0.0, 0.0), (1.0, 0.0), (0.0, 0.0))
+
+    rings, pts = snap_result_keep_degeneracies(union(a, b), snap)
+    assert edge_set(rings) == vert | horiz and not pts
+
+    rings, pts = snap_result_keep_degeneracies(intersection(a, b), snap)
+    assert not edge_set(rings) and [key(p) for p in pts] == [(0.0, 0.0)]
+
+    rings, pts = snap_result_keep_degeneracies(difference(a, b), snap)
+    assert edge_set(rings) == vert and not pts
+
+    rings, pts = snap_result_keep_degeneracies(
+        symmetric_difference(a, b), snap)
+    assert edge_set(rings) == vert | horiz and not pts
