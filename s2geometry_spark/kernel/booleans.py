@@ -767,12 +767,15 @@ def _boolean_op_snapped_impl(a: Polygon, b: Polygon, op: str,
     # to the winding-based resolution below.
     try:
         if op == "intersection":
-            return _overlay(sa, sb, True, True, False, robust=True)
-        if op == "union":
-            return _overlay(sa, sb, False, False, False, robust=True)
-        if op == "difference":
-            return _overlay(sa, sb, False, True, True, robust=True)
-        return _overlay(sa, sb, False, False, False, xor=True, robust=True)
+            res = _overlay(sa, sb, True, True, False, robust=True)
+        elif op == "union":
+            res = _overlay(sa, sb, False, False, False, robust=True)
+        elif op == "difference":
+            res = _overlay(sa, sb, False, True, True, robust=True)
+        else:
+            res = _overlay(sa, sb, False, False, False, xor=True,
+                           robust=True)
+        return _resnap_new_vertices(res, sa, sb, snap)
     except ValueError:
         pass
     # Resolve via the WINDING machinery — the reference's own
@@ -825,7 +828,64 @@ def _boolean_op_snapped_impl(a: Polygon, b: Polygon, op: str,
         if loop_signed_area(v) < 0:
             v = v[::-1].copy()
         out.append(_Loop(v))
-    return Polygon(out)
+    return _resnap_new_vertices(Polygon(out), sa, sb, snap)
+
+
+def _resnap_new_vertices(result: Polygon, sa: Polygon, sb: Polygon,
+                         snap) -> Polygon:
+    """Output-side snap rounding: vertices CREATED by the overlay (edge
+    intersection points) are not operand vertices and must round to the
+    snap function's grid like any other builder input
+    (s2polygon_test.cc IntersectionSnapFunction: the 1:6.67 intersection
+    rounds to 1:7 under IntLatLngSnapFunction(0)).  A structural no-op
+    whenever snapping does not MOVE any new vertex — the identity snap
+    function never moves points, keeping the small-radius regression
+    fixtures bit-identical."""
+    from .builder import snap_edge_chain
+
+    if not result.loops or any(l.is_empty_or_full for l in result.loops):
+        return result
+    op_v = [l.vertices for p in (sa, sb) for l in p.loops
+            if len(l.vertices) >= 3]
+    if not op_v:
+        return result
+    sites = np.unique(np.concatenate(op_v), axis=0)
+    site_keys = {tuple(s) for s in sites}
+    res_v = np.concatenate([l.vertices for l in result.loops])
+    new_v = [v for v in res_v if tuple(v) not in site_keys]
+    if not new_v:
+        return result
+    new_v = np.asarray(new_v)
+    snapped = snap.snap(new_v)
+    moved = ~(snapped == new_v).all(axis=1)
+    if not moved.any():
+        return result
+    aug = list(sites)
+    for v, sv in zip(new_v, snapped):
+        # builder rule: a new vertex merges into an existing site within
+        # the snap radius, else its snapped position becomes a new site
+        d = float(np.arccos(np.clip(sites @ v, -1.0, 1.0)).min())
+        if d > snap.snap_radius:
+            aug.append(sv)
+    aug = np.unique(np.asarray(aug), axis=0)
+    loops = []
+    for loop in result.loops:
+        v = loop.vertices
+        chain: list[np.ndarray] = []
+        for i in range(len(v)):
+            for si in snap_edge_chain(
+                v[i], v[(i + 1) % len(v)], aug, snap.snap_radius
+            ):
+                s = aug[si]
+                if chain and np.all(chain[-1] == s):
+                    continue
+                chain.append(s)
+        if len(chain) > 1 and np.all(chain[0] == chain[-1]):
+            chain.pop()
+        chain = _cancel_spurs(chain)
+        if len(chain) >= 3:
+            loops.append(Loop(np.asarray(chain)))
+    return Polygon(_cancel_sibling_rings(loops))
 
 
 def cellunion_to_polygon(cells) -> Polygon:

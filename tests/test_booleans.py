@@ -738,4 +738,31 @@ class TestSnappedBooleanOps:
             ib = M.even_odd_area([l.vertices for l in sb2.loops])
             au = M.even_odd_area([l.vertices for l in u.loops])
             ai = M.even_odd_area([l.vertices for l in i.loops])
-            assert abs(au + ai - ia - ib) < 1e-9, type(snap).__name__
+            # crossing vertices created by the overlay round to the snap
+            # grid in the OUTPUT (s2polygon_test.cc
+            # IntersectionSnapFunction), so inclusion-exclusion holds to
+            # O(snap_radius x adjacent edge length), not exactly
+            tol = 1e-12 + snap.snap_radius
+            assert abs(au + ai - ia - ib) < tol, type(snap).__name__
+
+
+def test_intersection_snap_function_rounds_crossing_vertices():
+    """s2polygon_test.cc IntersectionSnapFunction (:1002-1011): the
+    intersection point 1:6.67 rounds to the nearest E0 grid position
+    1:7 — output-side snap rounding of vertices the overlay created."""
+    from s2geometry_spark.kernel.booleans import boolean_op_snapped
+    from s2geometry_spark.kernel.builder import IntLatLngSnapFunction
+    from s2geometry_spark.kernel.contains import parse_polygon
+    from s2geometry_spark.kernel.coords import xyz_to_latlng
+
+    a = parse_polygon("0:0, 0:10, 1:10, 1:0")
+    b = parse_polygon("0:0, 0:10, 3:0")
+    r = boolean_op_snapped(a, b, "intersection", IntLatLngSnapFunction(0))
+    assert len(r.loops) == 1
+    ring = [
+        tuple(round(float(x), 9) for x in xyz_to_latlng(*p))
+        for p in r.loops[0].vertices
+    ]
+    want = [(0.0, 0.0), (0.0, 10.0), (1.0, 7.0), (1.0, 0.0)]
+    k = ring.index((0.0, 0.0))
+    assert ring[k:] + ring[:k] == want
