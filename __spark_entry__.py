@@ -628,6 +628,53 @@ def _layer_fixtures():
     ]
 
 
+def _meridian_fixtures():
+    """Antimeridian-splitting jobs: the five reference MeridianSplitting
+    cases (s2boolean_operation_test.cc:1753-1795) plus a Fiji-style
+    crossing box, a repeatedly-crossing polyline, and a no-op
+    passthrough."""
+    def pl(s):
+        return [
+            tuple(float(x) for x in v.split(":"))
+            for v in s.split(",")
+        ]
+
+    return [
+        ("equator_line", "polyline", [pl("0:-160, 0:170")]),
+        ("north_hemisphere", "polygon", [pl("0:0, 0:120, 0:-120")]),
+        ("small_square", "polygon",
+         [pl("9:179, 9:-179, 10:-179, 10:179")]),
+        ("annulus", "polygon",
+         [pl("8:178, 8:-178, 11:-178, 11:178"),
+          pl("9:179, 10:179, 10:-179, 9:-179")]),
+        ("world_minus_square", "polygon",
+         [pl("9:-179, 9:179, 10:179, 10:-179")]),
+        ("fiji_box", "polygon",
+         [pl("-18:177, -18:-178, -16:-178, -16:177")]),
+        ("zigzag_line", "polyline",
+         [pl("5:170, 6:-170, 7:170, 8:-170")]),
+        ("no_cross", "polyline", [pl("1:10, 2:20, 3:30")]),
+    ]
+
+
+def _q_geo_meridian_split(spark, sf_dir):
+    """Distributed antimeridian splitting (the GeoJSON transform,
+    s2boolean_operation_test.cc MeridianSplitting): every feature
+    splits against the 180-degree degenerate sliver in ONE
+    applyInPandas group — the groupBy(job) is the whole plan.  Split
+    semantics are reference-pinned in
+    tests/test_mixed_ops.py::test_meridian_splitting; the oracle gates
+    this distributed path with kernel-pinned digests and the
+    no-edge-crosses-the-meridian contract flag."""
+    from s2geometry_spark.operators.meridian import (
+        meridian_jobs_df,
+        split_meridian_join,
+    )
+
+    jobs = meridian_jobs_df(spark, _meridian_fixtures())
+    return split_meridian_join(jobs).orderBy("job", "piece_idx")
+
+
 def _q_geo_layer_assembly(spark, sf_dir):
     """S2Builder output layers as a distributed job table
     (s2builderutil_s2polyline_vector_layer.cc + s2polygon_layer.cc):
@@ -1944,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_polyline_interpolate": _q_geo_polyline_interpolate,
         "geo_polyline_simplify": _q_geo_polyline_simplify,
         "geo_layer_assembly": _q_geo_layer_assembly,
+        "geo_meridian_split": _q_geo_meridian_split,
         "geo_convex_hull": _q_geo_convex_hull,
         "geo_hausdorff": _q_geo_hausdorff,
         "geo_polyline_alignment": _q_geo_polyline_alignment,
@@ -2185,6 +2233,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         ),
         "geo_polyline_simplify": OR.simplify_fixture_sql(_simplify_fixtures()),
         "geo_layer_assembly": OR.layer_fixture_sql(_layer_fixtures()),
+        "geo_meridian_split": OR.meridian_fixture_sql(_meridian_fixtures()),
         "geo_convex_hull": OR.convex_hull_fixture_sql(_hull_fixtures()),
         "geo_hausdorff": _hausdorff_oracle(),
         "geo_polyline_alignment": OR.dtw_fixture_sql(_alignment_fixture()),

@@ -1640,3 +1640,44 @@ def furthest_edges_sql(
     FROM ranked WHERE rn <= {k}
     ORDER BY key, shape_id, edge_id
     """
+
+
+def meridian_fixture_sql(fixtures) -> str:
+    """Oracle for operators/meridian.split_meridian_join: per (job,
+    piece) the kernel's vertex count, meridian-crossing flag (always
+    FALSE — the transform's contract) and canonical digest as pinned
+    VALUES.  The SPLIT SEMANTICS are pinned independently against the
+    reference's own MeridianSplitting expected strings
+    (tests/test_mixed_ops.py::test_meridian_splitting, e=9 geodesic
+    intersection latitudes); this oracle gates the DISTRIBUTED
+    applyInPandas path row-for-row."""
+    import numpy as np
+
+    from ..kernel.coords import latlng_to_xyz
+    from ..operators.layer_ops import piece_digest
+    from ..operators.meridian import _crosses_meridian, split_job
+
+    rows = []
+    for name, kind, chains in fixtures:
+        arrs = []
+        for chain in chains:
+            lat = np.array([p[0] for p in chain], np.float64)
+            lng = np.array([p[1] for p in chain], np.float64)
+            x, y, z = latlng_to_xyz(lat, lng)
+            arrs.append(np.stack([x, y, z], -1))
+        pieces = split_job(kind, arrs)
+        canon = sorted(
+            (piece_digest(p), len(p),
+             bool(_crosses_meridian(p, kind == "polygon")))
+            for p in pieces
+        )
+        for pi, (d, n, c) in enumerate(canon):
+            rows.append(
+                f"('{name}', {pi}, {n}, {'TRUE' if c else 'FALSE'}, '{d}')"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(job, piece_idx, n_vertices, crosses_meridian, digest)"
+        " ORDER BY job, piece_idx"
+    )
