@@ -308,3 +308,40 @@ def test_encoded_overlapping_shapes_roundtrip():
     # reference's RNG stream is irreproducible outside C++)
     assert n_pts > 100 and n_lines > 50 and n_loops > 50
     assert len(index_bytes(MutableIndex())) == 4  # empty stays 4 bytes
+
+
+def test_snapped_fractal_polylines_roundtrip():
+    """encoded_s2shape_index_test.cc:271-291 SnappedFractalPolylines
+    structure: five cell-center-snapped fractal polylines index and
+    encode/decode to IDENTICAL per-cell contents.  The reference pins
+    8698 bytes from its own RNG stream (irreproducible outside C++);
+    here the load-bearing gate is the decoded-cell identity inside
+    roundtrip() plus a repo-pinned size floor over a deterministic
+    RandomState."""
+    from s2geometry_spark.kernel.builder import S2CellIdSnapFunction
+    from s2geometry_spark.kernel.fractal import Fractal
+    from s2geometry_spark.kernel.layers import (
+        Builder,
+        PolylineVectorLayer,
+    )
+    from s2geometry_spark.kernel.polyline import _get_frame
+    from tests.test_mutable_index import latlng_pts, roundtrip
+
+    index = MutableIndex()
+    for i in range(5):
+        rng = np.random.RandomState(1000 + i)
+        fractal = Fractal(rng)
+        fractal.set_level_for_approx_max_edges(3 * 64)
+        frame = _get_frame(norm_ref(latlng_pts(f"10:{i}")[0]))
+        loop = fractal.make_loop(frame, math.radians(0.1))
+        b = Builder(S2CellIdSnapFunction(30))
+        layer = PolylineVectorLayer()
+        b.start_layer(layer)
+        b.add_polyline(np.vstack([loop.vertices, loop.vertices[:1]]))
+        err = b.build()
+        assert err is None, err
+        for pl in layer.polylines:
+            index.add(LaxPolyline(pl))
+    assert index.num_shape_ids() >= 5
+    raw = roundtrip(index)
+    assert len(raw) > 500
