@@ -206,3 +206,20 @@ def _debug_to_token(s: str) -> str:
     for ch in path:
         c = c.child(int(ch))
     return c.token()
+
+
+def test_polyline_assembly_bug():
+    """s2polygon_test.cc:3013-3028 PolylineAssemblyBug: a cell-spanning
+    polygon with a tiny offending triangle near the south-east corner
+    (two forced vertices on edge 4) used to crash/empty the assembly;
+    the simplified-in-cell result must be non-empty."""
+    from s2geometry_spark.kernel.contains import parse_polygon
+
+    cell = _cell("5701")
+    poly = parse_polygon(
+        "55.8699252:-163.9412145, 54.7672352:-166.7579678, "
+        "54.7109214:-164.6376338, 54.7140193:-164.6398404, "
+        "54.7113202:-164.6374015")
+    out = init_to_simplified_in_cell(
+        poly, cell, 2.138358e-05, 2.821947e-09)
+    assert not out.is_empty
