@@ -154,6 +154,68 @@ def _slerp(x: np.ndarray, y: np.ndarray, t: float) -> np.ndarray:
     return p / np.linalg.norm(p)
 
 
+def winding_operation_snapped(
+    loops: list[np.ndarray],
+    ref: np.ndarray,
+    ref_winding: int,
+    rule,
+    snap,
+    include_degeneracies: bool = False,
+):
+    """S2WindingOperation with a snap function (the reference's
+    options.snap_function_, s2winding_operation.h:136-148): inputs snap
+    through ONE joint site set, and the declared reference winding is
+    transported across the snap via the signed-crossing delta along an
+    anchor path — the closed-loop specialization of
+    GetSnappedWindingDelta (the winding at a far anchor is unchanged by
+    snapping, so delta(ref) = crossings(q→ref, snapped) −
+    crossings(q→ref, original)).  Loops that collapse to a single site
+    become point shells (s2winding_operation_test.cc CollapsingShell)."""
+    from .builder import choose_sites, snap_edge_chain
+
+    all_v = [np.asarray(l, float).reshape(-1, 3) for l in loops]
+    all_v = [v for v in all_v if len(v)]
+    if not any(len(v) > 1 for v in all_v):
+        return winding_operation(
+            all_v, ref, ref_winding, rule, include_degeneracies
+        )
+    sites, _ = choose_sites(np.concatenate(all_v), snap)
+    snapped: list[np.ndarray] = []
+    orig_edges: list = []
+    snap_edges: list = []
+    for v in all_v:
+        if len(v) == 1:
+            d = np.arccos(np.clip(sites @ v[0], -1.0, 1.0))
+            snapped.append(sites[int(np.argmin(d))][None])
+            continue
+        chain: list[np.ndarray] = []
+        for i in range(len(v)):
+            orig_edges.append((v[i], v[(i + 1) % len(v)]))
+            for si in snap_edge_chain(
+                v[i], v[(i + 1) % len(v)], sites, snap.snap_radius
+            ):
+                s = sites[si]
+                if chain and np.all(chain[-1] == s):
+                    continue
+                chain.append(s)
+        if len(chain) > 1 and np.all(chain[0] == chain[-1]):
+            chain.pop()
+        if chain:
+            snapped.append(np.asarray(chain))
+        for i in range(len(chain)):
+            if len(chain) > 1:
+                snap_edges.append((chain[i], chain[(i + 1) % len(chain)]))
+    # anchor far from all geometry: the winding there is snap-invariant
+    c = np.concatenate(all_v).sum(0)
+    n = np.linalg.norm(c)
+    q = -(c / n) if n > 1e-30 else np.array([0.0, 0.0, 1.0])
+    delta = (_winding_at(ref, snap_edges, q, 0)
+             - _winding_at(ref, orig_edges, q, 0))
+    return winding_operation(
+        snapped, ref, ref_winding + delta, rule, include_degeneracies
+    )
+
+
 def winding_operation(
     loops: list[np.ndarray],
     ref: np.ndarray,

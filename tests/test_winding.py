@@ -193,3 +193,131 @@ class TestDegenerateBoundaries:
         ref = self._pts("80:80")[0]
         out = winding_operation([sq], ref, 0, WindingRule.POSITIVE)
         assert len(out) == 2 and len(out[0]) == 1
+
+
+def _deg_latlng(deg):
+    from s2geometry_spark.kernel.coords import xyz_to_latlng
+
+    pts = sorted(
+        tuple(round(float(x), 6) for x in xyz_to_latlng(*p))
+        for p in deg["points"]
+    )
+    ses = sorted(
+        tuple(sorted(
+            tuple(round(float(x), 6) for x in xyz_to_latlng(*q))
+            for q in (a, b)
+        ))
+        for a, b in deg["sibling_edges"]
+    )
+    return pts, ses
+
+
+def test_empty():
+    # s2winding_operation_test.cc:119-126
+    got = winding_operation([], _pt("5:5"), 0, WindingRule.POSITIVE)
+    assert got == ([], False)
+    got = winding_operation([], _pt("5:5"), 1, WindingRule.POSITIVE)
+    assert got == ([], True)
+
+
+def test_point_loop():
+    # cc:128-133: include_degeneracies False -> empty, True -> "2:2"
+    loops, full, deg = winding_operation(
+        [parse_points("2:2")], _pt("5:5"), 0, WindingRule.POSITIVE, True)
+    assert (loops, full) == ([], False)
+    assert _deg_latlng(deg) == ([(2.0, 2.0)], [])
+
+
+def test_sibling_pair_loop():
+    # cc:135-140
+    loops, full, deg = winding_operation(
+        [parse_points("2:2, 3:3")], _pt("5:5"), 0,
+        WindingRule.POSITIVE, True)
+    assert (loops, full) == ([], False)
+    assert _deg_latlng(deg) == ([], [((2.0, 2.0), (3.0, 3.0))])
+
+
+def test_collapsing_shell():
+    # cc:182-200: a 3-degree triangle under a 5-degree snap collapses to
+    # the point shell 0:0; the CW variants leave FULL (the snapped
+    # reference winding transports across the collapse)
+    import math
+
+    from s2geometry_spark.kernel.builder import IdentitySnapFunction
+    from s2geometry_spark.kernel.winding import winding_operation_snapped
+
+    snap = IdentitySnapFunction(math.radians(5))
+    for ref_str, w in (("10:0", 0), ("1:1", 1)):
+        loops, full, deg = winding_operation_snapped(
+            [parse_points("0:0, 0:3, 3:3")], _pt(ref_str), w,
+            WindingRule.POSITIVE, snap, True)
+        assert (loops, full) == ([], False), ref_str
+        assert _deg_latlng(deg) == ([(0.0, 0.0)], []), ref_str
+    for ref_str, w in (("10:0", 1), ("1:1", 0)):
+        loops, full = winding_operation_snapped(
+            [parse_points("0:0, 3:3, 0:3")], _pt(ref_str), w,
+            WindingRule.POSITIVE, snap)
+        assert (loops, full) == ([], True), ref_str
+
+
+def test_touching_triangles_odd_degenerate():
+    # cc:202-216 second half: ODD keeps the shared diagonal as a
+    # degenerate hole when include_degeneracies is set
+    loops, full, deg = winding_operation(
+        [parse_points("0:0, 0:8, 8:8"), parse_points("0:0, 8:8, 8:0")],
+        _pt("2:2"), 1, WindingRule.ODD, True)
+    _region_equal((loops, full), "0:0, 0:8, 8:8, 8:0", (-2, 10), (-2, 10))
+    assert _deg_latlng(deg)[1] == [((0.0, 0.0), (8.0, 8.0))]
+
+
+def test_touching_triangles_after_snapping():
+    # cc:218-231: triangles that touch only after IntLatLng(0) snapping
+    from s2geometry_spark.kernel.builder import IntLatLngSnapFunction
+    from s2geometry_spark.kernel.winding import winding_operation_snapped
+
+    snap = IntLatLngSnapFunction(0)
+    tri = [parse_points("0.1:0.2, 0:7.8, 7.6:8.2"),
+           parse_points("0.3:0.2, 8.1:7.8, 7.6:0.4")]
+    got = winding_operation_snapped(
+        tri, _pt("6:2"), 1, WindingRule.POSITIVE, snap)
+    _region_equal(got, "0:0, 0:8, 8:8, 8:0", (-2, 10), (-2, 10))
+    loops, full, deg = winding_operation_snapped(
+        tri, _pt("2:6"), 1, WindingRule.ODD, snap, True)
+    _region_equal((loops, full), "0:0, 0:8, 8:8, 8:0", (-2, 10), (-2, 10))
+    assert _deg_latlng(deg)[1] == [((0.0, 0.0), (8.0, 8.0))]
+
+
+def test_union_of_squares_tail():
+    # cc:233-288: the >=4-squares threshold and the ODD checkerboard
+    squares = [parse_points(s) for s in (
+        "0:0, 0:4, 4:4, 4:0", "1:1, 1:5, 5:5, 5:1", "2:2, 2:6, 6:6, 6:2",
+        "3:3, 3:7, 7:7, 7:3", "4:4, 4:8, 8:8, 8:4")]
+    got = winding_operation(squares, _pt("0.5:0.5"), -2,
+                            WindingRule.POSITIVE)
+    _region_equal(got, "3:3, 3:4, 4:4, 4:3; 4:4, 4:5, 5:5, 5:4",
+                  (-1, 9), (-1, 9), n=80)
+    got = winding_operation(squares, _pt("0.5:0.5"), 1, WindingRule.ODD)
+    _region_equal(
+        got,
+        "4:1, 4:0, 0:0, 0:4, 1:4, 1:1; 4:3, 4:2, 2:2, 2:4, 3:4, 3:3; "
+        "1:4, 1:5, 2:5, 2:4; 5:4, 5:3, 4:3, 4:4; 5:2, 5:1, 4:1, 4:2; "
+        "2:5, 2:6, 3:6, 3:5; 6:3, 6:2, 5:2, 5:3; 3:6, 3:7, 4:7, 4:6; "
+        "3:4, 3:5, 4:5, 4:4; 7:4, 7:3, 6:3, 6:4; "
+        "4:7, 4:8, 8:8, 8:4, 7:4, 7:7; 4:5, 4:6, 6:6, 6:4, 5:4, 5:5",
+        (-1, 9), (-1, 9), n=80)
+
+
+def test_symmetric_difference_degeneracies():
+    # cc:290-297: duplicated geometry cancels mod 2; the point shells
+    # unique to one side survive
+    from s2geometry_spark.kernel.builder import IntLatLngSnapFunction
+    from s2geometry_spark.kernel.winding import winding_operation_snapped
+
+    g = [parse_points(s) for s in (
+        "0:0, 0:3, 3:3, 3:0", "1:1", "2:2", "4:4",
+        "0:0, 0:3, 3:3, 3:0", "1:1", "4:4", "5:5")]
+    loops, full, deg = winding_operation_snapped(
+        g, _pt("10:10"), 0, WindingRule.ODD,
+        IntLatLngSnapFunction(1), True)
+    assert (loops, full) == ([], False)
+    assert _deg_latlng(deg) == ([(2.0, 2.0), (5.0, 5.0)], [])
