@@ -10,6 +10,8 @@ as version-unstable, s2region_coverer.h:60-62 — we pin THIS snapshot).
 from __future__ import annotations
 
 import heapq
+
+import numpy as np
 from dataclasses import dataclass, field
 
 from . import cellunion
@@ -305,3 +307,37 @@ class RegionCoverer:
                     if not self._contains_all_children(covering, cid):
                         break
                     self._replace_cells_with_ancestor(covering, cid)
+
+
+def flood_fill(region, start: CID) -> list[CID]:
+    """S2RegionCoverer::FloodFill (s2region_coverer.cc:380-402): all
+    cells at start.level() connected to `start` that intersect
+    `region`."""
+    from . import cellid as K
+
+    all_ids = {start.id}
+    frontier = [start]
+    output: list[CID] = []
+    while frontier:
+        cid = frontier.pop()
+        if not region.may_intersect_cell(Cell(cid)):
+            continue
+        output.append(cid)
+        nbrs = K.edge_neighbors(np.array([cid.id], dtype=np.uint64))[0]
+        for n in nbrs:
+            if int(n) not in all_ids:
+                all_ids.add(int(n))
+                frontier.append(CID(int(n)))
+    return output
+
+
+def simple_covering(region, start: np.ndarray, level: int) -> list[CID]:
+    """S2RegionCoverer::GetSimpleCovering (s2region_coverer.cc:404-408):
+    flood fill at a fixed level from the cell containing `start`."""
+    from . import cellid as K
+
+    p = np.asarray(start, np.float64)
+    leaf = K.from_point(
+        np.array([p[0]]), np.array([p[1]]), np.array([p[2]])
+    )
+    return flood_fill(region, CID(int(leaf[0])).parent(level))

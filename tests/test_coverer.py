@@ -177,3 +177,72 @@ def test_simple_covering_flood_fill():
     cov = RegionCoverer(max_cells=1 << 30, min_level=level, max_level=level)
     expect = set(c.id for c in cov.get_covering(cap))
     assert expect <= set(c.id for c in output)
+
+
+def _random_cid(rng) -> CID:
+    level = int(rng.randint(0, 31))
+    face = int(rng.randint(0, 6))
+    pos = int(rng.randint(0, 1 << 30)) << 31 | int(rng.randint(0, 1 << 31))
+    raw = ((face << 61) | pos) & ((1 << 64) - 1)
+    return CID(raw | 1).parent(level)
+
+
+def test_random_cells():
+    """s2region_coverer_test.cc:72-88 RandomCells: with max_cells=1, the
+    covering of any S2Cell is exactly that cell (2000 random ids at all
+    levels; reference runs 10000)."""
+    rng = np.random.RandomState(42)
+    cov = RegionCoverer(max_cells=1)
+    for _ in range(2000):
+        cid = _random_cid(rng)
+        covering = cov.get_covering(CellUnionRegion([cid]))
+        assert len(covering) == 1 and covering[0].id == cid.id
+
+
+def test_simple_coverings_random():
+    """test.cc:159-176 SimpleCoverings: fixed-level flood-fill coverings
+    of random caps satisfy the covering contract (100 iterations;
+    reference runs 1000)."""
+    import math
+
+    from s2geometry_spark.kernel.coverer import simple_covering
+    from s2geometry_spark.kernel.fractal import random_point
+    from s2geometry_spark.kernel.metrics import AVG_AREA
+
+    rng = np.random.RandomState(7)
+    for _ in range(100):
+        level = int(rng.randint(0, 31))
+        max_area = min(4 * math.pi, 1000 * AVG_AREA.get_value(level))
+        min_area = 0.1 * AVG_AREA.get_value(30)
+        area = min_area * (max_area / min_area) ** rng.uniform()
+        radius = math.acos(max(-1.0, 1.0 - area / (2 * math.pi)))
+        center = random_point(rng)
+        cap = Cap.from_center_angle(center, radius)
+        covering = simple_covering(cap, center, level)
+        cov = RegionCoverer(max_cells=1 << 30, min_level=level,
+                            max_level=level)
+        _check_covering(cap, covering, False, cov)
+        # every covering cell is at the requested level and the union
+        # contains the cap center
+        assert all(c.level() == level for c in covering)
+        region = CellUnionRegion(cellunion.normalize(list(covering)))
+        assert region.contains_point(center)
+
+
+def test_huge_fixed_level_covering():
+    """test.cc:335-344 GetFastCovering with min_level=10 over the
+    level-2 cell 1/23 denormalizes to >= 2^16 cells."""
+    from s2geometry_spark.kernel import cellid as K
+
+    cid = CID.from_face(1).child(2).child(3)  # "1/23"
+    cov = RegionCoverer(min_level=10)
+    covering = cov.get_fast_covering(CellUnionRegion([cid]))
+    assert len(covering) >= 1 << 16
+
+
+def test_is_canonical_invalid_cellid():
+    """test.cc:356-359: an invalid cell id is never canonical."""
+    cov = RegionCoverer()
+    face = CID.from_face(1)
+    assert cov.is_canonical([face])
+    assert not cov.is_canonical([CID(0)])
