@@ -445,3 +445,36 @@ class MutableIndex:
             fe = edge.face_edge
             if fe.has_interior:
                 tracker.test_edge(fe.shape_id, fe.v0, fe.v1)
+
+
+def get_crossing_candidates(index: "MutableIndex", a: np.ndarray,
+                            b: np.ndarray) -> list[tuple[int, int]]:
+    """S2CrossingEdgeQuery::GetCandidates (s2crossing_edge_query.h:47-92)
+    over the exact index: every (shape_id, edge_id) stored in an index
+    cell whose PADDED uv bound the query edge intersects.  The padding
+    (kCellPadding, mutable_s2shape_index.h) is what guarantees no true
+    crossing is ever missed — the PerturbedCubeEdges tests fail without
+    it."""
+    from .cell import Cell
+    from .clipping import clip_to_padded_face, intersects_rect
+
+    a = np.asarray(a, np.float64).reshape(3)
+    b = np.asarray(b, np.float64).reshape(3)
+    cand: set[tuple[int, int]] = set()
+    by_face: dict[int, tuple] = {}
+    for cid, clipped in index.cells():
+        face = cid.face()
+        if face not in by_face:
+            by_face[face] = clip_to_padded_face(a, b, face, CELL_PADDING)
+        uv = by_face[face]
+        if uv is None:
+            continue
+        cell = Cell(cid)
+        rect = (cell.u_lo - CELL_PADDING, cell.u_hi + CELL_PADDING,
+                cell.v_lo - CELL_PADDING, cell.v_hi + CELL_PADDING)
+        if not intersects_rect(uv[0], uv[1], rect):
+            continue
+        for shape_id, _cc, edge_ids in clipped:
+            for e in edge_ids:
+                cand.add((shape_id, int(e)))
+    return sorted(cand)
