@@ -342,3 +342,28 @@ def edge_pair_closest_points(a0, a1, b0, b1):
     if best == 2:
         return _project_to_edge(b0, a0, a1), b0
     return _project_to_edge(b1, a0, a1), b1
+
+
+def get_update_min_interior_distance_max_error(length2: float) -> float:
+    """GetUpdateMinInteriorDistanceMaxError (s2edge_distances.cc:263-277):
+    max error in the squared-chord distance from a point to the edge
+    INTERIOR, for normalized inputs."""
+    import math
+
+    if length2 >= 2.0:  # >= Right
+        return 0.0
+    b = min(1.0, 0.5 * float(length2))
+    a = math.sqrt(b * (2 - b))
+    return ((2.5 + 2 * math.sqrt(3) + 8.5 * a) * a +
+            (2 + 2 * math.sqrt(3) / 3 + 6.5 * (1 - b)) * b +
+            (23 + 16 / math.sqrt(3)) * DBL_EPSILON) * DBL_EPSILON
+
+
+def get_update_min_distance_max_error(length2: float) -> float:
+    """GetUpdateMinDistanceMaxError (s2edge_distances.cc:279-284): max
+    error in the squared-chord distance returned by UpdateMinDistance
+    (interior OR endpoint case)."""
+    return max(
+        get_update_min_interior_distance_max_error(length2),
+        float(s2point_constructor_max_error(length2)),
+    )

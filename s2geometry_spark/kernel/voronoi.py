@@ -210,6 +210,19 @@ def compare_edge_distance(x, a0, a1, r_rad: float) -> int:
     arbitrary — exactly the sub-1e-12 regime these predicates exist for."""
     fx, f0, f1 = _fr(x), _fr(a0), _fr(a1)
     r2 = Fraction((2 * math.sin(0.5 * min(math.pi, r_rad))) ** 2)
+    return _compare_edge_distance_r2(fx, f0, f1, r2)
+
+
+def compare_edge_distance_chord2(x, a0, a1, length2: float) -> int:
+    """compare_edge_distance with the threshold given directly as a
+    squared chord length (exact — no radians round trip), the form the
+    S1ChordAngle-based reference predicate takes."""
+    return _compare_edge_distance_r2(
+        _fr(x), _fr(a0), _fr(a1), Fraction(max(0.0, min(4.0, length2)))
+    )
+
+
+def _compare_edge_distance_r2(fx, f0, f1, r2: Fraction) -> int:
     # interior test — CompareEdgeDirections(a0,a1, a0,x) > 0 and
     # (a0,a1, x,a1) > 0 (ExactCompareEdgeDistance; the antipodal guard
     # falls through to the endpoint branch, same as the reference)
