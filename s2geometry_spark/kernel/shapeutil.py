@@ -461,13 +461,27 @@ def shape_to_polyline(chains: list) -> np.ndarray:
 
 
 def shape_to_polygon(chains: list):
-    """ShapeToS2Polygon: loops preserved in their lax orientation; the
-    full polygon maps to the full kernel Polygon."""
-    from .contains import Loop, Polygon
+    """ShapeToS2Polygon (s2shapeutil_conversion.cc:51-72): loops keep
+    their lax vertex order verbatim (InitOriented semantics); a
+    CW-wound hole's even-odd region is its ENCLOSED area (crossing
+    parity is direction-free, only the origin state flips), and the
+    GetReferencePoint complement vote repairs whole-complement inputs.
+    The full polygon maps to the full kernel Polygon."""
+    import math
+
+    from .contains import Loop, Polygon, lax_polygon_reading
+    from .measures import loop_signed_area
 
     shape = LaxPolygon(chains)
     if shape.is_full():
         return Polygon([Loop(np.array([[0.0, 0.0, -1.0]]))])
-    return Polygon(
-        [Loop(np.asarray(c, float).reshape(-1, 3)) for c in chains]
-    )
+    loops = []
+    for c in chains:
+        v = np.asarray(c, float).reshape(-1, 3)
+        loop = Loop(v)
+        if len(v) >= 3:
+            sa = loop_signed_area(v)
+            if sa < 0 and abs(abs(sa) - 2 * math.pi) > 1e-9:
+                loop.origin_inside = Loop(v[::-1].copy()).origin_inside
+        loops.append(loop)
+    return lax_polygon_reading(Polygon(loops))

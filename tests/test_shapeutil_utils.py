@@ -171,3 +171,40 @@ def test_full_polygon_to_polygon():
     """conversion_test.cc:129-137."""
     poly = shape_to_polygon([np.empty((0, 3))])
     assert poly.is_full
+
+
+def test_shape_to_polygon_region_semantics():
+    """The converted polygon's region must equal the lax interior-on-
+    left containment for CW-hole and complement inputs (InitOriented
+    semantics — the original port only pinned vertex structure)."""
+    import numpy as np
+
+    from s2geometry_spark.kernel.contains import parse_points
+    from s2geometry_spark.kernel.shapeutil import (
+        LaxPolygon,
+        contains_brute_force,
+        shape_to_polygon,
+    )
+
+    cases = [
+        # CCW shell + CW hole (annulus)
+        [parse_points("0:0, 0:10, 10:10, 10:0"),
+         parse_points("4:4, 6:4, 6:6, 4:6")],
+        # two CW holes
+        [parse_points("0:0, 0:10, 10:10, 10:0"),
+         parse_points("1:1, 3:3, 1:3"),
+         parse_points("2:6, 4:7, 2:8")],
+        # a single CW loop = the complement region
+        [parse_points("0:0, 5:5, -5:5")],
+    ]
+    rng = np.random.RandomState(8)
+    for chains in cases:
+        shape = LaxPolygon(chains)
+        poly = shape_to_polygon(chains)
+        for lp, out in zip(chains, poly.loops):
+            assert np.array_equal(np.asarray(lp), out.vertices)
+        for _ in range(60):
+            p = rng.randn(3)
+            p /= np.linalg.norm(p)
+            assert bool(poly.contains(p[None])[0]) == contains_brute_force(
+                shape, p)
