@@ -291,3 +291,172 @@ def sum_density_trees(
     return build_density_tree(
         sum_density_weight_fn(trees), approximate_size_bytes, max_level
     )
+
+
+# ----------------------------------------------------- wire format
+# (s2density_tree.cc:694-860 + s2density_tree_internal.h): version
+# magic, then per level a varint(mask) of present faces/children
+# followed by the encoded lengths of all present entries EXCEPT the
+# last (inferable), then the entries in increasing face/child order.
+# The reference writes everything reversed for single-pass encoding;
+# the forward layout below is byte-identical.
+
+TREE_VERSION = b"S2DensityTree0"
+CHILD_MASK_BITS = 4
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_cell(cid: CID, weight: int, weights: dict) -> bytes:
+    mask = 0
+    parts = []
+    if not cid.is_leaf():
+        for i in range(4):
+            child = cid.child(i)
+            if child.id in weights:
+                mask |= 1 << i
+                parts.append(_encode_cell(child, weights[child.id], weights))
+    head = _varint((weight << CHILD_MASK_BITS) | mask)
+    out = bytearray(head)
+    for p in parts[:-1]:
+        out += _varint(len(p))
+    for p in parts:
+        out += p
+    return bytes(out)
+
+
+def encode_tree(weights: dict[int, int]) -> bytes:
+    """TreeEncoder::Build: cell-id → weight map (every ancestor present)
+    → the S2DensityTree wire bytes."""
+    if not weights:
+        return b""
+    out = bytearray(TREE_VERSION)
+    mask = 0
+    parts = []
+    for face in range(6):
+        fc = CID.from_face(face)
+        if fc.id in weights:
+            mask |= 1 << face
+            parts.append(_encode_cell(fc, weights[fc.id], weights))
+    out += _varint(mask)
+    for p in parts[:-1]:
+        out += _varint(len(p))
+    for p in parts:
+        out += p
+    return bytes(out)
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    v = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def _decode_cell(data: bytes, pos: int, end: int, cid: CID,
+                 out: dict) -> None:
+    mv, pos = _read_varint(data, pos)
+    out[cid.id] = mv >> CHILD_MASK_BITS
+    mask = mv & ((1 << CHILD_MASK_BITS) - 1)
+    present = [i for i in range(4) if mask & (1 << i)]
+    lengths = []
+    for _ in range(max(0, len(present) - 1)):
+        ln, pos = _read_varint(data, pos)
+        lengths.append(ln)
+    for k, i in enumerate(present):
+        sub_end = pos + lengths[k] if k < len(lengths) else end
+        _decode_cell(data, pos, sub_end, cid.child(i), out)
+        pos = sub_end
+
+
+def decode_tree(data: bytes) -> dict[int, int]:
+    """S2DensityTree::Decode over the wire bytes → cell-id → weight."""
+    if not data:
+        return {}
+    if data[:len(TREE_VERSION)] != TREE_VERSION:
+        raise ValueError("bad S2DensityTree version")
+    pos = len(TREE_VERSION)
+    mask, pos = _read_varint(data, pos)
+    present = [f for f in range(6) if mask & (1 << f)]
+    lengths = []
+    for _ in range(max(0, len(present) - 1)):
+        ln, pos = _read_varint(data, pos)
+        lengths.append(ln)
+    out: dict[int, int] = {}
+    for k, f in enumerate(present):
+        sub_end = pos + lengths[k] if k < len(lengths) else len(data)
+        _decode_cell(data, pos, sub_end, CID.from_face(f), out)
+        pos = sub_end
+    return out
+
+
+def sum_to_root(leaf_weights: dict[int, int]) -> dict[int, int]:
+    """SumToRoot (test helper formalized): propagate each cell's weight
+    into every ancestor up to its face cell."""
+    out: dict[int, int] = {}
+    for raw, w in leaf_weights.items():
+        cid = CID(raw)
+        for level in range(cid.level(), -1, -1):
+            p = cid.parent(level)
+            out[p.id] = out.get(p.id, 0) + w
+    return out
+
+
+def dilate_tree(tree: DensityTree, radius_rad: float,
+                max_level_diff: int) -> DensityTree:
+    """S2DensityTree::Dilate (s2density_tree.cc:967-1066): add each
+    output leaf's all-neighbors (at the dilation level) that fall in
+    the halo = Expand(leaves, radius) − leaves, with the leaf's weight
+    propagated to every ancestor so the tree stays valid.  Existing
+    nodes deeper than the dilation level are dropped (SKIP)."""
+    import numpy as np
+
+    from . import cellunion as CU
+    from .cellid import all_neighbors as cid_all_neighbors
+    from .metrics import MIN_WIDTH
+
+    leaves = tree.leaves()
+    if not leaves:
+        return DensityTree({})
+    radius_level = MIN_WIDTH.get_level_for_min_value(radius_rad)
+    expanded = CU.expand_radius(
+        CU.normalize(list(leaves)), radius_rad, max_level_diff)
+    dilation_cells = CU.difference(expanded, CU.normalize(list(leaves)))
+    weights: dict[int, int] = {}
+
+    def visit(cid: CID) -> int:
+        w = max(weights.get(cid.id, 0), tree.weight(cid))
+        weights[cid.id] = w
+        if tree.has_children(cid) and cid.level() < radius_level:
+            return ENTER
+        dilate_level = min(radius_level, max_level_diff + cid.level())
+        nbrs = cid_all_neighbors(
+            np.array([cid.id], dtype=np.uint64), dilate_level)[0]
+        for raw in nbrs:
+            nb = CID(int(raw))
+            if not CU.intersects(dilation_cells, [nb]):
+                continue
+            while weights.get(nb.id, 0) < w:
+                weights[nb.id] = w
+                if nb.level() == 0:
+                    break
+                nb = nb.parent(nb.level() - 1)
+        return SKIP
+
+    tree.visit_cells(visit)
+    return DensityTree(weights)

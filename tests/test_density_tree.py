@@ -372,3 +372,187 @@ def test_polygon_density_descends_only_into_boundary():
             assert not tree.has_children(cid)
             interior_leaves += 1
     assert interior_leaves > 0
+
+
+# ---------------------------------------------------- wire format
+# (TreeEncoderTest, s2density_tree_test.cc:221-293 + Encode at :351-379)
+
+
+def _roundtrip(leaf_weights):
+    from s2geometry_spark.kernel.density_tree import (
+        decode_tree,
+        encode_tree,
+        sum_to_root,
+    )
+
+    expected = sum_to_root(leaf_weights)
+    raw = encode_tree(expected)
+    assert decode_tree(raw) == expected
+    return raw
+
+
+def test_encode_empty():
+    from s2geometry_spark.kernel.density_tree import decode_tree, encode_tree
+
+    assert encode_tree({}) == b""
+    assert decode_tree(b"") == {}
+
+
+def test_encode_one_face():
+    from s2geometry_spark.kernel.density_tree import decode_tree, encode_tree
+
+    w = {CID.from_face(3).id: 17}
+    got = decode_tree(encode_tree(w))
+    assert got == w
+
+
+def test_encode_one_leaf():
+    from s2geometry_spark.kernel import cellid as K
+
+    leaf = int(K.from_point(np.array([0.0]), np.array([1.0]),
+                            np.array([0.0]))[0])
+    _roundtrip({leaf: 123})
+
+
+def test_encode_one_branch():
+    from s2geometry_spark.kernel import cellid as K
+
+    split = CID(int(K.from_face_ij(1, np.array([1 << 10]),
+                                   np.array([2 << 10]))[0])).parent(10)
+    _roundtrip({split.child_begin(20).id: 1, split.child_end(20).id: 17})
+
+
+def test_encode_each_face():
+    from s2geometry_spark.kernel.density_tree import decode_tree, encode_tree
+
+    w = {CID.from_face(i).id: 10 + i for i in range(6)}
+    assert decode_tree(encode_tree(w)) == w
+
+
+def test_encode_random_branches():
+    rng = np.random.RandomState(20260819)
+    for weight in range(1, 1000, 37):
+        leaves = {}
+        for _ in range(50):
+            level = int(rng.randint(0, 31))
+            face = int(rng.randint(0, 6))
+            pos = (int(rng.randint(0, 1 << 30)) << 31
+                   | int(rng.randint(0, 1 << 31)))
+            cid = CID(((face << 61) | pos | 1) & ((1 << 64) - 1))
+            leaves[cid.parent(level).id] = weight
+        _roundtrip(leaves)
+
+
+def test_encode_deterministic():
+    """test.cc:351-379 Encode: re-encoding yields identical bytes."""
+    from s2geometry_spark.kernel.density_tree import encode_tree, sum_to_root
+
+    rng = np.random.RandomState(5)
+    leaves = {}
+    for _ in range(10):
+        p = rng.randn(3)
+        p /= np.linalg.norm(p)
+        from s2geometry_spark.kernel import cellid as K
+
+        leaves[int(K.from_point(*[np.array([v]) for v in p])[0])] = 1
+    w = sum_to_root(leaves)
+    assert encode_tree(w) == encode_tree(dict(reversed(list(w.items()))))
+
+
+# ------------------------------------------------- Dilate (cc:967-1066)
+
+
+def _dbg(s):
+    return CID(int(cid_np.from_debug_string(s)))
+
+
+def _tree_nodes(tree, leaves_only=False):
+    if leaves_only:
+        ids = [l.id for l in tree.leaves()]
+    else:
+        ids = list(tree.weights)
+    return sorted(
+        cid_np.to_debug_string(np.array(ids, dtype=np.uint64)))
+
+
+EARTH_M = 6371010.0
+
+
+def test_dilation_at_face_center():
+    """test.cc:1326-1359: two level-16 cells near the face-0 center
+    dilated by 300 m (level 14) — a 4x3 grid of level-14 leaves."""
+    from s2geometry_spark.kernel.density_tree import (
+        DensityTree,
+        dilate_tree,
+        sum_to_root,
+    )
+
+    w = sum_to_root({CID.from_token(t).id: 1
+                     for t in ("0ffffffd5", "10000002b")})
+    d = dilate_tree(DensityTree(w), 300 / EARTH_M, 0)
+    toks = sorted(
+        cid_np.to_token(np.array([l.id for l in d.leaves()],
+                                 dtype=np.uint64)))
+    assert toks == sorted([
+        "0fffffe5", "0fffffe3", "1000001d", "1000001b", "0ffffffb",
+        "0ffffffd", "10000003", "10000005", "0ffffff9", "0fffffff",
+        "10000001", "10000007"])
+
+
+def test_small_dilation_constrained_to_leaf_level():
+    """test.cc:1173-1205: 1 km dilation with max_level_diff 0 adds the
+    7 level-2 neighbors of each corner leaf."""
+    from s2geometry_spark.kernel.density_tree import DensityTree, dilate_tree
+
+    w = {_dbg("1/").id: 4, _dbg("1/1").id: 2, _dbg("1/11").id: 2,
+         _dbg("1/3").id: 2, _dbg("1/33").id: 2}
+    d = dilate_tree(DensityTree(w), 1000 / EARTH_M, 0)
+    assert _tree_nodes(d) == sorted([
+        "0/", "0/2", "0/22", "0/23", "1/", "1/1", "1/10", "1/11", "1/12",
+        "1/13", "1/3", "1/30", "1/31", "1/32", "1/33", "2/", "2/0", "2/00",
+        "2/01", "3/", "3/1", "3/10", "3/11", "5/", "5/1", "5/11", "5/12"])
+
+
+def test_small_dilation_relative_to_leaf_size():
+    """test.cc:1207-1229: max_level_diff 1 → 11 extra level-3 cells per
+    leaf, 24 leaves total."""
+    from s2geometry_spark.kernel.density_tree import DensityTree, dilate_tree
+
+    w = {_dbg("1/").id: 4, _dbg("1/1").id: 2, _dbg("1/11").id: 2,
+         _dbg("1/3").id: 2, _dbg("1/33").id: 2}
+    d = dilate_tree(DensityTree(w), 1000 / EARTH_M, 1)
+    assert len(d.leaves()) == 24
+
+
+def test_dilation_uses_maximum():
+    """test.cc:1231-1286: the common neighbor 3b gets the MAXIMUM
+    dilated weight from either distribution."""
+    from s2geometry_spark.kernel.density_tree import DensityTree, dilate_tree
+
+    t1 = DensityTree({CID.from_token("3").id: 10, CID.from_token("3c").id: 2,
+                      CID.from_token("3d").id: 2, CID.from_token("34").id: 8,
+                      CID.from_token("31").id: 8})
+    t2 = DensityTree({CID.from_token("3").id: 10, CID.from_token("3c").id: 8,
+                      CID.from_token("3d").id: 8, CID.from_token("34").id: 2,
+                      CID.from_token("31").id: 2})
+    b = CID.from_token("3b")
+    for t in (t1, t2):
+        d = dilate_tree(t, 1000 / EARTH_M, 0)
+        assert d.weight(b) == 8, cid_np.to_token(
+            np.array([b.id], dtype=np.uint64))
+
+
+def test_dilation_larger_than_leaf_size():
+    """test.cc:1288-1324: a 1000 km radius caps the dilation level at 2;
+    deeper nodes are dropped and level-2 neighbors added."""
+    from s2geometry_spark.kernel.density_tree import DensityTree, dilate_tree
+
+    w = {_dbg("1/").id: 4, _dbg("1/1").id: 2, _dbg("1/11").id: 2,
+         _dbg("1/111").id: 2, _dbg("1/1111").id: 2, _dbg("1/11111").id: 2,
+         _dbg("1/13").id: 2, _dbg("1/133").id: 2, _dbg("1/1333").id: 2,
+         _dbg("1/13333").id: 2}
+    d = dilate_tree(DensityTree(w), 1000 * 1000 / EARTH_M, 4)
+    assert _tree_nodes(d) == sorted([
+        "1/", "1/0", "1/02", "1/03", "1/1", "1/10", "1/11", "1/12",
+        "1/13", "1/2", "1/20", "1/21", "1/3", "1/31", "3/", "3/1",
+        "3/10", "3/11", "5/", "5/1", "5/11", "5/12"])
