@@ -460,3 +460,28 @@ def dilate_tree(tree: DensityTree, radius_rad: float,
 
     tree.visit_cells(visit)
     return DensityTree(weights)
+
+
+def feature_density_weight_fn(
+    shape_features: list, feature_weights: dict
+) -> Callable[[CID], int]:
+    """InitToFeatureDensity weight function (s2density_tree.h:184-232):
+    shapes mapping to the SAME feature are not double-counted within a
+    cell — the cell weight sums each DISTINCT intersecting feature's
+    weight once.  shape_features: (region, feature_key) pairs."""
+    from .cell import Cell
+
+    def fn(cid: CID) -> int:
+        cell = Cell(cid)
+        seen = set()
+        all_contained = True
+        total = 0
+        for region, feat in shape_features:
+            if region.may_intersect_cell(cell):
+                if feat not in seen:
+                    seen.add(feat)
+                    total = min(total + feature_weights[feat], KMAX_WEIGHT)
+                all_contained &= region.contains_cell(cell)
+        return -total if (all_contained and total) else total
+
+    return fn

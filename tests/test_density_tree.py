@@ -556,3 +556,88 @@ def test_dilation_larger_than_leaf_size():
         "1/", "1/0", "1/02", "1/03", "1/1", "1/10", "1/11", "1/12",
         "1/13", "1/2", "1/20", "1/21", "1/3", "1/31", "3/", "3/1",
         "3/10", "3/11", "5/", "5/1", "5/11", "5/12"])
+
+
+def test_init_to_feature_density():
+    """test.cc:416-471: a feature with two shapes is not double-counted
+    per cell — expected exactly {face(p): 6, parent1(p): 6,
+    parent1(q): 1}."""
+    from s2geometry_spark.kernel import cellid as K
+    from s2geometry_spark.kernel.density_tree import (
+        build_density_tree,
+        feature_density_weight_fn,
+    )
+    from s2geometry_spark.kernel.region import CellUnionRegion
+
+    p_cid = CID(int(K.from_latlng(np.array([5.0]), np.array([5.0]))[0]))
+    q_cid = CID(int(K.from_latlng(np.array([-5.0]), np.array([5.0]))[0]))
+    p_region = CellUnionRegion([p_cid])
+    q_region = CellUnionRegion([q_cid])
+    shape_features = [(p_region, "TwoShapes"), (q_region, "TwoShapes"),
+                      (p_region, "OneShapes")]
+    weights = {"TwoShapes": 1, "OneShapes": 5}
+    tree = build_density_tree(
+        feature_density_weight_fn(shape_features, weights), 100, 1)
+    got = dict(tree.weights)
+    assert got == {
+        p_cid.parent(0).id: 6,
+        p_cid.parent(1).id: 6,
+        q_cid.parent(1).id: 1,
+    }
+
+
+def test_shape_index_coverings():
+    """CoveringsTest ShapeIndexPoint/Line/Polygon/Multiple
+    (test.cc:1035-1171): the cell-weight function agrees with region
+    intersects/contains over a covering of the shapes — intersecting
+    cover cells weigh ±sum, complement cells weigh 0."""
+    import math
+
+    from s2geometry_spark.kernel.cell import Cell
+    from s2geometry_spark.kernel.contains import Loop, Polygon
+    from s2geometry_spark.kernel.coverer import RegionCoverer
+    from s2geometry_spark.kernel.density_tree import (
+        shape_density_weight_fn,
+    )
+    from s2geometry_spark.kernel.fractal import (
+        make_regular_points,
+        random_point,
+    )
+    from s2geometry_spark.kernel.region import (
+        CellUnionRegion,
+        RegionUnion,
+        ShapeRegion,
+    )
+
+    rng = np.random.RandomState(20260819)
+    km = 1.0 / 6371.01
+
+    def poly_region(center, radius_km, n):
+        return ShapeRegion(polygon=Polygon(
+            [Loop(make_regular_points(center, radius_km * km, n))]))
+
+    cases = [
+        [(CellUnionRegion([CID(int(cid_np.from_point(
+            *[np.array([v]) for v in random_point(rng)])[0]))]), 1)],
+        [(poly_region(random_point(rng), 1.0, 3), 1)],   # line-ish ring
+        [(poly_region(random_point(rng), 10.0, 16), 3)],
+        [(poly_region(random_point(rng), 5.0, 8), 2),
+         (poly_region(random_point(rng), 2.0, 6), 7)],
+    ]
+    for shapes in cases:
+        fn = shape_density_weight_fn(shapes)
+        cover = RegionCoverer(max_cells=64).get_covering(
+            RegionUnion([r for r, _ in shapes]))
+        for cid in cover:
+            got = fn(cid)
+            cell = Cell(cid)
+            hits = [(r, w) for r, w in shapes
+                    if r.may_intersect_cell(cell)]
+            expect = sum(w for _, w in hits)
+            # all_contained is over INTERSECTING shapes only (the
+            # reference's IndexCellWeightFunction visits intersecting
+            # shapes, s2density_tree.cc:539-556)
+            if expect and all(r.contains_cell(cell) for r, _ in hits):
+                expect = -expect
+            assert got == expect, cid.id
+            assert got != 0
