@@ -259,8 +259,14 @@ class ClosestPointQuery:
         return self.is_distance_less(target, float(chord2_successor(limit2)))
 
     def is_conservative_distance_less_or_equal(self, target, limit2: float) -> bool:
-        # limit.PlusError(GetS1AngleConstructorMaxError()).Successor()
-        lim = limit2 + float(s1angle_constructor_max_error(limit2))
+        # limit.PlusError(GetUpdateMinDistanceMaxError(limit)).Successor()
+        # (s2closest_point_query.cc:24-28) — the UpdateMinDistance error
+        # bound, NOT just the S1Angle constructor error (too small by
+        # ~2 ulps for the worst point pairs:
+        # s2closest_edge_query_test.cc:160-182)
+        from .distance import get_update_min_distance_max_error
+
+        lim = limit2 + get_update_min_distance_max_error(limit2)
         return self.is_distance_less(target, float(chord2_successor(lim)))
 
     # ---- implementation

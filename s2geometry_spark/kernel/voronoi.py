@@ -249,3 +249,25 @@ def _compare_edge_distance_r2(fx, f0, f1, r2: Fraction) -> int:
         return _sgn(_dot(d, d) - r2)
 
     return min(endpoint(f0), endpoint(f1))
+
+
+def compare_point_distance_chord2(x, y, length2: float) -> int:
+    """s2pred::CompareDistance with the threshold as a squared chord
+    (exact): sign of angle(x, y) − r, points treated as directions
+    (inputs need not be exactly unit length — the comparison uses
+    sin²θ·|x|²|y|² = |x×y|² like ExactCompareDistance)."""
+    fx, fy = _fr(x), _fr(y)
+    r2 = Fraction(max(0.0, min(4.0, length2)))
+    cos_xy = _dot(fx, fy)
+    # sin²(r) = r2·(1 − r2/4); r < 90° iff r2 < 2
+    sin2_r = r2 * (1 - r2 / 4)
+    n = _cross(fx, fy)
+    sin2_xy = _dot(n, n)  # |x×y|² = sin²θ·|x|²|y|²
+    norm2 = _dot(fx, fx) * _dot(fy, fy)
+    if r2 < 2:
+        if cos_xy <= 0:
+            return 1  # θ ≥ 90° > r
+        return _sgn(sin2_xy - sin2_r * norm2)
+    if cos_xy >= 0:
+        return -1  # θ ≤ 90° ≤ r
+    return -_sgn(sin2_xy - sin2_r * norm2)

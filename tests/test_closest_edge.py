@@ -138,3 +138,55 @@ def test_furthest_edge_interior_maximum():
     dva = float(((t[0] - a) ** 2).sum())
     dvb = float(((t[0] - b) ** 2).sum())
     assert d2 > max(dva, dvb) + 1e-4
+
+
+def test_true_distance_less_than_chord_angle_distance():
+    """s2closest_edge_query_test.cc:160-182: the S1ChordAngle distance
+    between the pinned pair is ~4 ulps above the TRUE distance; the
+    plain comparisons reject the 4-ulp-tighter limit but the
+    CONSERVATIVE comparison still accepts it."""
+    import numpy as np
+
+    from s2geometry_spark.kernel.distance import chord2, chord2_predecessor
+    from s2geometry_spark.kernel.point_index import (
+        ClosestPointQuery,
+        PointIndex,
+        PointTarget,
+    )
+    from s2geometry_spark.kernel.voronoi import compare_point_distance_chord2
+
+    p0 = np.array([0.78516762584829192, -0.50200400690845970,
+                   -0.36263449417782678])
+    p1 = np.array([0.78563011732429433, -0.50187655940493503,
+                   -0.36180828883938054])
+    d2 = float(chord2(p0, p1))
+    limit2 = d2
+    for _ in range(4):
+        limit2 = float(chord2_predecessor(limit2))
+    # the exact predicate confirms the true distance is BELOW the limit
+    assert compare_point_distance_chord2(p0, p1, limit2) < 0
+    index = PointIndex()
+    index.add(p0, None)
+    q = ClosestPointQuery(index)
+    t = PointTarget(p1)
+    assert not q.is_distance_less(t, limit2)
+    assert not q.is_distance_less_or_equal(t, limit2)
+    assert q.is_conservative_distance_less_or_equal(t, limit2)
+
+
+def test_full_polygon_targets():
+    """s2closest_edge_query_test.cc:551-574 (+ the furthest-edge
+    mirror): distances to a FULL polygon target — infinity from an
+    empty index, zero from any non-empty index."""
+    from s2geometry_spark.kernel.closest_edge import (
+        find_closest_edges,
+        parse_index,
+    )
+
+    full = parse_index("# # full")
+    # empty index: no results (infinity)
+    assert find_closest_edges([], np.array([[1.0, 0, 0]]), 1) == [[]]
+    # a full polygon CONTAINS any target point: interior hit at 0
+    res = find_closest_edges(
+        full, np.array([[1.0, 0, 0]]), 1, include_interiors=True)
+    assert res[0] and res[0][0][2] == 0.0 and res[0][0][1] == -1
