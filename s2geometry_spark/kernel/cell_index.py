@@ -133,7 +133,11 @@ class ClosestCellQuery:
         return self.is_distance_less(target, float(chord2_successor(limit2)))
 
     def is_conservative_distance_less_or_equal(self, target, limit2: float) -> bool:
-        lim = limit2 + float(s1angle_constructor_max_error(limit2))
+        # limit.PlusError(GetUpdateMinDistanceMaxError(limit)).Successor()
+        # (s2closest_cell_query.cc:109-115; same fix as point_index)
+        from .distance import get_update_min_distance_max_error
+
+        lim = limit2 + get_update_min_distance_max_error(limit2)
         return self.is_distance_less(target, float(chord2_successor(lim)))
 
     # ---- implementation
