@@ -125,3 +125,34 @@ def rect_bound_of_chain(vertices: np.ndarray, closed: bool = False) -> LatLngRec
     if closed and len(v) > 1:
         b.add_point(v[0])
     return b.get_bound()
+
+
+def expand_for_subregions(bound: LatLngRect) -> LatLngRect:
+    """S2LatLngRectBounder::ExpandForSubregions
+    (s2latlng_rect_bounder.cc:214-345): expand a bound computed for a
+    region so that it contains the bounds of any SUBREGION — returning
+    Full when the bound contains nearly-antipodal points (within
+    4.309·eps), since a subregion edge between such points bounds to
+    Full."""
+    import math
+
+    if bound.is_empty():
+        return bound
+    eps = 2.220446049250313e-16
+    lng_gap = max(0.0, math.pi - bound.lng.get_length() - 2.5 * eps)
+    min_abs_lat = max(bound.lat.lo, -bound.lat.hi)
+    lat_gap1 = math.pi / 2 + bound.lat.lo
+    lat_gap2 = math.pi / 2 - bound.lat.hi
+    if min_abs_lat >= 0:
+        if 2 * min_abs_lat + lng_gap < 1.354e-15:
+            return LatLngRect.full()
+    elif lng_gap >= math.pi / 2:
+        if lat_gap1 + lat_gap2 < 1.687e-15:
+            return LatLngRect.full()
+    else:
+        if max(lat_gap1, lat_gap2) * lng_gap < 1.765e-15:
+            return LatLngRect.full()
+    lat_expansion = 9 * eps
+    lng_expansion = math.pi if lng_gap <= 0 else 0.0
+    return bound.expanded_radians(
+        lat_expansion, lng_expansion).polar_closure()

@@ -540,3 +540,70 @@ def test_get_distance_random_pairs():
         c = rand_ll()
         verify_rect_point(a, c)
         verify_rect_point(b, c)
+
+
+def test_expand_for_subregions():
+    """s2latlng_rect_bounder_test.cc:243-333 ExpandForSubregions: the
+    nearly-antipodal full-bound criteria (equator-straddling,
+    narrow-longitude, corner-edge cases), near-180-degree-latitude
+    longitude widening, pole inclusion, and full/empty passthrough."""
+    import math
+
+    from s2geometry_spark.kernel.bounder import expand_for_subregions
+    from s2geometry_spark.kernel.intervals import R1Interval, S1Interval
+    from s2geometry_spark.kernel.region import LatLngRect
+
+    PI, PI_2 = math.pi, math.pi / 2
+    RECT_ERR_LAT, RECT_ERR_LNG = 10 * 2.22e-16, 10 * 2.22e-16
+
+    def sub(x_lat, x_lng, y_lat, y_lng):
+        rect = LatLngRect(
+            R1Interval(min(x_lat, y_lat), max(x_lat, y_lat)),
+            S1Interval.from_point_pair(x_lng, y_lng),
+        )
+        out = expand_for_subregions(rect)
+        assert out.contains_rect(rect)
+        if (rect.lat.lo == -PI_2 and rect.lat.hi == PI_2):
+            assert not rect.lat.contains_interval(out.lat)
+        return out
+
+    def approx(rect, lat_lo, lat_hi, lng):
+        assert abs(rect.lat.lo - lat_lo) <= RECT_ERR_LAT
+        assert abs(rect.lat.hi - lat_hi) <= RECT_ERR_LAT
+        if lng == "full":
+            assert rect.lng.is_full()
+        else:
+            assert abs(rect.lng.lo - lng[0]) <= RECT_ERR_LNG
+            assert abs(rect.lng.hi - lng[1]) <= RECT_ERR_LNG
+
+    # near-equator, ~180 degrees of longitude
+    assert sub(3e-16, 0, 1e-14, PI).is_full()
+    assert not sub(9e-16, 0, 1e-14, PI).is_full()
+    assert sub(1e-16, 7e-16, 1e-14, PI).is_full()
+    assert not sub(3e-16, 14e-16, 1e-14, PI).is_full()
+    assert sub(1e-100, 14e-16, 1e-14, PI).is_full()
+    assert not sub(1e-100, 22e-16, 1e-14, PI).is_full()
+    # <=90 degrees longitude, almost 180 degrees latitude
+    assert sub(-PI_2, -1e-15, PI_2 - 7e-16, 0).is_full()
+    assert not sub(-PI_2, -1e-15, PI_2 - 30e-16, 0).is_full()
+    assert sub(-PI_2 + 4e-16, 0, PI_2 - 2e-16, 1e-7).is_full()
+    assert not sub(-PI_2 + 30e-16, 0, PI_2, 1e-7).is_full()
+    assert sub(-PI_2 + 4e-16, 0, PI_2 - 4e-16, PI_2).is_full()
+    assert not sub(-PI_2, 0, PI_2 - 30e-16, PI_2).is_full()
+    # equator-straddling, >90 degrees longitude (corner-edge case)
+    assert sub(-PI_2, 0, PI_2 - 1e-8, PI - 1e-7).is_full()
+    assert not sub(-PI_2, 0, PI_2 - 1e-7, PI - 1e-7).is_full()
+    assert sub(-PI_2 + 1e-12, -PI + 1e-4, PI_2, 0).is_full()
+    assert sub(-PI_2 + 1e-11, -PI + 1e-4, PI_2, 0).is_full()
+    # ~180 degrees apart in LONGITUDE (lng widens to full, lat does not)
+    approx(sub(1.5, -PI_2, 1.5, PI_2 - 2e-16), 1.5, 1.5, "full")
+    approx(sub(1.5, -PI_2, 1.5, PI_2 - 7e-16), 1.5, 1.5,
+           (-PI_2, PI_2 - 7e-16))
+    # full / empty passthrough
+    assert expand_for_subregions(LatLngRect.full()).is_full()
+    assert expand_for_subregions(LatLngRect.empty()).is_empty()
+    # pole inclusion
+    approx(sub(-PI_2 + 1e-15, 0, -PI_2 + 1e-15, 0),
+           -PI_2, -PI_2 + 1e-15, "full")
+    approx(sub(PI_2 - 1e-15, 0, PI_2 - 1e-15, 0),
+           PI_2 - 1e-15, PI_2, "full")
