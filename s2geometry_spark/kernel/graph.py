@@ -795,3 +795,26 @@ def get_directed_components(g: Graph, degenerate_boundaries: str
         components.append(component)
     components.sort(key=lambda c: min_input_ids[c[0][0]])
     return components, None
+
+
+def make_subgraph(
+    old_edge_type: str,
+    new_options: "GraphOptions",
+    edges: list[tuple[int, int]],
+    input_ids: list[int],
+    lexicon: "IdSetLexicon",
+):
+    """Graph::MakeSubgraph (s2builder_graph.cc:1132-1161): when a
+    DIRECTED graph feeds an UNDIRECTED subgraph, append a reversed twin
+    (with an empty input-edge-id set) for every edge, then run
+    ProcessEdges under the new options."""
+    edges = list(edges)
+    input_ids = list(input_ids)
+    if old_edge_type == DIRECTED and new_options.edge_type == UNDIRECTED:
+        n = len(edges)
+        empty = lexicon.add([])  # IdSetLexicon::EmptySetId
+        for i in range(n):
+            a, b = edges[i]
+            edges.append((b, a))
+            input_ids.append(empty)
+    return process_edges(new_options, edges, input_ids, lexicon)

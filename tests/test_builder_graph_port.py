@@ -413,3 +413,37 @@ def test_get_polylines_undirected_degenerate_walks():
     polylines = g.get_polylines(WALK)
     assert len(polylines) == 2
     assert sorted(len(p) for p in polylines) == [2, 5]
+
+
+def test_make_subgraph_undirected_to_undirected():
+    """test.cc:547-570: no edge doubling when the source graph is
+    already undirected."""
+    from s2geometry_spark.kernel.graph import make_subgraph
+
+    lex = IdSetLexicon()
+    edges = [(0, 0), (0, 0), (1, 2), (2, 1)]
+    ids = [lex.add([0]), lex.add([0]), lex.add([1]), lex.add([1])]
+    new_opts = GraphOptions(UNDIRECTED, DISCARD, KEEP, KEEP)
+    _opts, out_edges, out_ids, err = make_subgraph(
+        UNDIRECTED, new_opts, edges, ids, lex)
+    assert err is None
+    assert out_edges == [(1, 2), (2, 1)]
+    assert [tuple(lex.id_set(i)) for i in out_ids] == [(1,), (1,)]
+
+
+def test_make_subgraph_directed_to_undirected():
+    """test.cc:572-601: directed → undirected doubles every edge with
+    an empty input-id twin; DISCARD_EXCESS keeps one sibling pair."""
+    from s2geometry_spark.kernel.graph import make_subgraph
+
+    lex = IdSetLexicon()
+    edges = [(0, 0), (0, 1), (1, 2), (1, 2), (2, 1)]
+    ids = [lex.add([1]), lex.add([2]), lex.add([3]), lex.add([3]),
+           lex.add([3])]
+    new_opts = GraphOptions(UNDIRECTED, KEEP, KEEP, DISCARD_EXCESS)
+    _opts, out_edges, out_ids, err = make_subgraph(
+        DIRECTED, new_opts, edges, ids, lex)
+    assert err is None
+    assert out_edges == [(0, 0), (0, 0), (0, 1), (1, 0), (1, 2), (2, 1)]
+    got = [tuple(lex.id_set(i)) for i in out_ids]
+    assert got == [(1,), (1,), (2,), (), (3,), (3,)]
