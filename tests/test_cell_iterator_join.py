@@ -214,3 +214,47 @@ def test_all_pairs_seen():
         tol2,
     )
     assert join_pairs == brute
+
+
+def test_b299938257_regression():
+    """s2cell_iterator_join_test.cc:340-372: the join must check for
+    iterator end before dereferencing — a fractal polygon index joined
+    with 4 points straddling face boundaries at 0.5 degrees."""
+    import math
+
+    from s2geometry_spark.kernel import cellid as K
+    from s2geometry_spark.kernel.fractal import Fractal
+    from s2geometry_spark.kernel.mutable_index import MutableIndex
+    from s2geometry_spark.kernel.polyline import _get_frame
+    from s2geometry_spark.kernel.shapeutil import LaxPolygon
+
+    pts = np.array([
+        [0.998782953991165789, -0.034851647907011431, -0.034899476426537568],
+        [1.000000000000000000, -0.000000000000005489, -0.000000000000005494],
+        [0.998782953991165789, -0.034851647907011431, 0.034899476426537568],
+        [1.000000000000000000, -0.000000000000005489, 0.000000000000005494],
+    ])
+    point_cells = [
+        CID(int(K.from_point(np.array([p[0]]), np.array([p[1]]),
+                             np.array([p[2]]))[0]))
+        for p in pts
+    ]
+    rng = np.random.RandomState(20260819)
+    fractal = Fractal(rng)
+    fractal.set_level_for_approx_max_edges(100)
+    frame = _get_frame(np.array([1.0, 0.0, 0.0]))
+    loop = fractal.make_loop(frame, math.radians(1.0))
+    index = MutableIndex()
+    index.add(LaxPolygon([loop.vertices]))
+    index_cells = [cid for cid, _ in index.cells()]
+    tol = 2 * math.sin(0.5 * math.radians(0.5))
+    count = 0
+
+    def visit(_a, _b):
+        nonlocal count
+        count += 1
+        return True
+
+    ok = cell_iterator_join(index_cells, point_cells, visit, tol * tol)
+    assert ok
+    assert count > 0
