@@ -302,3 +302,37 @@ def test_loop_compressed_bound_threshold():
     assert np.array_equal(got, snapped)
     got8, _ = E.decode_loop_compressed(E.Decoder(bytes(small.buf)), 30)
     assert np.array_equal(got8, snapped[:8])
+
+
+def test_compressed_encoded_polygon_requires_69_bytes():
+    """S2Polygon.CompressedEncodedPolygonRequires69Bytes
+    (s2polygon_test.cc): the leaf-snapped two-shell polygon encodes to
+    exactly 3 polygon bytes + a 29-byte 3-vertex loop + a 37-byte
+    4-vertex loop."""
+    from s2geometry_spark.kernel.booleans import init_to_snapped
+    from s2geometry_spark.kernel.contains import parse_polygon
+
+    poly = parse_polygon("0:0, 0:2, 2:0; 0:0, 0:-2, -2:-2, -2:0")
+    snapped = init_to_snapped(poly)
+    loops = [(l.vertices, 0) for l in snapped.loops]
+    enc = E.encode_polygon(loops)
+    assert len(bytes(enc.buf)) == 69
+    got = E.decode_polygon(E.Decoder(bytes(enc.buf)))
+    assert len(got) == 2
+
+
+def test_four_vertex_compressed_loop_requires_36_bytes():
+    """S2LoopTestBase.FourVertexCompressedLoopRequires36Bytes
+    (s2loop_test.cc): snapped_loop_a at kMaxLevel is 1 (nv) + 1
+    (origin/bound byte) + 1 (depth) + 1 (faces) + 4x8 (vertices) + 1
+    (no unsnapped vertex) = 37 encoder bytes, matching the reference's
+    EXPECT_EQ(37, ...)."""
+    pts = parse_points("0:178, -1:180, 0:-179, 1:-180")
+    ids = K.from_point(pts[:, 0], pts[:, 1], pts[:, 2])
+    x, y, z = K.to_point(ids)
+    snapped = np.stack([x, y, z], -1)
+    enc = E.encode_loop_compressed(snapped, 0, 30)
+    assert len(bytes(enc.buf)) == 37
+    got, depth = E.decode_loop_compressed(E.Decoder(bytes(enc.buf)), 30)
+    assert np.array_equal(got, snapped)
+    assert depth == 0
