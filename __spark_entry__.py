@@ -236,6 +236,18 @@ def _q_dedup_minhash(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_dedup_components(spark, sf_dir):
+    """MinHash pairs → duplicate CLUSTERS via Large-Star/Small-Star
+    connected components (operators/components.py): every document
+    labeled with its cluster minimum + cluster size."""
+    from s2geometry_spark.operators.components import dedup_components
+    from s2geometry_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    return dedup_components(docs, pairs).orderBy("doc_id")
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from s2geometry_spark.operators.dedup import simhash
 
@@ -1960,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -2413,6 +2426,46 @@ def _oracle_sql_impl() -> dict[str, str]:
                    round(length(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))::DOUBLE
                          / length(sig_a), 6) AS est_jaccard_r
             FROM pairs ORDER BY doc_a, doc_b
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE sh AS (SELECT doc_id, {sh} AS sh FROM documents),
+            sig AS (SELECT doc_id, {minhash_sig} AS sig FROM sh),
+            banded AS (
+              SELECT doc_id, b AS band,
+                     md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS bucket
+              FROM sig, (SELECT unnest(generate_series(0,3)) AS b)
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+              WHERE e.v <> r.u
+            ),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS component_id
+              FROM reach GROUP BY u
+            ),
+            labeled AS (
+              SELECT d.doc_id,
+                     coalesce(c.component_id, d.doc_id) AS component_id
+              FROM documents d LEFT JOIN comp c USING (doc_id)
+            ),
+            sizes AS (
+              SELECT component_id, count(*) AS component_size
+              FROM labeled GROUP BY component_id
+            )
+            SELECT l.doc_id, l.component_id, s.component_size
+            FROM labeled l JOIN sizes s USING (component_id)
+            ORDER BY l.doc_id
         """,
         "dedup_simhash": f"""
             WITH h AS (
