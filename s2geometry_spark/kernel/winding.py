@@ -35,8 +35,10 @@ Degenerate boundaries (include_degeneracies, s2winding_operation.h:
 interior, so they are cancelled out of the arrangement; when the option
 is enabled they are re-emitted per the reference's rules — under ODD
 those with odd multiplicity, under every other rule those contained by
-regions of winding number zero.  Snap rounding remains out of scope;
-compose with kernel/builder.py snapping for near-degenerate input.
+regions of winding number zero.  Snap rounding: `winding_operation_
+snapped` (below) runs the full builder snap with the reference-point
+winding transported via GetSnappedWindingDelta (winding_delta.py), so
+near-degenerate input no longer needs manual pre-snapping.
 """
 
 from __future__ import annotations
