@@ -22,7 +22,7 @@ costs exactly one extra pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
@@ -31,37 +31,46 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     Edges are canonical (src > dst is NOT required on input; both steps
     re-orient internally).  Output edges always point high→low:
     (node, new_parent) with new_parent < node.
-    """
+
+    The per-node minimum is a window aggregate over partitionBy(u) —
+    ONE exchange of the (symmetrized) edge set instead of the
+    groupBy-then-join-back formulation's two (and no join at all, so
+    nothing to broadcast or sort-merge at 10^12-node scale); duplicate
+    emissions collapse in the single (src, dst) distinct that also
+    bounds the edge set between rounds."""
+    w = Window.partitionBy("u")
     if large:
-        # Large-Star: symmetrize, group by u over ALL neighbors,
-        # m = min(Γ(u) ∪ {u}); connect every STRICTLY LARGER neighbor
-        # to m (Kiveris et al. §3, Algorithm 2).
+        # Large-Star: symmetrize, m = min(Γ(u) ∪ {u}); connect every
+        # STRICTLY LARGER neighbor to m (Kiveris et al. §3, Alg. 2).
         sym = edges.select(
             F.col("src").alias("u"), F.col("dst").alias("v")
         ).union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
-            "u", F.least(F.col("mv"), F.col("u")).alias("m")
-        )
-        out = (
-            sym.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        withm = sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        out = withm.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
         )
     else:
-        # Small-Star: orient each edge high→low, group by the high
-        # endpoint over its SMALLER-OR-EQUAL neighbors, m = min(N ∪ {u});
-        # connect every member of N ∪ {u} except m to m (Algorithm 3).
+        # Small-Star: orient each edge high→low, m = min(N(u) ∪ {u})
+        # over the smaller-or-equal neighbors; connect every member of
+        # N(u) ∪ {u} except m to m (Algorithm 3).
         oriented = edges.select(
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         )
-        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        nbr_links = (
-            oriented.join(mins, "u")
-            .where(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        )
-        self_links = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
-        out = nbr_links.union(self_links)
+        withm = oriented.withColumn("m", F.min("v").over(w))
+        # Both link kinds come out of the SAME windowed row via explode —
+        # a union of two branches would carry differently-pushed filters
+        # below its two window exchanges and defeat ReusedExchange.  The
+        # (u, m) self link is emitted once per incident row; the trailing
+        # distinct collapses the duplicates, and v == m rows die in the
+        # src != dst filter.
+        out = withm.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("src"), F.col("m").alias("dst")),
+                    F.struct(F.col("u").alias("src"), F.col("m").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     return out.where(F.col("src") != F.col("dst")).distinct()
 
 

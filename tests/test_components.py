@@ -110,8 +110,29 @@ def test_empty_pairs(spark):
 
 
 def test_plan_has_no_python_udf(spark):
-    """The star rounds must stay JVM-side (groupBy/join only)."""
+    """The star rounds must stay JVM-side (window + distinct only)."""
     df = spark.createDataFrame([(2, 1), (3, 2)], "src: long, dst: long")
     out = connected_components(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_star_round_shuffle_budget(spark):
+    """Each star step is exactly TWO shuffles (per-node window min +
+    dedup) and zero joins (PLANS.md contract).  Small-Star emits both
+    link kinds from one windowed row (explode), so there is no union
+    branch that could double the window exchange."""
+    import re
+
+    from s2geometry_spark.operators.components import _star_round
+
+    df = spark.createDataFrame([(2, 1), (3, 2)], "src: long, dst: long")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for large in (True, False):
+            plan = _star_round(df, large)._jdf.queryExecution().executedPlan().toString()
+            n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+            assert "Join" not in plan
+            assert n_exchange == 2, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
