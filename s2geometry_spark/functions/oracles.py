@@ -479,6 +479,53 @@ def ann_lsh_sql(
     """
 
 
+def ann_ivf_sql(
+    n_queries: int = 10, k: int = 5, n_centroids: int = 8, nprobe: int = 2
+) -> str:
+    """Relational mirror of operators.similarity.ann_ivf_topk: the same
+    md5-sampled codebook (ORDER BY md5(vec_id) LIMIT C, ids in vec_id
+    order), nearest-list assignment and probe selection as row_number
+    windows over the rounded cosines (score desc, centroid id asc — the
+    array_position-first-max / (−score, id) sort rules), then the shared
+    re-rank shape."""
+    cos_assign = _cos_sql("e.embedding", "c.cent_emb")
+    cos = _cos_sql("q_emb", "c_emb")
+    return f"""
+    WITH sel AS (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {n_centroids}),
+    cent AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+             embedding AS cent_emb
+      FROM sel),
+    sa AS (
+      SELECT e.vec_id, e.embedding, c.cid, {cos_assign} AS cs
+      FROM embeddings e CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cid ASC) AS rn
+        FROM sa)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, cid ASC) AS rn
+        FROM sa WHERE vec_id < {n_queries})
+      WHERE rn <= {nprobe}),
+    c AS (SELECT vec_id AS cand_id, embedding AS c_emb, cid FROM assign),
+    scored AS (
+      SELECT query_id, cand_id, {cos} AS cosine
+      FROM c JOIN probes USING (cid) WHERE cand_id <> query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank::INT AS rank
+    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def near_dup_sql(threshold: float, bits: int = 8, dim: int = 64) -> str:
     from ..operators.similarity import _hyperplanes
 

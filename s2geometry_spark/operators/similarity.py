@@ -5,7 +5,10 @@
 - sign-LSH bucketed ANN: deterministic random-hyperplane signs derived
   from md5 of the dimension index (no RNG at plan time), bucket join →
   candidates → exact re-rank.  The scale path: candidates per query are
-  O(corpus/2^bits) instead of O(corpus).
+  O(corpus/2^bits) instead of O(corpus);
+- IVF ANN: a hash-sampled codebook (collect-once, rides as expression
+  literals), map-only nearest-list assignment, nprobe-list probe join,
+  exact re-rank.  Candidates per query are O(corpus·nprobe/C).
 """
 
 from __future__ import annotations
@@ -136,6 +139,116 @@ def ann_lsh_topk(
         F.broadcast(q),
         (F.col("c_bucket") == F.col("q_bucket"))
         & (F.col("cand_id") != F.col("query_id")),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = pairs.select(
+        "query_id", "cand_id", F.round(cos, round_digits).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _ivf_centroids(emb: DataFrame, n_centroids: int) -> list[list[float]]:
+    """Deterministic IVF codebook: the `n_centroids` corpus vectors with
+    the smallest md5(vec_id) — a hash-spread sample (the standard random
+    init of IVF training), reproducible in SQL.  Returned in vec_id
+    order; centroid id = position in that order.
+
+    Driver-held state is the codebook only (C × dim doubles) — the train
+    step of a real IVF; at 100 TB this is the same collect-once →
+    broadcast-expression shape.
+    """
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _centroid_scores(emb_col, cents: list[list[float]], round_digits: int = 6):
+    """array<double> of rounded cosines against each codebook centroid,
+    as one JVM expression (the centroids ride as literals — no join, no
+    shuffle for the assignment pass)."""
+    scores = []
+    for c in cents:
+        lit = F.array(*[F.lit(v) for v in c])
+        cos = _dot(emb_col, lit) / (_norm(emb_col) * _norm(lit))
+        scores.append(F.round(cos, round_digits))
+    return F.array(*scores)
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to the
+    nearest-codebook inverted list; each query scans only its `nprobe`
+    closest lists, then exact cosine re-rank.
+
+    Plan shape (the 100-TB contract): assignment is a map-only pass
+    (codebook as expression literals — the fact table never shuffles);
+    the probe join broadcasts the query side; the only shuffle is the
+    per-query top-k window.  Candidates per query are O(corpus·nprobe/C)
+    instead of O(corpus).  Ties everywhere break on the smaller id after
+    `round_digits` rounding, so the result is engine-independent
+    (mirrored in functions/oracles.ann_ivf_sql).
+    """
+    cents = _ivf_centroids(emb, n_centroids)
+    scores = _centroid_scores(F.col("embedding"), cents, round_digits)
+    assigned = (
+        emb.withColumn("s", scores)
+        .withColumn(
+            "list_id",
+            (F.array_position(F.col("s"), F.array_max("s")) - 1).cast("int"),
+        )
+        .drop("s")
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        "list_id",
+    )
+    # top-nprobe lists per query: sort (−score, centroid_id) asc — score
+    # desc with smaller-id tie-break, same rule as the oracle's window.
+    probe_arr = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    scores,
+                    lambda s, j: F.struct((-s).alias("ns"), j.cast("int").alias("j")),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda x: x["j"],
+    )
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probe_arr).alias("q_list"),
+        )
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("list_id") == F.col("q_list")) & (F.col("cand_id") != F.col("query_id")),
     )
     cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
         _norm(F.col("q_emb")) * _norm(F.col("c_emb"))

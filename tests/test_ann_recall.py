@@ -1,10 +1,14 @@
-"""ANN quality: sign-LSH finds planted near-duplicates; scores exact."""
+"""ANN quality: sign-LSH and IVF find planted near-duplicates; scores exact."""
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from s2geometry_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from s2geometry_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+)
 
 
 def test_lsh_finds_planted_near_duplicates(spark):
@@ -38,3 +42,51 @@ def test_lsh_finds_planted_near_duplicates(spark):
         key = (r.query_id, r.cand_id)
         if key in exact:
             assert abs(r.cosine - exact[key]) < 1e-9
+
+
+def test_ivf_finds_planted_near_duplicates(spark):
+    base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pdf = base.toPandas()
+    rng = np.random.default_rng(42)
+    planted = []
+    for i in range(10):
+        src = np.array(pdf.embedding.iloc[100 + i], dtype=np.float32)
+        noisy = src + rng.normal(0, 0.01, len(src)).astype(np.float32)
+        planted.append((int(i), [float(x) for x in noisy], -1))
+    q = spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    # drop the corpus rows whose ids the planted queries reuse so vec_id
+    # stays a key (the codebook sample orders by md5(vec_id))
+    emb = q.unionByName(
+        base.select("vec_id", "embedding", "label").filter(F.col("vec_id") >= 10)
+    )
+    out = ann_ivf_topk(emb, n_queries=10, k=1, n_centroids=8, nprobe=2).collect()
+    # a near-identical pair shares its nearest inverted list except when
+    # the source sits exactly on a list boundary; nprobe=2 covers that
+    hits = {r.query_id: r.cand_id for r in out}
+    found = sum(1 for i in range(10) if hits.get(i) == 100 + i)
+    assert found == 10, hits
+    # IVF scores are exact cosines (same re-rank as the brute path)
+    exact = {(r.query_id, r.cand_id): r.cosine
+             for r in cosine_topk(emb, n_queries=10, k=5).collect()}
+    for r in out:
+        key = (r.query_id, r.cand_id)
+        if key in exact:
+            assert abs(r.cosine - exact[key]) < 1e-9
+
+
+def test_ivf_plan_is_map_only_plus_topk_window(spark):
+    """Assignment/probing ride expression literals (no shuffle, no
+    Python UDF); the only hash exchange is the per-query top-k window;
+    the probe join broadcasts the query side."""
+    import re
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = ann_ivf_topk(emb, n_queries=10, k=5, n_centroids=8, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
