@@ -429,6 +429,16 @@ def _cos_sql(a: str, b: str, round_digits: int = 6) -> str:
     )
 
 
+def _cos_raw_sql(a: str, b: str) -> str:
+    """Unrounded sequential-fold cosine — bit-identical to the Spark
+    expression form (list_aggregate 'sum' ≍ F.aggregate), used where an
+    ORDERING must agree across engines without a rounding rule."""
+    return (
+        f"{_DDOT.format(a=a, b=b)} / "
+        f"(sqrt({_DDOT.format(a=a, b=a)}) * sqrt({_DDOT.format(a=b, b=b)}))"
+    )
+
+
 def lsh_bucket_sql(emb: str, planes: np.ndarray) -> str:
     """Sign-LSH bucket id mirroring operators.similarity.lsh_bucket_expr:
     per-bit sequential-fold dot against the ±1 hyperplane (embedded as
@@ -485,10 +495,12 @@ def ann_ivf_sql(
     """Relational mirror of operators.similarity.ann_ivf_topk: the same
     md5-sampled codebook (ORDER BY md5(vec_id) LIMIT C, ids in vec_id
     order), nearest-list assignment and probe selection as row_number
-    windows over the rounded cosines (score desc, centroid id asc — the
+    windows over the cosines (score desc, centroid id asc — the
     array_position-first-max / (−score, id) sort rules), then the shared
-    re-rank shape."""
-    cos_assign = _cos_sql("e.embedding", "c.cent_emb")
+    re-rank shape.  Assignment/probe scores are UNROUNDED — the
+    sequential fold is bit-identical across engines, so the windows
+    order identically."""
+    cos_assign = _cos_raw_sql("e.embedding", "c.cent_emb")
     cos = _cos_sql("q_emb", "c_emb")
     return f"""
     WITH sel AS (

@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -176,16 +177,52 @@ def _ivf_centroids(emb: DataFrame, n_centroids: int) -> list[list[float]]:
     return [[float(x) for x in r["embedding"]] for r in rows]
 
 
-def _centroid_scores(emb_col, cents: list[list[float]], round_digits: int = 6):
-    """array<double> of rounded cosines against each codebook centroid,
-    as one JVM expression (the centroids ride as literals — no join, no
-    shuffle for the assignment pass)."""
+def _centroid_scores(emb_col, cents: list[list[float]]):
+    """array<double> of UNROUNDED cosines against each codebook
+    centroid, as one JVM expression (the centroids ride as literals —
+    no join, no shuffle for the assignment pass).  Unrounded on purpose:
+    the sequential fold produces bit-identical doubles in Spark, DuckDB
+    (list_aggregate 'sum') and the pandas path's d-ordered accumulation,
+    so argmax/ordering agrees everywhere without a rounding rule."""
     scores = []
     for c in cents:
         lit = F.array(*[F.lit(v) for v in c])
-        cos = _dot(emb_col, lit) / (_norm(emb_col) * _norm(lit))
-        scores.append(F.round(cos, round_digits))
+        scores.append(_dot(emb_col, lit) / (_norm(emb_col) * _norm(lit)))
     return F.array(*scores)
+
+
+# Above this codebook size the per-centroid expression tree stops being
+# reasonable to compile; production IVF wants C in the thousands, so the
+# large-C path ships the codebook inside an Arrow-batched pandas UDF.
+IVF_EXPR_MAX_CENTROIDS = 64
+
+
+def _ivf_probe_udf(cents: list[list[float]], m: int):
+    """pandas UDF `embedding -> array<int>`: the m nearest codebook list
+    ids (cosine desc, id asc).  Arithmetic is ELEMENTWISE d-ordered
+    accumulation — the same operation order as the JVM fold in
+    `_centroid_scores`, hence bit-identical scores (np.dot/BLAS would
+    FMA-fuse and drift in the last ulp; see the buffer-trace precedent
+    in kernel/booleans.py)."""
+    H = np.asarray(cents, dtype=np.float64)  # (C, dim)
+    nh = np.zeros(len(H))
+    for d in range(H.shape[1]):
+        nh = nh + H[:, d] * H[:, d]
+    nh = np.sqrt(nh)
+
+    @F.pandas_udf("array<int>")
+    def probe(emb: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        acc = np.zeros((X.shape[0], H.shape[0]))
+        nx = np.zeros(X.shape[0])
+        for d in range(X.shape[1]):
+            acc = acc + X[:, d : d + 1] * H[:, d][None, :]
+            nx = nx + X[:, d] * X[:, d]
+        cos = acc / (np.sqrt(nx)[:, None] * nh[None, :])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :m]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probe
 
 
 def ann_ivf_topk(
@@ -195,48 +232,66 @@ def ann_ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     round_digits: int = 6,
+    plan: str | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are assigned to the
     nearest-codebook inverted list; each query scans only its `nprobe`
     closest lists, then exact cosine re-rank.
 
     Plan shape (the 100-TB contract): assignment is a map-only pass
-    (codebook as expression literals — the fact table never shuffles);
-    the probe join broadcasts the query side; the only shuffle is the
-    per-query top-k window.  Candidates per query are O(corpus·nprobe/C)
-    instead of O(corpus).  Ties everywhere break on the smaller id after
-    `round_digits` rounding, so the result is engine-independent
-    (mirrored in functions/oracles.ann_ivf_sql).
+    (the fact table never shuffles); the probe join broadcasts the
+    query side; the only shuffle is the per-query top-k window.
+    Candidates per query are O(corpus·nprobe/C) instead of O(corpus).
+    Assignment/probe ordering uses UNROUNDED sequential-fold cosines
+    (bit-identical across Spark expressions, the pandas path, and the
+    DuckDB mirror in functions/oracles.ann_ivf_sql) with smaller-id
+    tie breaks, so the result is engine- and plan-independent.
+
+    Two size-gated plans (`plan` forces one): `expr` ships the codebook
+    as expression literals (pure JVM, fixture scale); above
+    IVF_EXPR_MAX_CENTROIDS, `pudf` ships it inside an Arrow-batched
+    pandas UDF whose d-ordered accumulation reproduces the fold
+    bit-for-bit — production C (thousands of lists) stays one map-only
+    pass either way.
     """
     cents = _ivf_centroids(emb, n_centroids)
-    scores = _centroid_scores(F.col("embedding"), cents, round_digits)
-    assigned = (
-        emb.withColumn("s", scores)
-        .withColumn(
-            "list_id",
-            (F.array_position(F.col("s"), F.array_max("s")) - 1).cast("int"),
+    mode = plan or ("expr" if n_centroids <= IVF_EXPR_MAX_CENTROIDS else "pudf")
+    if mode == "expr":
+        scores = _centroid_scores(F.col("embedding"), cents)
+        list_id = (
+            F.array_position(F.col("s"), F.array_max("s")) - 1
+        ).cast("int")
+        assigned = (
+            emb.withColumn("s", scores).withColumn("list_id", list_id).drop("s")
         )
-        .drop("s")
-    )
+        # top-nprobe lists per query: sort (−score, centroid_id) asc —
+        # score desc with smaller-id tie-break, the oracle's window rule.
+        probe_arr = F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        scores,
+                        lambda s, j: F.struct(
+                            (-s).alias("ns"), j.cast("int").alias("j")
+                        ),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+            lambda x: x["j"],
+        )
+    else:
+        assign_udf = _ivf_probe_udf(cents, 1)
+        probe_udf = _ivf_probe_udf(cents, nprobe)
+        assigned = emb.withColumn(
+            "list_id", F.element_at(assign_udf(F.col("embedding")), 1)
+        )
+        probe_arr = probe_udf(F.col("embedding"))
     c = assigned.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         "list_id",
-    )
-    # top-nprobe lists per query: sort (−score, centroid_id) asc — score
-    # desc with smaller-id tie-break, same rule as the oracle's window.
-    probe_arr = F.transform(
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    scores,
-                    lambda s, j: F.struct((-s).alias("ns"), j.cast("int").alias("j")),
-                )
-            ),
-            1,
-            nprobe,
-        ),
-        lambda x: x["j"],
     )
     q = (
         emb.filter(F.col("vec_id") < n_queries)

@@ -90,3 +90,19 @@ def test_ivf_plan_is_map_only_plus_topk_window(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_ivf_pudf_path_matches_expression_path(spark):
+    """The large-C pandas path's d-ordered accumulation must reproduce
+    the JVM fold bit-for-bit: identical assignments, probes, and
+    therefore identical top-k rows."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = ann_ivf_topk(
+        emb, n_queries=10, k=5, n_centroids=16, nprobe=3, plan="expr"
+    ).collect()
+    b = ann_ivf_topk(
+        emb, n_queries=10, k=5, n_centroids=16, nprobe=3, plan="pudf"
+    ).collect()
+    rows_a = sorted((r.query_id, r.cand_id, r.cosine, r.rank) for r in a)
+    rows_b = sorted((r.query_id, r.cand_id, r.cosine, r.rank) for r in b)
+    assert rows_a == rows_b
