@@ -35,9 +35,14 @@ def main() -> None:
 
     from s2geometry_spark.operators.components import connected_components
 
+    # bench.py --scaling protocol: pin the process tree to the first
+    # `cores` CPUs and FIX shuffle partitions across parallelism levels
+    # (on a real cluster the partitioning is a property of the data
+    # layout, not of how many executors happen to run).
+    os.sched_setaffinity(0, range(args.cores))
     spark = (
         SparkSession.builder.master(f"local[{args.cores}]")
-        .config("spark.sql.shuffle.partitions", str(max(2 * args.cores, 16)))
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
         .getOrCreate()
