@@ -206,6 +206,180 @@ def find_furthest_edges(
     ]
 
 
+def shape_index_target_distance2(
+    index_shapes: list[Shape],
+    target_shapes: list[Shape],
+    include_interiors: bool = True,
+) -> float:
+    """S2ClosestEdgeQuery::GetDistance with a ShapeIndexTarget
+    (s2closest_edge_query.h ShapeIndexTarget; s2min_distance_targets.cc
+    S2MinDistanceShapeIndexTarget): the minimum squared-chord distance
+    between the index geometry and the target geometry.  Returns 0.0
+    when interiors intersect (include_interiors on both sides, like the
+    reference's target.set_include_interiors(true) + query option) and
+    math.inf when either side has no geometry — the reference's
+    S1ChordAngle::Infinity() (s2closest_edge_query_test.cc:551-573
+    FullS2PolygonTarget exercises the full-polygon special case, whose
+    "full" has interior but no edges)."""
+    import math
+
+    from .predicates import crossing_sign
+
+    def _verts(shapes: list[Shape]) -> np.ndarray:
+        vs = [s.edges_c for s in shapes if len(s.edges_c)]
+        vs += [s.edges_d for s in shapes if len(s.edges_d)]
+        return np.concatenate(vs) if vs else np.zeros((0, 3))
+
+    def _nonempty(shapes: list[Shape]) -> bool:
+        return any(
+            len(s.edges_c)
+            or (s.polygon is not None and not s.polygon.is_empty)
+            for s in shapes
+        )
+
+    if not _nonempty(index_shapes) or not _nonempty(target_shapes):
+        return math.inf
+
+    best = math.inf
+    iv, tv = _verts(index_shapes), _verts(target_shapes)
+    # vertex-of-one to edge-of-other: the min distance between two
+    # non-crossing geodesic edges is attained at one of the four
+    # vertices (s2edge_distances.cc UpdateEdgePairMinDistance)
+    for s in index_shapes:
+        if len(s.edges_c) and len(tv):
+            best = min(best, float(point_edge_dist2(tv, s.edges_c, s.edges_d).min()))
+    for t in target_shapes:
+        if len(t.edges_c) and len(iv):
+            best = min(best, float(point_edge_dist2(iv, t.edges_c, t.edges_d).min()))
+    if best > 0.0:
+        # crossing edges → distance 0
+        for s in index_shapes:
+            for t in target_shapes:
+                if not (len(s.edges_c) and len(t.edges_c)):
+                    continue
+                for e in range(len(s.edges_c)):
+                    for f in range(len(t.edges_c)):
+                        if crossing_sign(
+                            s.edges_c[e], s.edges_d[e], t.edges_c[f], t.edges_d[f]
+                        ) > 0:
+                            return 0.0
+    if include_interiors and best > 0.0:
+        # interior-containment: any vertex of one side inside a polygon
+        # of the other, plus the vertex-free full-polygon case
+        for s in index_shapes:
+            if s.polygon is None or s.polygon.is_empty:
+                continue
+            if s.polygon.is_full:
+                return 0.0
+            if len(tv) and bool(s.polygon.contains(tv).any()):
+                return 0.0
+        for t in target_shapes:
+            if t.polygon is None or t.polygon.is_empty:
+                continue
+            if t.polygon.is_full:
+                return 0.0
+            if len(iv) and bool(t.polygon.contains(iv).any()):
+                return 0.0
+    return best
+
+
+def shape_index_target_max_distance2(
+    index_shapes: list[Shape],
+    target_shapes: list[Shape],
+    include_interiors: bool = True,
+) -> float:
+    """S2FurthestEdgeQuery::GetDistance with a ShapeIndexTarget
+    (s2furthest_edge_query.h; s2max_distance_targets.cc): the MAXIMUM
+    squared-chord distance between index and target geometry, via the
+    antipode-reflection identity max_d2(x, e) = 4 − min_d2(−x, e)
+    (s2edge_distances.cc:236-249).  Returns -1.0 — S1ChordAngle::
+    Negative() — when either side has no geometry
+    (s2furthest_edge_query_test.cc EmptyPolygonTarget), and 4.0
+    (Straight) when a polygon interior contains the other side's
+    antipode (incl. the vertex-free full-polygon cases,
+    FullLaxPolygonTarget / FullS2PolygonTarget)."""
+    import math
+
+    def _verts(shapes: list[Shape]) -> np.ndarray:
+        vs = [s.edges_c for s in shapes if len(s.edges_c)]
+        vs += [s.edges_d for s in shapes if len(s.edges_d)]
+        return np.concatenate(vs) if vs else np.zeros((0, 3))
+
+    def _nonempty(shapes: list[Shape]) -> bool:
+        return any(
+            len(s.edges_c)
+            or (s.polygon is not None and not s.polygon.is_empty)
+            for s in shapes
+        )
+
+    if not _nonempty(index_shapes) or not _nonempty(target_shapes):
+        return -1.0
+
+    iv, tv = _verts(index_shapes), _verts(target_shapes)
+    best = -1.0
+    min_opposed = math.inf
+    for s in index_shapes:
+        if len(s.edges_c) and len(tv):
+            min_opposed = min(
+                min_opposed, float(point_edge_dist2(-tv, s.edges_c, s.edges_d).min())
+            )
+    for t in target_shapes:
+        if len(t.edges_c) and len(iv):
+            min_opposed = min(
+                min_opposed, float(point_edge_dist2(-iv, t.edges_c, t.edges_d).min())
+            )
+    if min_opposed < math.inf:
+        best = 4.0 - min_opposed
+    if include_interiors:
+        for s in index_shapes:
+            if s.polygon is None or s.polygon.is_empty:
+                continue
+            if s.polygon.is_full:
+                return 4.0
+            if len(tv) and bool(s.polygon.contains(-tv).any()):
+                return 4.0
+        for t in target_shapes:
+            if t.polygon is None or t.polygon.is_empty:
+                continue
+            if t.polygon.is_full:
+                return 4.0
+            if len(iv) and bool(t.polygon.contains(-iv).any()):
+                return 4.0
+    return best
+
+
+def furthest_edges_to_shape_target(
+    index_shapes: list[Shape],
+    target_shapes: list[Shape],
+    include_target_interiors: bool = True,
+    min_distance_rad: float | None = None,
+) -> list[tuple[int, int, float]]:
+    """S2FurthestEdgeQuery::FindFurthestEdges with a ShapeIndexTarget:
+    one result per INDEX edge — (shape_id, edge_id, max_d2) — ordered by
+    decreasing distance with ties broken by increasing (shape_id,
+    edge_id) like the reference's S2MaxDistance result ordering
+    (s2furthest_edge_query_test.cc TargetPolygonContainingIndexedPoints /
+    AntipodalPolygonContainingIndexedPoints).  min_distance is an
+    exclusive lower bound (set_min_distance)."""
+    import math
+
+    results: list[tuple[float, int, int]] = []
+    for s in index_shapes:
+        for e in range(len(s.edges_c)):
+            refl = Shape(0, 1, -s.edges_c[e][None], -s.edges_d[e][None])
+            d2min = shape_index_target_distance2(
+                [refl], target_shapes, include_interiors=include_target_interiors
+            )
+            if d2min == math.inf:
+                continue
+            results.append((4.0 - d2min, s.shape_id, int(e)))
+    if min_distance_rad is not None:
+        w = 2 * math.sin(0.5 * min(math.pi, min_distance_rad))
+        results = [r for r in results if r[0] > w * w]
+    results.sort(key=lambda r: (-r[0], r[1], r[2]))
+    return [(sid, eid, d2) for d2, sid, eid in results]
+
+
 def get_crossing_edges(
     shapes: list[Shape], a0: np.ndarray, a1: np.ndarray, interior_only: bool = False
 ) -> list[tuple[int, int]]:
