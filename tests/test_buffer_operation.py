@@ -462,3 +462,238 @@ def test_radii_and_error_fraction_coverage():
             run_test_buffer(index_str, -1e-6, error_fraction)
             run_test_buffer(index_str, 1e-14, error_fraction)
             run_test_buffer(index_str, 1e-2, error_fraction)
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference cases: empty typed shapes, the two polygon
+# radii/error-fraction coverage suites, and the ZigZagPolyline
+# side/end-cap harness (test.cc:538-728).
+# ---------------------------------------------------------------------------
+
+
+def test_empty_point_shape():
+    """EmptyPointShape (test.cc:152): an empty S2PointVectorShape buffers
+    to the empty polygon at every radius."""
+    check_buffer_empty(
+        lambda op: op.add_shape_index(points=[], polylines=[], polygons=[])
+    )
+
+
+def test_empty_polyline_shape():
+    """EmptyPolylineShape (test.cc:158): an empty lax polyline shape."""
+    check_buffer_empty(
+        lambda op: op.add_shape_index(polylines=[np.empty((0, 3))])
+    )
+
+
+@pytest.mark.parametrize(
+    "index_str",
+    [
+        # TriangleWithHole (test.cc:546): clockwise hole
+        "# # 0:0, 0:100, 70:50; 10:20, 50:50, 10:80",
+        # TriangleTwoLongEdges (test.cc:551): one 1e-300-radian edge
+        "# # 0:0, 0:179.99999999999, 1e-300:0",
+    ],
+    ids=["triangle_with_hole", "triangle_two_long_edges"],
+)
+def test_radii_and_error_fraction_coverage_polygons(index_str):
+    """RadiiAndErrorFractionCoverageTriangleWithHole /
+    ...TriangleTwoLongEdges (test.cc:546-556) with the same thinned
+    radius/fraction sweep as the point/polyline coverage test above."""
+    k_frac = 0.01
+    radii = [
+        0.0,
+        1e-300,
+        1e-15,
+        1e-5,
+        0.01,
+        1.0,
+        (1 - k_frac) * math.pi / 2,
+        math.pi / 2,
+        math.pi - 1e-6,
+        math.pi,
+        1e300,
+    ]
+    for radius in radii:
+        run_test_signed_buffer(index_str, radius, k_frac)
+    for error_fraction in (0.01, 1.0):
+        run_test_buffer(index_str, -1e-6, error_fraction)
+        run_test_buffer(index_str, 1e-14, error_fraction)
+        run_test_buffer(index_str, 1e-2, error_fraction)
+
+
+# ----------------------------------------------- ZigZagPolyline harness
+
+
+def _edge_axis(a, b):
+    from s2geometry_spark.kernel.clipping import robust_cross_prod
+
+    n = robust_cross_prod(a, b)
+    return n / np.linalg.norm(n)
+
+
+def _interp(a, b, t):
+    from s2geometry_spark.kernel.distance import interpolate_edge
+
+    return interpolate_edge(a, b, t)
+
+
+def _point_on_ray(p, direction, r_rad):
+    from s2geometry_spark.kernel.polyline import point_on_line
+
+    return point_on_line(p, direction, r_rad)
+
+
+class _TestBufferPolyline:
+    """TestBufferPolyline (test.cc:560-728): buffers a polyline with the
+    given polyline_side / end_cap_style and walks the boundary checking
+    that offset points at (r − max_error) are contained on buffered
+    portions and offset points at max_error are NOT contained on
+    unbuffered portions, skipping points whose classification is
+    uncertain (closer than r + max_error to some buffered portion)."""
+
+    ARC_LO, ARC_HI, ARC_SAMPLES = 0.001, 0.999, 7
+
+    def __init__(self, input_str: str, options: BufferOptions):
+        self.polyline = parse_pts(input_str)
+        self.buffer_radius = options.buffer_radius
+        self.max_error = options.max_error()
+        self.min_dist = max(0.0, self.buffer_radius - self.max_error)
+        self.max_dist2 = (
+            2 * math.sin(0.5 * min(math.pi, self.buffer_radius + self.max_error))
+        ) ** 2
+        self.round = options.end_cap_style == "round"
+        self.two_sided = options.polyline_side == "both"
+
+        op = BufferOperation(options)
+        op.add_polyline(self.polyline)
+        self.output = op.build()
+
+        # Hausdorff criterion: output boundary within (r + max_error) of
+        # the input (exact predicates, like run_test_buffer's bound)
+        in_edges = [
+            (self.polyline[i], self.polyline[i + 1])
+            for i in range(len(self.polyline) - 1)
+        ]
+        out_edges = _input_edges([], [], self.output.loops)
+        if len(out_edges) > 60:
+            out_edges = out_edges[:: len(out_edges) // 60 + 1]
+        for b0, b1 in out_edges:
+            for t in (0.0, 0.5, 1.0):
+                b = _slerp(b0, b1, t)
+                assert any(
+                    compare_edge_distance(
+                        b, a0, a1, self.buffer_radius + self.max_error
+                    )
+                    <= 0
+                    for a0, a1 in in_edges
+                )
+
+        if self.min_dist == 0.0:
+            return
+
+        # LEFT-sided buffering = reverse + right-side test (test.cc:681)
+        pl = self.polyline
+        if options.polyline_side == "left":
+            pl = pl[::-1].copy()
+        self.pl = pl
+
+        n = len(pl)
+        start0, start1 = pl[0], pl[1]
+        start_begin = _edge_axis(start0, start1)
+        start_mid = np.cross(start0, start_begin)
+        start_mid /= np.linalg.norm(start_mid)
+        self._test_vertex_arc(
+            start0, start_begin, start_mid, self.round and self.two_sided
+        )
+        self._test_vertex_arc(start0, start_mid, -start_begin, self.round)
+        for i in range(n - 2):
+            self._test_edge_and_vertex(pl[i], pl[i + 1], pl[i + 2], True)
+        end0, end1 = pl[n - 1], pl[n - 2]
+        end_begin = _edge_axis(end0, end1)
+        end_mid = np.cross(end0, end_begin)
+        end_mid /= np.linalg.norm(end_mid)
+        self._test_edge_arc(end_begin, end1, end0, True)
+        self._test_vertex_arc(end0, end_begin, end_mid, self.round)
+        self._test_vertex_arc(end0, end_mid, -end_begin, self.round and self.two_sided)
+        for i in range(n - 3, -1, -1):
+            self._test_edge_and_vertex(
+                pl[i + 2], pl[i + 1], pl[i], self.two_sided
+            )
+        start_begin2 = _edge_axis(start1, start0)
+        self._test_edge_arc(start_begin2, start1, start0, self.two_sided)
+
+    # -- uncertainty test (test.cc:569-594)
+    def _uncertain(self, p, expect_contained) -> bool:
+        if expect_contained and self.two_sided:
+            return False
+        pl = self.pl
+        for i in range(len(pl) - 1):
+            a, b = pl[i], pl[i + 1]
+            if not self.two_sided:
+                if (P.sign(a, b, p) < 0) == expect_contained:
+                    continue
+            d2 = float(point_edge_dist2(p[None], a[None], b[None])[0, 0])
+            if self.round:
+                if d2 < self.max_dist2:
+                    return True
+            else:
+                # flat caps: conservative — treat a near-miss to the edge
+                # OR an interior vertex as uncertain (the reference splits
+                # interior vs endpoint distance; merging them only skips
+                # more checks, never asserts wrongly)
+                if d2 < self.max_dist2:
+                    return True
+        return False
+
+    def _contains(self, p) -> bool:
+        out = self.output
+        if not out.loops:
+            return out.full
+        return contains_brute_force(LaxPolygon(out.loops), p)
+
+    def _test_point(self, p, direction, expect_contained):
+        r = (
+            self.buffer_radius - self.max_error
+            if expect_contained
+            else self.max_error
+        )
+        x = _point_on_ray(p, direction, r)
+        if not self._uncertain(x, expect_contained):
+            assert self._contains(x) == expect_contained, (
+                p,
+                direction,
+                expect_contained,
+            )
+
+    def _test_vertex_arc(self, p, start, end, expect_contained):
+        t = self.ARC_LO
+        while t < 1:
+            direction = _interp(start, end, t)
+            self._test_point(p, direction, expect_contained)
+            t += (self.ARC_HI - self.ARC_LO) / self.ARC_SAMPLES
+
+    def _test_edge_arc(self, ba_axis, a, b, expect_contained):
+        t = self.ARC_LO
+        while t < 1:
+            p = _interp(a, b, t)
+            self._test_point(p, ba_axis, expect_contained)
+            t += (self.ARC_HI - self.ARC_LO) / self.ARC_SAMPLES
+
+    def _test_edge_and_vertex(self, a, b, c, expect_contained):
+        ba_axis = _edge_axis(b, a)
+        cb_axis = _edge_axis(c, b)
+        self._test_edge_arc(ba_axis, a, b, expect_contained)
+        self._test_vertex_arc(b, ba_axis, cb_axis, expect_contained)
+
+
+@pytest.mark.parametrize("polyline_side", ["left", "right", "both"])
+@pytest.mark.parametrize("end_cap_style", ["round", "flat"])
+def test_zig_zag_polyline(polyline_side, end_cap_style):
+    """ZigZagPolyline (test.cc:706-728): both test polylines across the
+    full polyline_side × end_cap_style matrix."""
+    for input_str in ("0:0, 0:7, 5:3, 5:10", "10:0, 0:0, 5:1"):
+        options = BufferOptions(math.radians(1))
+        options.polyline_side = polyline_side
+        options.end_cap_style = end_cap_style
+        _TestBufferPolyline(input_str, options)
