@@ -461,3 +461,143 @@ def test_point_vector_random_cell_centers():
             points.append(norm(rng.randn(3)))
     roundtrip_points(points, "fast")
     roundtrip_points(points, "compact")
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference cases: the all-levels size ladders, fractal
+# stress, roundtrip-from-encoded, and the decoder fuzz regressions.
+# ---------------------------------------------------------------------------
+
+
+def test_point_vector_max_face_siti_at_all_levels():
+    """MaxFaceSiTiAtAllLevels (encoded_s2point_vector_test.cc:339-360):
+    the cell 5/222...22 (maximal face/si/ti) at each level; one byte
+    bigger than FirstAtAllLevels at levels 7,11,15,19,23,27."""
+    leaf = 0xB555555555555555
+    for level in range(MAX_LEVEL + 1):
+        pid = int(K.parent(np.asarray([leaf], dtype=np.uint64), level)[0])
+        expected = 6 if level < 4 else 6 + (level + 1) // 4
+        roundtrip_points([to_point(pid)], "compact", expected)
+
+
+def test_point_vector_last_two_points_at_all_levels():
+    """LastTwoPointsAtAllLevels (test.cc:361-375): two 4-bit deltas cost
+    only 4 bits more than the singleton 8-bit-delta encoding."""
+    for level in range(MAX_LEVEL + 1):
+        lsb = 1 << (2 * (MAX_LEVEL - level))
+        last = end(level) - 2 * lsb
+        prev = last - 2 * lsb
+        expected = 6 + (level + 2) // 4
+        roundtrip_points([to_point(last), to_point(prev)], "compact", expected)
+
+
+def test_point_vector_many_duplicate_points_at_all_levels():
+    """ManyDuplicatePointsAtAllLevels (test.cc:376-394): 32 copies of the
+    last cell at each level — under 1 byte per point; level 30 pays one
+    extra byte (7-byte base + per-block offsets)."""
+    for level in range(MAX_LEVEL + 1):
+        lsb = 1 << (2 * (MAX_LEVEL - level))
+        last = end(level) - 2 * lsb
+        expected = 23 + (level + 2) // 4
+        if level == 30:
+            expected += 1
+        roundtrip_points([to_point(last)] * 32, "compact", expected)
+
+
+def test_point_vector_snapped_fractal_loops():
+    """SnappedFractalLoops (test.cc:395-416): leaf-snapped fractal loop
+    vertices roundtrip losslessly under COMPACT and beat the raw 24·n
+    encoding (the reference prints s2 vs lax sizes; the assertion that
+    matters is lossless compact coding of realistic snapped data)."""
+    from s2geometry_spark.kernel.fractal import Fractal, frame_at, random_point
+
+    rng = np.random.RandomState(20260819)
+    for num_points in (3, 48, 768):
+        f = Fractal(rng)
+        f.set_level_for_approx_max_edges(num_points)
+        frame = frame_at(rng, random_point(rng))
+        verts = f.make_vertices(frame, 10.0 / 6371.0)
+        lat = np.degrees(np.arcsin(np.clip(verts[:, 2], -1, 1)))
+        lng = np.degrees(np.arctan2(verts[:, 1], verts[:, 0]))
+        leaf = K.from_latlng(lat, lng)
+        points = [to_point(int(i)) for i in np.asarray(leaf, dtype=np.uint64)]
+        enc = Encoder()
+        encode_s2point_vector(np.asarray(points), enc, hint="compact")
+        assert len(enc.buf) < 24 * len(points)
+        roundtrip_points(points, "compact", len(enc.buf))
+
+
+@pytest.mark.parametrize("hint", ["fast", "compact"])
+def test_point_vector_roundtrip_encoding(hint):
+    """RoundtripEncodingFast / RoundtripEncodingCompact (test.cc:418-463):
+    a full block of equal values plus a tail with exceptions-free deltas,
+    encoded, decoded, re-encoded from the decoded form — all lossless
+    (roundtrip_points already re-encodes from the EncodedS2PointVector)."""
+    level = 3
+    points = [encoded_value_to_point(0, level)] * 16
+    for v in (0x78, 0x7A, 0x7C, 0x84):
+        points.append(encoded_value_to_point(v, level))
+    roundtrip_points(points, hint)
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        b"i\370\305\201",
+        b"\201\252\305+\010\023\304\n\274\3271^7\261\261iiY\261\261\261\261"
+        b"\261\253\313\220\254DDDDV\320",
+        b"\351\010\010\010\010\010\0107\274\361\030fo[\210O\363\214]\010\021n"
+        b"\265W=(\014\014\014\014\203\034",
+        b"\331\010\010\014\363+\214O\230\200\230{$$\314$\210b\222\034\210\210"
+        b"\232\210\210\212\214\034",
+    ],
+    ids=["regression1", "regression2", "regression3", "regression4"],
+)
+def test_point_vector_decode_never_crashes(blob):
+    """DecodeNeverCrashesRegression1-4 (test.cc:536-558): malformed input
+    must fail CLEANLY — init returns False, or decode raises the typed
+    validation error (the analog of the reference's S2Error path).  No
+    hangs, no unbounded allocation, no low-level faults."""
+    v = EncodedS2PointVector()
+    if v.init(Decoder(blob)):
+        try:
+            v.decode()
+        except ValueError:
+            pass  # validated failure — the S2Error-returning path
+
+
+def test_cellid_vector_fractal_shape_index_cells():
+    """FractalS2ShapeIndexCells (encoded_s2cell_id_vector_test.cc:199):
+    the cell ids of a fractal loop's shape index compress to a few bytes
+    per cell.  (The reference pins 966 cells / 2902 bytes from its own
+    C++ RNG stream; with our RNG the invariants are the ~3 bytes/cell
+    ratio and the lossless roundtrip.)"""
+    from s2geometry_spark.kernel.contains import parse_points
+    from s2geometry_spark.kernel.fractal import Fractal, frame_at
+    from s2geometry_spark.kernel.mutable_index import MutableIndex
+    from s2geometry_spark.kernel.shapeutil import LaxPolygon
+
+    rng = np.random.RandomState(7)
+    f = Fractal(rng)
+    f.set_level_for_approx_max_edges(3 * 1024)
+    center = parse_points("47.677:-122.206")[0]
+    verts = f.make_vertices(frame_at(rng, center), np.radians(1.0))
+    index = MutableIndex()
+    index.add(LaxPolygon([verts]))
+    ids = [cell_id.id for cell_id, _ in index.cells()]
+    assert len(ids) > 300
+    enc = Encoder()
+    encode_s2cellid_vector(ids, enc)
+    assert len(enc.buf) < 4 * len(ids)
+    roundtrip_cellids(ids, len(enc.buf))
+
+
+def test_cellid_vector_init_never_crashes_regression():
+    """EncodedS2CellIdVectorInitNeverCrashesRegression
+    (encoded_s2cell_id_vector_test.cc:287-295): a size_·len_ overflow
+    used to let Init proceed into a segfault; Init must reject (or
+    lower_bound must complete) on this blob."""
+    blob = bytes([32, 135, 128, 128, 128, 48, 39, 132, 143, 84])
+    v = EncodedS2CellIdVector()
+    if v.init(Decoder(blob)):
+        v.lower_bound(7059594055645134713)
