@@ -267,6 +267,9 @@ def loop_rect_bound(vertices: np.ndarray) -> LatLngRect:
     from .contains import Loop
 
     v = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    if len(v) == 0:
+        # uninitialized loop (s2loop_test.cc EncodeDecodeUninitialized)
+        return LatLngRect.empty()
     loop = Loop(v)
     if loop.is_empty_or_full:
         return LatLngRect.full() if loop.is_full else LatLngRect.empty()

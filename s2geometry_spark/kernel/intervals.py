@@ -142,6 +142,21 @@ class S1Interval:
         self.lo = lo
         self.hi = hi
 
+    def __eq__(self, y) -> bool:
+        """operator== (s1interval.h:258-260): exact endpoint equality
+        (normalization makes this set equality)."""
+        if not isinstance(y, S1Interval):
+            return NotImplemented
+        return self.lo == y.lo and self.hi == y.hi
+
+    def __hash__(self):
+        return hash(("S1Interval", self.lo, self.hi))
+
+    @staticmethod
+    def is_valid_point(p: float) -> bool:
+        """S1Interval::IsValidPoint (s1interval.h): p in [-Pi, Pi]."""
+        return -PI <= p <= PI
+
     @staticmethod
     def empty() -> "S1Interval":
         return S1Interval(PI, -PI, checked=True)

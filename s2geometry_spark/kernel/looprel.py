@@ -254,7 +254,15 @@ def contains_nested(a: Loop, b: Loop) -> bool:
 
 def boundary_equals(a: Loop, b: Loop) -> bool:
     """S2Loop::BoundaryEquals (s2loop.cc:1267+): identical vertex cycles
-    up to rotation."""
+    up to rotation; empty/full loops compare by their is_empty state
+    regardless of the sentinel vertex's exact position (s2loop.cc:1268:
+    `if (is_empty_or_full()) return is_empty() == b.is_empty();`)."""
+    if a.is_empty_or_full or b.is_empty_or_full:
+        return (
+            a.is_empty_or_full
+            and b.is_empty_or_full
+            and a.origin_inside == b.origin_inside
+        )
     va, vb = a.vertices, b.vertices
     if len(va) != len(vb):
         return False
