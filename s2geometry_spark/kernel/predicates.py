@@ -282,6 +282,16 @@ def crossing_sign(a, b, c, d) -> int:
         return 0
     if ta == tb or tc == td:
         return -1
+    if not (
+        np.isfinite(a).all()
+        and np.isfinite(b).all()
+        and np.isfinite(c).all()
+        and np.isfinite(d).all()
+    ):
+        # NaN/Inf points never cross (s2edge_crosser_test.cc
+        # InvalidNanPoints expects -1 without crashing; the exact tier
+        # cannot represent non-finite coordinates)
+        return -1
     acb = -int(sign(a[None], b[None], c[None])[0])
     bda = int(sign(a[None], b[None], d[None])[0])
     if acb != bda:
@@ -293,6 +303,29 @@ def crossing_sign(a, b, c, d) -> int:
     if dac != acb:
         return -1
     return 1
+
+
+def triage_sign_dot_prod(a, b) -> int:
+    """TriageSignDotProd (s2predicates.cc:920-941): sign of a·b with the
+    Rump dot-product error bound 3.046875ε for vectors of norm ≤ √2; 0
+    means inconclusive."""
+    na = float(np.dot(np.asarray(a, float), np.asarray(b, float)))
+    k_max_error = 3.046875 * 2.220446049250313e-16
+    if abs(na) <= k_max_error:
+        return 0
+    return 1 if na > 0 else -1
+
+
+def sign_dot_prod(a, b) -> int:
+    """SignDotProd (s2predicates.cc:950-964): triage in double, then
+    exact rational arithmetic (no long-double tier in this engine)."""
+    s = triage_sign_dot_prod(a, b)
+    if s != 0:
+        return s
+    fa = [Fraction(float(x)) for x in np.asarray(a, float)]
+    fb = [Fraction(float(x)) for x in np.asarray(b, float)]
+    d = fa[0] * fb[0] + fa[1] * fb[1] + fa[2] * fb[2]
+    return _sgn(d)
 
 
 def edge_or_vertex_crossing(a, b, c, d) -> bool:

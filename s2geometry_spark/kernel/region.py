@@ -308,8 +308,17 @@ class LatLng:
     def is_valid(self) -> bool:
         return abs(self.lat) <= PI / 2 and abs(self.lng) <= PI
 
+    @staticmethod
+    def invalid() -> "LatLng":
+        """S2LatLng::Invalid (s2latlng.h): outside every valid range."""
+        return LatLng(PI, 2 * PI)
+
     def normalized(self) -> "LatLng":
-        """S2LatLng::Normalized (s2latlng.cc): clamp lat, wrap lng."""
+        """S2LatLng::Normalized (s2latlng.cc:56-65): clamp lat, wrap lng;
+        non-finite coordinates PRESERVE invalidity (s2latlng_test.cc
+        InfIsInvalid/NanIsInvalid)."""
+        if not (math.isfinite(self.lat) and math.isfinite(self.lng)):
+            return LatLng.invalid()
         return LatLng(
             max(-PI / 2, min(PI / 2, self.lat)),
             math.remainder(self.lng, 2 * PI),
