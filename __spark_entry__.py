@@ -276,6 +276,12 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
 
 
+def _q_ann_pq_topk(spark, sf_dir):
+    from s2geometry_spark.operators.similarity import ann_pq_topk
+
+    return ann_pq_topk(_emb(spark, sf_dir)).orderBy("query_id", "rank")
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from s2geometry_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -1983,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_features": _q_multimodal_features,
         "sample_stratified": _q_sample_stratified,
@@ -2226,6 +2233,9 @@ def _oracle_sql_impl() -> dict[str, str]:
         "geo_loop_measures": OR.loop_measures_sql(_named_loops()),
         "ann_lsh_topk": OR.ann_lsh_sql(n_queries=10, k=5, bits=6, dim=64),
         "ann_ivf_topk": OR.ann_ivf_sql(n_queries=10, k=5, n_centroids=8, nprobe=2),
+        "ann_pq_topk": OR.ann_pq_sql(
+            n_queries=10, k=5, n_codewords=8, m_subspaces=4, r_candidates=20
+        ),
         "embedding_near_dup": OR.near_dup_sql(threshold=0.4, bits=6, dim=64),
         "multimodal_features": OR.multimodal_sql(500),
         "geo_cellunion_ops": _cellunion_ops_oracle(),

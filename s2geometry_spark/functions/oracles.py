@@ -538,6 +538,105 @@ def ann_ivf_sql(
     """
 
 
+_D2_SQL = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)),"
+    " 'sum')"
+)
+
+
+def ann_pq_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_codewords: int = 8,
+    m_subspaces: int = 4,
+    r_candidates: int = 20,
+    dim: int = 64,
+) -> str:
+    """Relational mirror of operators.similarity.ann_pq_topk: the same
+    md5-sampled codebook split into per-subspace codewords, argmin-d2
+    encoding as a row_number window (d2 asc, code asc — the
+    first-min/smaller-id rule), and the ADC scan written as the same
+    j-ascending left-associated m-term sum (one cw join per subspace, m
+    is a literal), so candidate sets and ranks agree bit-for-bit with
+    the Spark expression plan.  Sub-d2 and sub-dot folds are UNROUNDED;
+    only the re-rank cosine is rounded, like the other ANN oracles."""
+    dsub = dim // m_subspaces
+    m = m_subspaces
+    d2 = _D2_SQL.format(
+        a=f"e.embedding[w.j*{dsub}+1 : w.j*{dsub}+{dsub}]", b="w.sub"
+    )
+    code_cols = ",\n             ".join(
+        f"max(CASE WHEN j = {j} THEN code END) AS c{j}" for j in range(m)
+    )
+    pair_codes = ", ".join(f"cp.c{j}" for j in range(m))
+    cw_joins = "\n      ".join(
+        f"JOIN cw w{j} ON w{j}.j = {j} AND w{j}.cid = p.c{j}"
+        for j in range(m)
+    )
+    adc = " + ".join(
+        "("
+        + _DDOT.format(
+            a=f"p.q_emb[{j * dsub + 1}:{j * dsub + dsub}]", b=f"w{j}.sub"
+        )
+        + ")"
+        for j in range(m)
+    )
+    cos = _cos_sql("q_emb", "c_emb")
+    return f"""
+    WITH sel AS (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {n_codewords}),
+    cent AS (
+      SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+             embedding AS cent_emb
+      FROM sel),
+    js AS (SELECT unnest(generate_series(0, {m - 1}))::INT AS j),
+    cw AS (
+      SELECT c.cid, js.j,
+             c.cent_emb[js.j*{dsub}+1 : js.j*{dsub}+{dsub}] AS sub
+      FROM cent c CROSS JOIN js),
+    sa AS (
+      SELECT e.vec_id, w.j, w.cid, {d2} AS d2
+      FROM embeddings e CROSS JOIN cw w),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d2 ASC, cid ASC) AS rn
+        FROM sa)
+      WHERE rn = 1),
+    cp AS (
+      SELECT vec_id,
+             {code_cols}
+      FROM codes GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < {n_queries}),
+    p AS (
+      SELECT q.query_id, q.q_emb, e.vec_id AS cand_id,
+             e.embedding AS c_emb, {pair_codes}
+      FROM cp JOIN embeddings e USING (vec_id) CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    adc AS (
+      SELECT p.query_id, p.q_emb, p.cand_id, p.c_emb,
+             {adc} AS adc
+      FROM p
+      {cw_joins}),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc DESC, cand_id ASC) AS arank
+        FROM adc)
+      WHERE arank <= {r_candidates}),
+    scored AS (SELECT query_id, cand_id, {cos} AS cosine FROM cand),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, cand_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, cand_id, cosine, rank::INT AS rank
+    FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def near_dup_sql(threshold: float, bits: int = 8, dim: int = 64) -> str:
     from ..operators.similarity import _hyperplanes
 

@@ -321,6 +321,157 @@ def ann_ivf_topk(
     )
 
 
+def _d2(a, b):
+    """Sequential-fold squared L2 distance between two array columns —
+    the PQ assignment metric, bit-identical to the DuckDB mirror
+    (functions/oracles._D2_SQL) by the same left-fold discipline as
+    `_dot`."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_codewords(
+    emb: DataFrame, n_codewords: int, m_subspaces: int
+) -> tuple[list[list[list[float]]], int]:
+    """Deterministic PQ codebook: the same md5-spread row sample as IVF
+    (`_ivf_centroids`), split into `m_subspaces` contiguous sub-vectors.
+    cw[j][c] is codeword c of subspace j.  Returns (cw, dsub)."""
+    cents = _ivf_centroids(emb, n_codewords)
+    dim = len(cents[0])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    dsub = dim // m_subspaces
+    cw = [
+        [c[j * dsub : (j + 1) * dsub] for c in cents]
+        for j in range(m_subspaces)
+    ]
+    return cw, dsub
+
+
+# Expression-path guard: the assignment pass compiles K*m sub-distance
+# folds of dsub terms each.  Production PQ (K=256, m=16+) would ship the
+# codebook in an Arrow pandas UDF exactly like IVF's pudf plan; at that
+# point the oracle contract stays the fixture-scale expr path.
+PQ_EXPR_MAX_FOLDS = 512
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_codewords: int = 8,
+    m_subspaces: int = 4,
+    r_candidates: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou et al., PAMI 2011 — the
+    standard embedding-scale index next to IVF):
+
+      1. train: an md5-spread row sample becomes K codewords per
+         subspace (collect-once, same shape as IVF's train step);
+      2. encode: each corpus vector maps to m one-byte codes — argmin
+         squared-L2 per subspace, smaller code on ties (map-only pass,
+         the fact table never shuffles; at 100 TB the codes table is
+         the persisted index: m bytes/doc instead of 4·dim);
+      3. scan: each query precomputes an m×K lookup table of sub-dot
+         products (broadcast with the query), so a candidate's
+         asymmetric-distance score is m table probes instead of a
+         dim-length dot — candidates ranked by ADC, top `r_candidates`
+         kept per query (the only shuffle);
+      4. re-rank: exact rounded cosine over the survivors, final top-k.
+
+    Every score the ORDERING touches (sub-d2, ADC terms, the j-ascending
+    ADC sum) is a sequential left fold, bit-identical across the Spark
+    expression form and the DuckDB mirror (functions/oracles.ann_pq_sql),
+    with smaller-id tie-breaks — so candidate sets and ranks agree
+    engine-independently.  Output cosines are rounded like the other ANN
+    paths."""
+    cw, dsub = _pq_codewords(emb, n_codewords, m_subspaces)
+    if n_codewords * m_subspaces > PQ_EXPR_MAX_FOLDS:
+        raise ValueError(
+            "codebook too large for the expression path "
+            f"({n_codewords}x{m_subspaces}); ship it in a pandas UDF "
+            "(see ann_ivf_topk's pudf plan)"
+        )
+
+    def sub(col, j):
+        return F.slice(col, j * dsub + 1, dsub)
+
+    # -- encode: per-subspace argmin code, first-min = smallest code id
+    def _code(j):
+        d2s = F.array(
+            *[
+                _d2(
+                    sub(F.col("embedding"), j),
+                    F.array(*[F.lit(float(v)) for v in cw[j][c]]),
+                )
+                for c in range(n_codewords)
+            ]
+        )
+        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+    codes = F.array(*[_code(j) for j in range(m_subspaces)])
+    coded = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        codes.alias("codes"),
+    )
+    # -- query LUT: flat j-major array of sub-dot products (m*K doubles)
+    lut = F.array(
+        *[
+            _dot(
+                sub(F.col("embedding"), j),
+                F.array(*[F.lit(float(v)) for v in cw[j][c]]),
+            )
+            for j in range(m_subspaces)
+            for c in range(n_codewords)
+        ]
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        lut.alias("lut"),
+    )
+    pairs = coded.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+    # ADC = sum_j lut[j*K + codes[j]], j ascending, left-associated — the
+    # SQL mirror writes the same m-term chain.
+    adc = F.element_at("lut", F.lit(1) + F.element_at("codes", 1))
+    for j in range(1, m_subspaces):
+        adc = adc + F.element_at(
+            "lut", F.lit(j * n_codewords + 1) + F.element_at("codes", j + 1)
+        )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("cand_id").asc()
+    )
+    cands = (
+        pairs.select("query_id", "q_emb", "cand_id", "c_emb", adc.alias("adc"))
+        .withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= r_candidates)
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cands.select(
+            "query_id", "cand_id", F.round(cos, round_digits).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95, bits: int = 8, dim: int = 64,
     round_digits: int = 6,
