@@ -106,3 +106,89 @@ def test_stateful_sessionization_matches_batch_session_window(spark, tmp_path):
             expected.add((cell, r.s_start, r.s_end, r.n_mentions))
     assert expected, "fixture produced no closed sessions — widen the data"
     assert got == expected
+
+
+def test_stream_dedup_drops_planted_duplicates(spark, tmp_path):
+    """dedup_pages_stream keeps exactly one row per content hash and its
+    hash set equals the batch distinct set; the planted re-crawls (same
+    text, new url, later warc_ts) are dropped."""
+    from s2geometry_spark.streaming.dedup import dedup_pages_stream
+
+    src = str(tmp_path / "pages_dup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    pages = synthesize_pages(spark, 300, partitions=4)
+    dups = (
+        pages.limit(100)
+        .withColumn("url", F.concat(F.col("url"), F.lit("#recrawl")))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    pages.unionByName(dups).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = dedup_pages_stream(stream, watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped_pages")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select content_hash, count(*) as n from deduped_pages group by 1"
+    ).collect()
+    want = {
+        r.h
+        for r in spark.read.parquet(src)
+        .select(F.sha2(F.col("text").cast("binary"), 256).alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert {r.content_hash for r in got} == want
+    assert all(r.n == 1 for r in got)
+    assert len(got) == 300  # the 100 re-crawls deduped away
+
+
+def test_stream_duplicate_rate_matches_batch(spark, tmp_path):
+    """The windowed ingest-quality metric equals the batch aggregate with
+    the same expressions (approx_count_distinct's HLL is deterministic
+    for identical input)."""
+    from s2geometry_spark.streaming.dedup import duplicate_rate_stream
+
+    src = str(tmp_path / "pages_rate_src")
+    ckpt = str(tmp_path / "rate_ckpt")
+    pages = synthesize_pages(spark, 300, partitions=4)
+    dups = pages.limit(60).withColumn(
+        "url", F.concat(F.col("url"), F.lit("#recrawl"))
+    )
+    pages.unionByName(dups).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    rate = duplicate_rate_stream(stream, window="1 hour", watermark="2 hours")
+    q = (
+        rate.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dup_rate")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w_start, r.n_pages, r.n_distinct_approx)
+        for r in spark.sql("select * from dup_rate").collect()
+    }
+    want_rows = (
+        spark.read.parquet(src)
+        .withColumn("content_hash", F.sha2(F.col("text").cast("binary"), 256))
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.approx_count_distinct("content_hash").alias("n_distinct_approx"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_pages", "n_distinct_approx")
+        .collect()
+    )
+    want = {(r.w_start, r.n_pages, r.n_distinct_approx) for r in want_rows}
+    assert got == want and sum(r[1] for r in got) == 360
