@@ -192,3 +192,85 @@ def test_stream_duplicate_rate_matches_batch(spark, tmp_path):
     )
     want = {(r.w_start, r.n_pages, r.n_distinct_approx) for r in want_rows}
     assert got == want and sum(r[1] for r in got) == 360
+
+
+def test_stream_pip_enrichment_matches_batch_flagship(spark, tmp_path):
+    """The streaming spatial enrichment runs the batch flagship operator
+    unchanged (stream-static broadcast join + Arrow PIP filter) and must
+    produce exactly the batch join's rows; the windowed per-polygon
+    rollup must equal the batch aggregate."""
+    from s2geometry_spark.kernel.contains import parse_polygon
+    from s2geometry_spark.operators.indexing import index_points
+    from s2geometry_spark.operators.spatial_join import point_in_polygon_join
+    from s2geometry_spark.sources.pages import extract_mentions
+    from s2geometry_spark.streaming.enrich import (
+        enrich_mentions_stream,
+        polygon_mention_counts_stream,
+    )
+
+    polygons = [
+        ("nyc", parse_polygon("40.2:-74.5, 40.2:-73.5, 41.2:-73.5, 41.2:-74.5")),
+        ("london", parse_polygon("51.0:-0.7, 51.0:0.4, 52.0:0.4, 52.0:-0.7")),
+        ("tokyo_w_hole", parse_polygon(
+            "35.1:139.2, 35.1:140.2, 36.2:140.2, 36.2:139.2;"
+            "35.5:139.5, 35.5:139.9, 35.9:139.9, 35.9:139.5"
+        )),
+    ]
+    src = str(tmp_path / "pages_pip_src")
+    pages = synthesize_pages(spark, 500, partitions=4)
+    pages.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    enriched = enrich_mentions_stream(stream, polygons)
+    q1 = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_mentions")
+        .option("checkpointLocation", str(tmp_path / "pip_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(180)
+    got = {
+        (r.url, r.mention_idx, r.polygon_id)
+        for r in spark.sql(
+            "select url, mention_idx, polygon_id from enriched_mentions"
+        ).collect()
+    }
+    batch_pts = index_points(extract_mentions(pages), level=30)
+    want_df = point_in_polygon_join(batch_pts, polygons)
+    want = {
+        (r.url, r.mention_idx, r.polygon_id)
+        for r in want_df.select("url", "mention_idx", "polygon_id").collect()
+    }
+    assert got == want and len(got) > 0
+
+    # windowed rollup: re-stream through the aggregate and compare
+    counts = polygon_mention_counts_stream(
+        enrich_mentions_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+            polygons,
+        )
+    )
+    q2 = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("polygon_counts")
+        .option("checkpointLocation", str(tmp_path / "cnt_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    got_counts = {
+        (r.w_start, r.polygon_id): r.n_mentions
+        for r in spark.sql("select * from polygon_counts").collect()
+    }
+    want_rows = (
+        want_df.join(pages.select("url", "warc_ts"), "url")
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "polygon_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "polygon_id", "n")
+        .collect()
+    )
+    want_counts = {(r.w_start, r.polygon_id): r.n for r in want_rows}
+    assert got_counts == want_counts
