@@ -282,9 +282,89 @@ def format_points(points, roundtrip_precision: bool = False) -> str:
     return ", ".join(format_point(p, roundtrip_precision) for p in pts)
 
 
-def format_polygon(polygon: "Polygon", roundtrip_precision: bool = False) -> str:
-    """s2textformat ToString polygon: loops joined with '; '."""
-    return "; ".join(
+def format_polygon(
+    polygon: "Polygon",
+    roundtrip_precision: bool = False,
+    loop_separator: str = "; ",
+) -> str:
+    """s2textformat ToString polygon (s2text_format.cc ToString(S2Polygon,
+    loop_separator)): loops joined by the separator (the reference
+    default is ";\\n"; this module keeps '; ' for historical callers),
+    with the "empty" / "full" sentinels."""
+    if not polygon.loops:
+        return "empty"
+    if polygon.is_full:
+        return "full"
+    return loop_separator.join(
         format_points(loop.vertices, roundtrip_precision)
         for loop in polygon.loops
     )
+
+
+def format_latlngs(latlngs) -> str:
+    """s2textformat ToString(Span<const S2LatLng>): "%.15g:%.15g" pairs
+    joined by ', ' (s2text_format.cc)."""
+    return ", ".join("%.15g:%.15g" % (lat, lng) for lat, lng in latlngs)
+
+
+def format_lax_polygon(loops, loop_separator: str = ";\n") -> str:
+    """s2textformat ToString(S2LaxPolygonShape): same loop join, but a
+    zero-vertex loop renders as "full" and a lax polygon with no loops
+    as "empty"."""
+    if not len(loops):
+        return "empty"
+    return loop_separator.join(
+        "full" if len(lv) == 0 else format_points(lv) for lv in loops
+    )
+
+
+def _shape_chains(sh) -> list:
+    """Chains of a duck-typed shape: dim 0 → one single-vertex chain per
+    point; dim 1 → one chain of all vertices; dim 2 → one chain per loop
+    (a zero-vertex chain is the full loop)."""
+    if sh.dim == 0:
+        return [p[None] for p in np.asarray(sh.points, float)]
+    if sh.dim == 1:
+        return [np.asarray(sh.vertices, float)]
+    return [np.asarray(lv, float).reshape(-1, 3) for lv in sh.loops]
+
+
+def format_shape(sh) -> str:
+    """s2textformat ToString(S2Shape) (s2text_format.cc:359-385): the
+    single-shape index form — points as "p | p ##", polylines as
+    "# v, v #", polygons as "## loop; loop"."""
+    separator = "; " if sh.dim == 2 else " | "
+    out = "# " if sh.dim == 1 else "## " if sh.dim == 2 else ""
+    out += separator.join(format_points(c) for c in _shape_chains(sh))
+    if sh.dim == 1:
+        out += " #"
+    if sh.dim == 0:
+        out += " ##"
+    return out
+
+
+def format_index(shapes, roundtrip_precision: bool = False) -> str:
+    """s2textformat ToString(S2ShapeIndex) (s2text_format.cc:409-439):
+    "points # polylines # polygons", dimension sections separated by
+    '#', same-dimension shapes by ' | ', polygon chains by '; ', with a
+    zero-length chain rendered as "full"."""
+    out = ""
+    for dim in range(3):
+        if dim > 0:
+            out += "#"
+        count = 0
+        for sh in shapes:
+            if sh.dim != dim:
+                continue
+            out += " | " if count > 0 else (" " if dim > 0 else "")
+            for i, chain in enumerate(_shape_chains(sh)):
+                if i > 0:
+                    out += "; " if dim == 2 else " | "
+                if len(chain) == 0:
+                    out += "full"
+                else:
+                    out += format_points(chain, roundtrip_precision)
+                count += 1
+        if dim == 1 or (dim == 0 and count > 0):
+            out += " "
+    return out

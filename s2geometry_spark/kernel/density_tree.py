@@ -72,7 +72,10 @@ class DensityTree:
         return cid.id in self.weights and self.has_children(cid)
 
     # ---- traversal (VisitCells, preorder over faces in Hilbert order)
-    def visit_cells(self, fn: Callable[[CID], int]) -> None:
+    def visit_cells(self, fn: Callable[[CID], int]) -> bool:
+        """Returns False iff the visitor STOPped (the reference's
+        VisitCells bool contract, s2density_tree.h); an uninitialized
+        (empty) tree visits nothing and returns True."""
         def rec(cid: CID) -> bool:
             action = fn(cid)
             if action == STOP:
@@ -87,7 +90,8 @@ class DensityTree:
             f = CID.from_face(face)
             if f.id in self.weights:
                 if not rec(f):
-                    return
+                    return False
+        return True
 
     def decode(self) -> dict[int, int]:
         return dict(self.weights)

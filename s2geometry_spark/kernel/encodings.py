@@ -223,10 +223,15 @@ def encode_point_region(p, enc: Encoder | None = None) -> Encoder:
 
 
 def decode_point_region(dec: Decoder) -> np.ndarray:
+    """S2PointRegion::Decode (s2point_region.cc): rejects non-unit
+    vectors instead of asserting (DecodeNonUnitLength)."""
     version = dec.get8()
     if version > LOSSLESS_VERSION:
         raise ValueError(f"unknown S2PointRegion version {version}")
-    return np.array([dec.getdouble() for _ in range(3)])
+    p = np.array([dec.getdouble() for _ in range(3)])
+    if abs(float(p @ p) - 1.0) > 5e-14:
+        raise ValueError("S2PointRegion point is not unit length")
+    return p
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,13 @@ from .graph import (
 )
 
 
+def resolve_is_full(value) -> bool:
+    """Graph::IsFullPolygon (s2builder_graph.h): the is-full-polygon
+    predicate is invoked only at the point a layer needs the decision.
+    `value` is either the resolved bool or a zero-arg callable."""
+    return bool(value()) if callable(value) else bool(value)
+
+
 class Builder:
     """S2Builder facade: collects labeled input edges/points, snaps, and
     hands a Graph to the layer.  Labels follow the reference's
@@ -132,7 +139,12 @@ class Builder:
         for lv in loops:
             self.add_loop(lv)
 
-    def add_is_full_polygon_predicate(self, is_full: bool) -> None:
+    def add_is_full_polygon_predicate(self, is_full) -> None:
+        """Accepts the resolved bool or a zero-arg callable — the
+        reference's IsFullPolygonPredicate is invoked only when a layer
+        actually needs the empty-vs-full decision (Graph::IsFullPolygon,
+        s2builder_graph.h), so callables are resolved lazily at the
+        consumption sites (resolve_is_full)."""
         self._is_full = is_full
 
     def _snapping_not_needed(self, all_v) -> bool:
@@ -618,7 +630,9 @@ class PolygonLayer:
         from .measures import loop_signed_area
 
         if g.num_edges() == 0:
-            self.is_full = bool(getattr(g, "is_full_polygon", False))
+            self.is_full = resolve_is_full(
+                getattr(g, "is_full_polygon", False)
+            )
             return None
         if g.options.edge_type == DIRECTED:
             edge_loops, error = get_directed_loops(g, SIMPLE)
@@ -793,22 +807,30 @@ class LaxPolygonLayer:
         if g.options.edge_type != DIRECTED:
             return "UNIMPLEMENTED: undirected edges not supported yet"
         db = self.degenerate_boundaries
-        is_full = bool(getattr(g, "is_full_polygon", False))
+        # IsFullPolygonPredicateNotCalled contract (layer test .cc): the
+        # predicate is consulted ONLY when the graph has no
+        # non-degenerate loop, so resolve it lazily at each use site.
+        raw_full = getattr(g, "is_full_polygon", False)
+
+        def is_full() -> bool:
+            return resolve_is_full(raw_full)
+
         loops: list[np.ndarray] = []
         if db == self.DISCARD:
-            if g.num_edges() == 0 and is_full:
+            if g.num_edges() == 0 and is_full():
                 loops.append(np.empty((0, 3)))
         elif db == self.KEEP:
-            if is_fully_degenerate(g.edges) and is_full:
+            if is_fully_degenerate(g.edges) and is_full():
                 loops.append(np.empty((0, 3)))
         else:
             discard_holes = db == self.DISCARD_HOLES
             degeneracies = find_polygon_degeneracies(
-                g.vertices, g.edges, is_full
+                g.vertices, g.edges,
+                is_full() if is_fully_degenerate(g.edges) else False,
             )
             if len(degeneracies) == g.num_edges():
                 if not degeneracies:
-                    if is_full:
+                    if is_full():
                         loops.append(np.empty((0, 3)))
                 elif degeneracies[0][1]:  # is_hole
                     loops.append(np.empty((0, 3)))
@@ -828,7 +850,7 @@ class LaxPolygonLayer:
                     g.options, g.vertices, new_edges, new_ids, g.lexicon,
                     g.label_sets,
                 )
-                g.is_full_polygon = is_full
+                g.is_full_polygon = raw_full
         edge_loops, error = get_directed_loops(g, "CIRCUIT")
         if error:
             return error

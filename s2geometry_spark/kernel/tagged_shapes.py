@@ -135,25 +135,53 @@ def _decode_shape(tag: int, dec: Decoder):
             raise ValueError("bad lax polyline")
         return LaxPolyline(pv.decode())
     if tag == LAX_POLYGON_TAG:
-        version = dec.get8()
-        if version != LAX_POLYGON_VERSION:
-            raise ValueError(f"bad lax polygon version {version}")
-        num_loops = dec.get_varint32()
-        pv = EncodedS2PointVector()
-        if not pv.init(dec):
-            raise ValueError("bad lax polygon vertices")
-        vertices = pv.decode().reshape(-1, 3)
-        if num_loops == 0:
-            return LaxPolygon([])
-        if num_loops == 1:
-            return LaxPolygon([vertices])
-        starts = EncodedUintVector()
-        if not starts.init(dec, 4):
-            raise ValueError("bad loop starts")
-        s = starts.decode()
-        return LaxPolygon(
-            [vertices[s[i]:s[i + 1]] for i in range(num_loops)])
+        return decode_lax_polygon(dec)
     raise ValueError(f"unsupported shape tag {tag}")
+
+
+def decode_lax_polygon(dec: Decoder):
+    """S2LaxPolygonShape::Init (s2lax_polygon_shape.cc Decode): version
+    byte, varint loop count, encoded point vector, loop offsets.  Every
+    malformed prefix raises ValueError with a reason, mirroring the
+    reference's S2Error messages (the s2lax_polygon_shape_test.cc
+    Bad* decode-guard suite)."""
+    try:
+        version = dec.get8()
+    except Exception:
+        raise ValueError("Insufficient data to decode version")
+    if version != LAX_POLYGON_VERSION:
+        raise ValueError(f"Bad version number: {version}")
+    try:
+        num_loops = dec.get_varint32()
+    except Exception:
+        raise ValueError("Failed to decode number of loops")
+    pv = EncodedS2PointVector()
+    try:
+        ok = pv.init(dec)
+    except Exception:
+        ok = False
+    if not ok:
+        raise ValueError("Failed to decode vertices")
+    try:
+        vertices = pv.decode().reshape(-1, 3)
+    except Exception as e:
+        raise ValueError(f"Failed to decode vertices: {e}")
+    if num_loops == 0:
+        return LaxPolygon([])
+    if num_loops == 1:
+        return LaxPolygon([vertices])
+    starts = EncodedUintVector()
+    try:
+        ok = starts.init(dec, 4)
+    except Exception:
+        ok = False
+    if not ok:
+        raise ValueError("Failed to decode loop offsets")
+    s = starts.decode()
+    if len(s) < num_loops + 1 or int(s[-1]) > len(vertices):
+        raise ValueError("Failed to decode loop offsets")
+    return LaxPolygon(
+        [vertices[s[i]:s[i + 1]] for i in range(num_loops)])
 
 
 def decode_tagged_shapes(dec: Decoder) -> list:

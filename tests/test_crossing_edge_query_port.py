@@ -197,3 +197,48 @@ def test_collinear_edges_on_cell_boundaries():
             edges.append((_norm(a0 + t[2 * k] * (b0 - a0)),
                           _norm(a0 + t[2 * k + 1] * (b0 - a0))))
         _test_all_crossings(edges)
+
+
+def test_query_edge_on_face_boundary():
+    """VisitCells.QueryEdgeOnFaceBoundary (test.cc:365-420): edge AB
+    whose endpoint B lies within half an epsilon of a cube-face
+    boundary clips to an EMPTY set on B's nominal face without padding,
+    yet the crossing with an edge BC on that face must still be found —
+    the kFaceClipErrorUVCoord padding inside the candidate walk is what
+    guarantees it."""
+    from s2geometry_spark.kernel.cell import get_uvw_face
+    from s2geometry_spark.kernel.clipping import (
+        FACE_CLIP_ERROR_UV_COORD,
+        clip_to_padded_face,
+    )
+    from s2geometry_spark.kernel.coords import face_uv_to_xyz, get_face
+
+    rng = np.random.RandomState(20260820)
+    iters = 0
+    while iters < 30:
+        a_face = int(rng.randint(0, 6))
+        a = _norm(np.asarray(face_uv_to_xyz(
+            a_face, rng.uniform(-1, 1), rng.uniform(-1, 1))))
+        b_face = get_uvw_face(a_face, 0, 1)  # towards the +u axis
+        eps = np.finfo(float).eps
+        b = _norm(np.asarray(face_uv_to_xyz(
+            b_face, 1 - int(rng.randint(0, 2)) * 0.5 * eps,
+            rng.uniform(-1, 1))))
+        got_face = int(get_face(*[np.array([v]) for v in b])[0])
+        if got_face != b_face:
+            continue
+        if clip_to_padded_face(a, b, b_face, 0.0) is not None:
+            continue
+        iters += 1
+        # padded clipping succeeds where unpadded failed
+        assert clip_to_padded_face(
+            a, b, b_face, FACE_CLIP_ERROR_UV_COORD
+        ) is not None
+        c = _norm(np.asarray(face_uv_to_xyz(
+            b_face, rng.uniform(-1, 1), rng.uniform(-1, 1))))
+        shape = EdgeVectorShape()
+        shape.add(b, c)
+        index = MutableIndex(max_edges_per_cell=1)
+        index.add(shape)
+        cand = get_crossing_candidates(index, a, b)
+        assert (0, 0) in cand, (a, b, c)

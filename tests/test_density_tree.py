@@ -641,3 +641,32 @@ def test_shape_index_coverings():
                 expect = -expect
             assert got == expect, cid.id
             assert got != 0
+
+
+def test_visitor_cancellation():
+    """VisitorCancellation (test.cc:317-333): a STOP from the visitor
+    makes VisitCells return False (no error)."""
+    from s2geometry_spark.kernel.density_tree import STOP, sum_to_root
+
+    leaf = int(cid_np.from_point(
+        np.array([1.0 / np.sqrt(14)]), np.array([2.0 / np.sqrt(14)]),
+        np.array([3.0 / np.sqrt(14)]))[0])
+    tree = DensityTree(sum_to_root({leaf: 1}))
+    assert tree.visit_cells(lambda cid: STOP) is False
+
+
+def test_visit_uninitialized_tree():
+    """VisitUninitializedTree (test.cc:335-349): visiting an empty tree
+    visits zero cells and completes (returns True)."""
+    from s2geometry_spark.kernel.density_tree import ENTER
+
+    tree = DensityTree()
+    count = 0
+
+    def fn(cid):
+        nonlocal count
+        count += 1
+        return ENTER
+
+    assert tree.visit_cells(fn) is True
+    assert count == 0

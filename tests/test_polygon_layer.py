@@ -235,3 +235,19 @@ def test_four_nested_diamonds_touching_at_two_points_per_pair():
         "5:0, 0:-10, -5:0, 0:-5; "
         "0:5, -5:0, 0:10, 5:0",
     )
+
+
+def test_seven_diamonds_touching_at_one_point_per_pair():
+    """S2PolygonLayer.SevenDiamondsTouchingAtOnePointPerPair
+    (s2builderutil_s2polygon_layer_test.cc): seven nested diamonds,
+    each touching its neighbor at exactly one vertex, survive the
+    round trip unchanged."""
+    check_unchanged(
+        "0:-70, -70:0, 0:70, 70:0; "
+        "0:-70, -60:0, 0:60, 60:0; "
+        "0:-50, -60:0, 0:50, 50:0; "
+        "0:-40, -40:0, 0:50, 40:0; "
+        "0:-30, -30:0, 0:30, 40:0; "
+        "0:-20, -20:0, 0:30, 20:0; "
+        "0:-10, -20:0, 0:10, 10:0"
+    )
