@@ -61,6 +61,7 @@ AVG_AREA = Metric(4 * math.pi / 6, 2)
 
 # S2Earth (s2earth.h:269)
 EARTH_RADIUS_METERS = 6371010.0
+EARTH_RADIUS_KM = EARTH_RADIUS_METERS / 1000.0
 
 
 def meters_to_radians(meters: float) -> float:
@@ -69,6 +70,36 @@ def meters_to_radians(meters: float) -> float:
 
 def radians_to_meters(radians: float) -> float:
     return radians * EARTH_RADIUS_METERS
+
+
+def km_to_radians(km: float) -> float:
+    """S2Earth::KmToRadians (s2earth.h:219)."""
+    return km / EARTH_RADIUS_KM
+
+
+def radians_to_km(radians: float) -> float:
+    """S2Earth::RadiansToKm (s2earth.h:223)."""
+    return radians * EARTH_RADIUS_KM
+
+
+def square_km_to_steradians(km2: float) -> float:
+    """S2Earth::SquareKmToSteradians (s2earth.h:227)."""
+    return km2 / (EARTH_RADIUS_KM * EARTH_RADIUS_KM)
+
+
+def steradians_to_square_km(steradians: float) -> float:
+    """S2Earth::SteradiansToSquareKm (s2earth.h:231)."""
+    return steradians * EARTH_RADIUS_KM * EARTH_RADIUS_KM
+
+
+def square_meters_to_steradians(m2: float) -> float:
+    """S2Earth::SquareMetersToSteradians (s2earth.h:235)."""
+    return m2 / (EARTH_RADIUS_METERS * EARTH_RADIUS_METERS)
+
+
+def steradians_to_square_meters(steradians: float) -> float:
+    """S2Earth::SteradiansToSquareMeters (s2earth.h:239)."""
+    return steradians * EARTH_RADIUS_METERS * EARTH_RADIUS_METERS
 
 
 def meters_to_longitude_radians(meters: float, latitude_radians: float) -> float:

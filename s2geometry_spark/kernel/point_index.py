@@ -178,6 +178,21 @@ class PointIndex:
         self._data.append(data)
         self._arrays = None
 
+    def remove(self, point: Sequence[float], data=None) -> bool:
+        """S2PointIndex::Remove (s2point_index.h:95-101): removes ONE
+        (point, data) pair if present; returns whether a pair was
+        removed."""
+        p = np.asarray(point, dtype=np.float64)
+        for i in range(len(self._pts)):
+            if np.array_equal(self._pts[i], p) and (
+                data is None or self._data[i] == data
+            ):
+                del self._pts[i]
+                del self._data[i]
+                self._arrays = None
+                return True
+        return False
+
     def num_points(self) -> int:
         return len(self._pts)
 
