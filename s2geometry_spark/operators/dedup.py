@@ -91,13 +91,23 @@ def ngram_jaccard_pairs_blocked_baseline(
     )
 
 
+def _lane(md5_col, b: int):
+    """Signature lane b of an md5 column: the b-th 8-hex-char slice parsed
+    as a uint32 LONG.  Fixed-width lowercase hex is order-isomorphic to
+    the numeric value, so min-over-longs picks the same element as the
+    pre-r6 min-over-hex — but a long lane hash-aggregates (fixed-size
+    mutable buffer, map-side partial agg) where a string lane forced the
+    whole exploded shingle table through a SortAggregate."""
+    return F.conv(F.substring(md5_col, 8 * b + 1, 8), 16, 10).cast("long")
+
+
 def minhash_signature(col="text", num_hashes: int = NUM_HASHES):
     """MinHash signature: hash 4·a+b is the b-th 8-hex-char slice of
-    md5(a || '|' || shingle), minimized over shingles — num_hashes/4 md5
-    calls per shingle instead of num_hashes (md5 dominates the minhash
-    cost; each 8-hex slice is an independent uniform 32-bit hash, and the
-    lexicographic min of a uniform hex string is a valid min-hash).
-    Bit-identical in DuckDB (md5 + substring)."""
+    md5(a || '|' || shingle) parsed as a uint32, minimized over shingles —
+    num_hashes/4 md5 calls per shingle instead of num_hashes (md5
+    dominates the minhash cost; each 8-hex slice is an independent
+    uniform 32-bit hash, and the min of a uniform hash is a valid
+    min-hash).  Bit-identical in DuckDB (md5 + substring + from-hex)."""
     assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
     sh = shingles(col)
     return F.array(
@@ -105,8 +115,8 @@ def minhash_signature(col="text", num_hashes: int = NUM_HASHES):
             F.array_min(
                 F.transform(
                     sh,
-                    lambda s, a=a, b=b: F.substring(
-                        F.md5(F.concat(F.lit(f"{a}|"), s)), 8 * b + 1, 8
+                    lambda s, a=a, b=b: _lane(
+                        F.md5(F.concat(F.lit(f"{a}|"), s)), b
                     ),
                 )
             )
@@ -119,17 +129,18 @@ def minhash_signature(col="text", num_hashes: int = NUM_HASHES):
 def minhash_signatures_df(df: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """(doc_id, sig array) via explode + groupBy(min) — one shuffle with
     map-side partial aggregation; the shingle array is computed once and
-    each md5 feeds FOUR signature lanes (8-hex-char slices), so the JVM
-    hash work is num_hashes/4 md5 calls per exploded shingle row."""
+    each md5 feeds FOUR signature lanes (8-hex-char slices as uint32
+    longs), so the JVM hash work is num_hashes/4 md5 calls per exploded
+    shingle row and the min-aggregate runs as a HashAggregate."""
     assert num_hashes % 4 == 0, "num_hashes must be a multiple of 4"
     exploded = df.select("doc_id", F.explode(shingles()).alias("sh"))
     n_md5 = num_hashes // 4
     hashed = exploded.select(
         "doc_id",
         *[
-            F.substring(
-                F.md5(F.concat(F.lit(f"{a}|"), F.col("sh"))), 8 * b + 1, 8
-            ).alias(f"h{4 * a + b}")
+            _lane(F.md5(F.concat(F.lit(f"{a}|"), F.col("sh"))), b).alias(
+                f"h{4 * a + b}"
+            )
             for a in range(n_md5)
             for b in range(4)
         ],
@@ -177,7 +188,13 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.md5(
-                            F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))
+                            F.concat_ws(
+                                "|",
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows + 1, rows),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -232,7 +249,13 @@ def _minhash_pairs_carry_sig(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.md5(
-                            F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))
+                            F.concat_ws(
+                                "|",
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows + 1, rows),
+                                    lambda v: v.cast("string"),
+                                ),
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(bands)

@@ -65,15 +65,31 @@ INDEX_SCHEMA = (
 
 
 def edges_to_df(spark: SparkSession, shapes, partitions: int = 8) -> DataFrame:
-    """Explode kernel Shape objects into an edge DataFrame."""
-    rows = []
+    """Explode kernel Shape objects into an edge DataFrame (Arrow path —
+    a 10⁵-edge shape ships as columnar batches, not 10⁵ pickled tuples)."""
+    frames = []
     for shape in shapes:
-        for e in range(len(shape.edges_c)):
-            a, b = shape.edges_c[e], shape.edges_d[e]
-            rows.append(
-                (shape.shape_id, e, *[float(v) for v in a], *[float(v) for v in b])
+        C = np.asarray(shape.edges_c, dtype=np.float64).reshape(-1, 3)
+        D = np.asarray(shape.edges_d, dtype=np.float64).reshape(-1, 3)
+        n = len(C)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "shape_id": np.full(n, shape.shape_id, dtype=np.int32),
+                    "edge_id": np.arange(n, dtype=np.int32),
+                    "ax": C[:, 0], "ay": C[:, 1], "az": C[:, 2],
+                    "bx": D[:, 0], "by": D[:, 1], "bz": D[:, 2],
+                }
             )
-    return spark.createDataFrame(rows, EDGE_SCHEMA).repartition(partitions)
+        )
+    pdf = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(
+            columns=["shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz"]
+        )
+    )
+    return spark.createDataFrame(pdf, EDGE_SCHEMA).repartition(partitions)
 
 
 def _edge_intersects_cell(a: np.ndarray, b: np.ndarray, cid: CID) -> bool:
@@ -243,16 +259,23 @@ def build_shape_index(
             B = pdf[["bx", "by", "bz"]].to_numpy(np.float64)
             sid = pdf["shape_id"].to_numpy(np.int64)
             eid = pdf["edge_id"].to_numpy(np.int64)
-            # pieces: (orig_row, pa, pb); most edges are one piece
-            rows, PA, PB = [], [], []
-            for r in range(len(pdf)):
-                for pa, pb in _split_geodesic(A[r], B[r]):
-                    rows.append(r)
-                    PA.append(pa)
-                    PB.append(pb)
-            rows = np.asarray(rows, dtype=np.int64)
-            PA = np.asarray(PA).reshape(-1, 3)
-            PB = np.asarray(PB).reshape(-1, 3)
+            # pieces: (orig_row, pa, pb); most edges are one piece — keep
+            # those fully vectorized and loop only the rare long edges
+            d = A - B
+            chord = np.sqrt((d * d).sum(-1))
+            ang = 2.0 * np.arcsin(np.minimum(1.0, 0.5 * chord))
+            n_pieces = np.maximum(1, np.ceil(ang / MAX_PIECE_RAD).astype(np.int64))
+            multi = np.nonzero(n_pieces > 1)[0]
+            single = np.nonzero(n_pieces <= 1)[0]
+            rows_l, PA_l, PB_l = [single], [A[single]], [B[single]]
+            for r in multi:
+                pieces = _split_geodesic(A[r], B[r])
+                rows_l.append(np.full(len(pieces), r, dtype=np.int64))
+                PA_l.append(np.array([p[0] for p in pieces]))
+                PB_l.append(np.array([p[1] for p in pieces]))
+            rows = np.concatenate(rows_l)
+            PA = np.concatenate(PA_l).reshape(-1, 3)
+            PB = np.concatenate(PB_l).reshape(-1, 3)
             pad = _piece_pad(PA, PB)
             fa = C.get_face(PA[:, 0], PA[:, 1], PA[:, 2])
             fb = C.get_face(PB[:, 0], PB[:, 1], PB[:, 2])
@@ -368,69 +391,83 @@ def build_shape_index(
         edge_max_level = np.where(
             elen > 0, np.clip(-expo, 0, 30), 30
         ).astype(np.int64)
-        out_rows = []
-
-        def emit(i_lo: int, j_lo: int, level: int, idxs: np.ndarray):
-            leaf = from_face_ij(
-                np.array([face]), np.array([i_lo]), np.array([j_lo])
-            )
-            cell_s = int(K.parent(leaf, level)[0]) - (1 << 63)
-            _, first = np.unique(ekey[idxs], return_index=True)
-            for fi in first:
-                r = int(idxs[fi])
-                out_rows.append(
-                    (
-                        cell_s, level,
-                        int(ekey[r] >> 32), int(ekey[r] & 0xFFFFFFFF),
-                        A3[r][0], A3[r][1], A3[r][2],
-                        B3[r][0], B3[r][1], B3[r][2],
-                    )
-                )
+        # emitted cells accumulate as ARRAYS (i_lo, j_lo, level, unique
+        # row-index list) — the cell-id encode, key unpack and endpoint
+        # gather all run vectorized once at the end instead of per-row
+        # Python tuple construction (the pre-r6 refine spent most of its
+        # time building a list of tuples)
+        em_i: list[int] = []
+        em_j: list[int] = []
+        em_lvl: list[int] = []
+        em_rows: list[np.ndarray] = []
 
         def rec(i_lo: int, j_lo: int, level: int, idxs: np.ndarray):
             uniq_first = np.unique(ekey[idxs], return_index=True)[1]
             n_edges = len(uniq_first)
-            if n_edges <= max_edges_per_cell or level >= max_level:
-                emit(i_lo, j_lo, level, idxs)
-                return
             # Short-edge rule (mutable_s2shape_index.cc:1816-1833):
             # subdivide only when the count of edges SHORT relative to
             # this cell (cell level < edge max level) exceeds
             # max(max_edges_per_cell, f * n_edges) with
             # f = s2shape_index_min_short_edge_fraction = 0.2.
-            n_short = int(
-                np.count_nonzero(edge_max_level[idxs][uniq_first] > level)
-            )
-            if n_short <= max(max_edges_per_cell, int(0.2 * n_edges)):
-                emit(i_lo, j_lo, level, idxs)
-                return
-            half = 1 << (30 - level - 1)
-            for ci, cj in (
-                (i_lo, j_lo), (i_lo + half, j_lo),
-                (i_lo, j_lo + half), (i_lo + half, j_lo + half),
-            ):
-                mask = _segs_intersect_rect(
-                    A2[idxs], B2[idxs], _uv_bounds(ci, cj, level + 1), pad[idxs]
+            if not (n_edges <= max_edges_per_cell or level >= max_level):
+                n_short = int(
+                    np.count_nonzero(edge_max_level[idxs][uniq_first] > level)
                 )
-                sub = idxs[mask]
-                if len(sub):
-                    rec(ci, cj, level + 1, sub)
+                if n_short > max(max_edges_per_cell, int(0.2 * n_edges)):
+                    half = 1 << (30 - level - 1)
+                    for ci, cj in (
+                        (i_lo, j_lo), (i_lo + half, j_lo),
+                        (i_lo, j_lo + half), (i_lo + half, j_lo + half),
+                    ):
+                        mask = _segs_intersect_rect(
+                            A2[idxs], B2[idxs],
+                            _uv_bounds(ci, cj, level + 1), pad[idxs],
+                        )
+                        sub = idxs[mask]
+                        if len(sub):
+                            rec(ci, cj, level + 1, sub)
+                    return
+            em_i.append(i_lo)
+            em_j.append(j_lo)
+            em_lvl.append(level)
+            em_rows.append(idxs[uniq_first])
 
         rec(i0, j0, root_level, np.arange(len(pdf)))
-        return pd.DataFrame(
-            out_rows,
-            columns=[
-                "cell_id_s", "level", "shape_id", "edge_id",
-                "ax", "ay", "az", "bx", "by", "bz",
-            ],
-        ).astype(
-            {
-                "cell_id_s": "int64", "level": "int32",
-                "shape_id": "int32", "edge_id": "int32",
-                "ax": "float64", "ay": "float64", "az": "float64",
-                "bx": "float64", "by": "float64", "bz": "float64",
-            }
+        dtypes = {
+            "cell_id_s": "int64", "level": "int32",
+            "shape_id": "int32", "edge_id": "int32",
+            "ax": "float64", "ay": "float64", "az": "float64",
+            "bx": "float64", "by": "float64", "bz": "float64",
+        }
+        if not em_rows:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in dtypes.items()}
+            )
+        counts = np.fromiter((len(r) for r in em_rows), np.int64, len(em_rows))
+        rows_cat = np.concatenate(em_rows)
+        lv = np.asarray(em_lvl, dtype=np.int64)
+        leafs = from_face_ij(
+            np.full(len(em_i), face, dtype=np.int64),
+            np.asarray(em_i, dtype=np.int64),
+            np.asarray(em_j, dtype=np.int64),
         )
+        cells = np.empty(len(leafs), dtype=np.uint64)
+        for l in np.unique(lv):
+            m = lv == l
+            cells[m] = K.parent(leafs[m], int(l))
+        keys = ekey[rows_cat]
+        return pd.DataFrame(
+            {
+                "cell_id_s": np.repeat(K.bias(cells), counts),
+                "level": np.repeat(lv, counts).astype(np.int32),
+                "shape_id": (keys >> 32).astype(np.int32),
+                "edge_id": (keys & 0xFFFFFFFF).astype(np.int32),
+                "ax": A3[rows_cat, 0], "ay": A3[rows_cat, 1],
+                "az": A3[rows_cat, 2],
+                "bx": B3[rows_cat, 0], "by": B3[rows_cat, 1],
+                "bz": B3[rows_cat, 2],
+            }
+        ).astype(dtypes)
 
     return seeded.groupBy("cell_id_s").applyInPandas(refine, INDEX_SCHEMA)
 
@@ -442,6 +479,20 @@ def _probe_level_for(max_distance_rad: float, deepest: int = 30) -> int:
     while lvl < deepest and metrics.MIN_WIDTH.get_value(lvl + 1) >= max_distance_rad:
         lvl += 1
     return lvl
+
+
+def _descend_cells(cells: np.ndarray, from_level: int, to_level: int) -> np.ndarray:
+    """All descendants of `cells` (uint64, at from_level) at `to_level`
+    (s2cell_id.h child_begin/next algebra, vectorized).  from==to → cells."""
+    if to_level <= from_level:
+        return cells
+    lsb_f = np.uint64(1) << np.uint64(2 * (30 - from_level))
+    lsb_t = np.uint64(1) << np.uint64(2 * (30 - to_level))
+    nk = 4 ** (to_level - from_level)
+    # k-th descendant = range_min - 1 + (2k+1)*lsb_t = id - lsb_f + (2k+1)*lsb_t
+    start = cells - lsb_f + lsb_t
+    steps = (np.uint64(2) * np.arange(nk, dtype=np.uint64)) * lsb_t
+    return (start[:, None] + steps[None, :]).ravel()
 
 
 def probe_cells_df(index: DataFrame, max_distance_rad: float) -> DataFrame:
@@ -462,7 +513,10 @@ def probe_cells_df(index: DataFrame, max_distance_rad: float) -> DataFrame:
             uniq, inv = np.unique(lifted, return_inverse=True)
             rings = K.all_neighbors(uniq, int(pl))
             cell_lists = [
-                sorted({int(u) - (1 << 63)} | {int(v) - (1 << 63) for v in r.tolist()})
+                sorted(
+                    {int(u) - (1 << 63)}
+                    | {int(v) - (1 << 63) for v in r.tolist()}
+                )
                 for u, r in zip(uniq.tolist(), rings)
             ]
             for k, row in enumerate(sel.tolist()):
@@ -477,6 +531,53 @@ def probe_cells_df(index: DataFrame, max_distance_rad: float) -> DataFrame:
         )
     )
     return probe.dropDuplicates(["probe_cell_s", "shape_id", "edge_id"])
+
+
+def _dist2_expr(px, py, pz, ax, ay, az, bx, by, bz):
+    """Squared-chord point-to-edge distance as a whole-stage-codegen
+    Column — an op-for-op mirror of kernel.distance.point_edge_dist2_rowwise
+    (s2edge_distances.cc UpdateMinDistance path).  Every operation is IEEE
+    double (+,-,*,/,sqrt, comparisons) evaluated in the same order as the
+    NumPy kernel, so results are bit-identical; only the trig (lat/lng →
+    xyz) stays in NumPy upstream."""
+    from ..kernel.distance import DBL_EPSILON
+
+    def dot(ux, uy, uz, vx, vy, vz):
+        return ux * vx + uy * vy + uz * vz
+
+    def cross(ux, uy, uz, vx, vy, vz):
+        return (uy * vz - uz * vy, uz * vx - ux * vz, ux * vy - uy * vx)
+
+    def clip01(v):
+        return F.least(F.greatest(v, F.lit(0.0)), F.lit(1.0))
+
+    xa2 = dot(px - ax, py - ay, pz - az, px - ax, py - ay, pz - az)
+    xb2 = dot(px - bx, py - by, pz - bz, px - bx, py - by, pz - bz)
+    vertex_d2 = F.least(xa2, xb2)
+    ab2 = dot(ax - bx, ay - by, az - bz, ax - bx, ay - by, az - bz)
+    max_error = F.lit(4.75 * DBL_EPSILON) * (xa2 + xb2 + ab2) + F.lit(
+        8 * DBL_EPSILON**2
+    )
+    maybe_interior = F.abs(xa2 - xb2) < ab2 + max_error
+    ex, ey, ez = ax - bx, ay - by, az - bz
+    fx, fy, fz = ax + bx, ay + by, az + bz
+    cx_, cy_, cz_ = cross(ex, ey, ez, fx, fy, fz)  # RobustCrossProd stable tier
+    c2 = dot(cx_, cy_, cz_, cx_, cy_, cz_)
+    x_dot_c = dot(px, py, pz, cx_, cy_, cz_)
+    x_dot_c2 = x_dot_c * x_dot_c
+    acx, acy, acz = cross(ax, ay, az, cx_, cy_, cz_)
+    w1 = dot(px, py, pz, acx, acy, acz)
+    bcx, bcy, bcz = cross(bx, by, bz, cx_, cy_, cz_)
+    w2 = dot(px, py, pz, bcx, bcy, bcz)
+    interior = (
+        maybe_interior & (w1 < F.lit(0.0)) & (w2 > F.lit(0.0)) & (c2 > F.lit(0.0))
+    )
+    cxx, cxy, cxz = cross(cx_, cy_, cz_, px, py, pz)
+    cx2 = dot(cxx, cxy, cxz, cxx, cxy, cxz)
+    ratio = clip01(x_dot_c2 / c2)
+    qr = F.lit(1.0) - F.sqrt(clip01(cx2 / c2))
+    interior_d2 = ratio + qr * qr
+    return F.when(interior, F.least(interior_d2, vertex_d2)).otherwise(vertex_d2)
 
 
 def indexed_closest_edges_join(
@@ -505,7 +606,6 @@ def indexed_closest_edges_join(
     # degrades later queries' GC profile.  Probe levels and the broadcast
     # decision come from the index itself, so the probe table is
     # evaluated exactly once (inside the join).
-    probe = probe_cells_df(index, max_distance_rad)
     l_d = _probe_level_for(max_distance_rad)
     stats = index.select(
         F.least(F.col("level"), F.lit(l_d)).alias("l")
@@ -513,48 +613,171 @@ def indexed_closest_edges_join(
     levels = sorted(int(r.l) for r in stats)
     # ring-1 expansion ⇒ ≤ 9 probe rows per index row (before dedupe)
     n_probe_bound = 9 * sum(int(r["count"]) for r in stats)
-    # broadcast the probe side while it is broadcast-able; a huge edge set
-    # (hundreds of millions of edges) falls back to a shuffled hash join —
-    # the fact table shuffles on the probe cell, which AQE skew-splits
-    probe_side = F.broadcast(probe) if n_probe_bound <= 2_000_000 else probe
-    terms = points.withColumn(
-        "_term", F.explode(F.array(*[CC.parent("cell_id_s", l) for l in levels]))
-    )
-    cand = terms.join(
-        probe_side, terms["_term"] == probe["probe_cell_s"], "inner"
-    ).drop("_term", "probe_cell_s")
-    # With a single probe level, a point has exactly one ancestor term and
-    # probe rows are distinct on (cell, edge) → each (point, edge) pair
-    # appears at most once, so no dedup shuffle is needed.  Mixed probe
-    # levels (index cells coarser than the radius level) can duplicate a
-    # pair across levels → dedupe only then.
-    if len(levels) > 1:
-        cand = cand.dropDuplicates([*point_key, "shape_id", "edge_id"])
-
-    @F.pandas_udf("double")
-    def dist2(
-        lat: pd.Series, lng: pd.Series,
-        ax: pd.Series, ay: pd.Series, az: pd.Series,
-        bx: pd.Series, by: pd.Series, bz: pd.Series,
-    ) -> pd.Series:
-        from ..kernel.coords import latlng_to_xyz
-        from ..kernel.distance import point_edge_dist2_rowwise
-
-        x, y, z = latlng_to_xyz(lat.to_numpy(np.float64), lng.to_numpy(np.float64))
-        X = np.stack([x, y, z], -1)
-        A = np.stack([ax, ay, az], -1).astype(np.float64)
-        B = np.stack([bx, by, bz], -1).astype(np.float64)
-        return pd.Series(point_edge_dist2_rowwise(X, A, B))
-
+    # fast-path broadcast = index rows lifted to the probe level, with
+    # coarser-than-probe cells descended 4^(l_d - level)× each
+    desc_bound = sum(int(r["count"]) * 4 ** (l_d - int(r.l)) for r in stats)
     limit2 = float((2 * math.sin(0.5 * min(math.pi, max_distance_rad))) ** 2)
-    scored = cand.withColumn(
-        "dist2",
-        dist2(
-            F.col("lat"), F.col("lng"),
-            F.col("ax"), F.col("ay"), F.col("az"),
-            F.col("bx"), F.col("by"), F.col("bz"),
-        ),
-    ).filter(F.col("dist2") < F.lit(limit2))
+
+    if desc_bound <= 2_000_000:
+        # Fast path — the probe geometry is inverted relative to the
+        # fallback (ring-1 adjacency is symmetric): instead of ring-
+        # expanding every INDEX row 9× and broadcasting ~9·|index| probe
+        # rows, broadcast the index itself lifted to the probe level
+        # (pure-JVM parent(); the rare coarser-than-probe cells descend
+        # into their probe-level children — identical region), and
+        # ring-explode the POINT side — but only the few points that
+        # survive a broadcast semi join against the distinct ring-cell
+        # set (a set of longs, tiny).  The xyz conversion (the only
+        # Python) runs per MATCHED point, the chord distance is a
+        # whole-stage-codegen op-for-op IEEE mirror of
+        # kernel.distance.point_edge_dist2_rowwise (bit-identical), and
+        # the candidate dedup shuffles only the small matched set.
+        # one fused Python pass per matched point: xyz trig + self+ring-1
+        # cell list (two separate UDFs would pay the per-task Python
+        # worker handshake twice)
+        @F.pandas_udf(
+            "struct<x:double,y:double,z:double,cells:array<long>>"
+        )
+        def prep(lat: pd.Series, lng: pd.Series, term: pd.Series) -> pd.DataFrame:
+            from ..kernel.coords import latlng_to_xyz
+
+            x, y, z = latlng_to_xyz(
+                lat.to_numpy(np.float64), lng.to_numpy(np.float64)
+            )
+            ids = K.unbias(term.to_numpy(np.int64))
+            rings = K.all_neighbors(ids, l_d)
+            cells = [
+                [int(c) - (1 << 63)] + K.bias(r).tolist()
+                for c, r in zip(ids.tolist(), rings)
+            ]
+            return pd.DataFrame({"x": x, "y": y, "z": z, "cells": cells})
+
+        # The gate above certifies the lifted index is broadcast-sized, so
+        # pull it to the driver ONCE (Arrow, one cache-scan job, no UDFs)
+        # and derive both broadcast sides from local data: running these
+        # as distributed broadcast subtrees instead costs two more full
+        # index scans plus a per-task Python handshake for every ring/
+        # descend UDF task (measured: 37 CPU-seconds of pure overhead).
+        # Driver memory here is the same order as the broadcast the
+        # driver must hold anyway.
+        lift_pdf = index.select(
+            F.when(
+                F.col("level") >= l_d, CC.parent("cell_id_s", l_d)
+            ).otherwise(F.col("cell_id_s")).alias("lcell"),
+            F.least(F.col("level"), F.lit(l_d)).alias("llevel"),
+            "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz",
+        ).toPandas()
+        lcells = K.unbias(lift_pdf["lcell"].to_numpy(np.int64))
+        llev = lift_pdf["llevel"].to_numpy(np.int64)
+        if (llev < l_d).any():  # rare coarser-than-probe cells: descend
+            parts = [lift_pdf[llev == l_d]]
+            for pl in np.unique(llev[llev < l_d]):
+                sub = lift_pdf[llev == pl]
+                nk = 4 ** (l_d - int(pl))
+                desc = _descend_cells(
+                    K.unbias(sub["lcell"].to_numpy(np.int64)), int(pl), l_d
+                )
+                rep = sub.loc[sub.index.repeat(nk)].reset_index(drop=True)
+                rep["lcell"] = K.bias(desc)
+                parts.append(rep)
+            lift_pdf = pd.concat(parts, ignore_index=True)
+        uniq = np.unique(K.unbias(lift_pdf["lcell"].to_numpy(np.int64)))
+        rings = K.all_neighbors(uniq, l_d)
+        ring_cells = np.unique(
+            np.concatenate([uniq] + [r.astype(np.uint64) for r in rings])
+        )
+        spark = points.sparkSession
+        ring_set = spark.createDataFrame(
+            pd.DataFrame({"rcell": K.bias(ring_cells)}), "rcell long"
+        )
+        idx_l = spark.createDataFrame(
+            lift_pdf.drop(columns=["llevel"]).astype({"lcell": "int64"}),
+            "lcell long, shape_id int, edge_id int, ax double, ay double,"
+            " az double, bx double, by double, bz double",
+        )
+        pts_t = points.withColumn("_term", CC.parent("cell_id_s", l_d))
+        matched = pts_t.join(
+            F.broadcast(ring_set),
+            pts_t["_term"] == ring_set["rcell"],
+            "left_semi",
+        )
+        # the semi join typically keeps a sliver of a planetary fact
+        # table: one exchange here (AQE coalesces it to a handful of
+        # partitions) caps the task count of every downstream operator
+        # and pre-clusters rows by the window key
+        matched = matched.repartition(*[F.col(c) for c in point_key])
+        prepped = matched.withColumn(
+            "_pt", prep(F.col("lat"), F.col("lng"), F.col("_term"))
+        ).drop("_term")
+        exploded = prepped.withColumn("_rc", F.explode(F.col("_pt.cells")))
+        cand = exploded.join(
+            F.broadcast(idx_l), exploded["_rc"] == idx_l["lcell"], "inner"
+        ).drop("_rc", "lcell")
+        scored = (
+            cand.withColumn(
+                "dist2",
+                _dist2_expr(
+                    F.col("_pt.x"), F.col("_pt.y"), F.col("_pt.z"),
+                    F.col("ax"), F.col("ay"), F.col("az"),
+                    F.col("bx"), F.col("by"), F.col("bz"),
+                ),
+            )
+            .filter(F.col("dist2") < F.lit(limit2))
+            .drop("_pt")
+            # an edge reachable through two different lifted cells of one
+            # point's ring yields the pair twice — dedupe the (narrow,
+            # already distance-filtered) pair rows before the top-k
+            .dropDuplicates([*point_key, "shape_id", "edge_id"])
+        )
+    else:
+        # Huge/coarse index fallback: multi-level ancestor explode +
+        # per-pair dedup; above the broadcast bound the fact table
+        # shuffles on the probe cell, which AQE skew-splits.
+        probe = probe_cells_df(index, max_distance_rad)
+        probe_side = F.broadcast(probe) if n_probe_bound <= 2_000_000 else probe
+        terms = points.withColumn(
+            "_term",
+            F.explode(F.array(*[CC.parent("cell_id_s", l) for l in levels])),
+        )
+        cand = terms.join(
+            probe_side, terms["_term"] == probe["probe_cell_s"], "inner"
+        ).drop("_term", "probe_cell_s")
+        # With a single probe level, a point has exactly one ancestor term
+        # and probe rows are distinct on (cell, edge) → each (point, edge)
+        # pair appears at most once, so no dedup shuffle is needed.  Mixed
+        # probe levels can duplicate a pair across levels → dedupe then.
+        if len(levels) > 1:
+            cand = cand.dropDuplicates([*point_key, "shape_id", "edge_id"])
+
+        @F.pandas_udf("double")
+        def dist2(
+            lat: pd.Series, lng: pd.Series,
+            ax: pd.Series, ay: pd.Series, az: pd.Series,
+            bx: pd.Series, by: pd.Series, bz: pd.Series,
+        ) -> pd.Series:
+            from ..kernel.coords import latlng_to_xyz
+            from ..kernel.distance import point_edge_dist2_rowwise
+
+            x, y, z = latlng_to_xyz(
+                lat.to_numpy(np.float64), lng.to_numpy(np.float64)
+            )
+            X = np.stack([x, y, z], -1)
+            A = np.stack([ax, ay, az], -1).astype(np.float64)
+            B = np.stack([bx, by, bz], -1).astype(np.float64)
+            return pd.Series(point_edge_dist2_rowwise(X, A, B))
+
+        # non-deterministic marker: stops Catalyst pushing the filter
+        # below the UDF projection and evaluating the UDF twice (guide
+        # §4.4 — the before-plan had two ArrowEvalPython nodes)
+        dist2_nd = dist2.asNondeterministic()
+        scored = cand.withColumn(
+            "dist2",
+            dist2_nd(
+                F.col("lat"), F.col("lng"),
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+            ),
+        ).filter(F.col("dist2") < F.lit(limit2))
     w = Window.partitionBy(*point_key).orderBy(
         F.col("dist2").asc(), F.col("shape_id").asc(), F.col("edge_id").asc()
     )

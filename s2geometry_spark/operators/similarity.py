@@ -48,14 +48,39 @@ def cosine_topk(
     Scores are rounded so the result is engine-independent; ranking uses
     (rounded score desc, vec_id) to be deterministic under ties.
     """
+    # Probe the (fixed) embedding dimension once: with it, the dot product
+    # unrolls into a codegen sum of element_at products instead of an
+    # interpreted higher-order aggregate; norms are computed ONCE PER ROW
+    # on each side before the pair join instead of once per pair.  Both
+    # rewrites are bit-exact: the unrolled sum replays the aggregate's
+    # left fold (lit(0.0) + t1 + ... + tn), and a CASE guard falls back to
+    # the aggregate form for any row whose dimension differs.
+    first = emb.select(F.size("embedding").alias("n")).first()
+    dim = int(first["n"]) if first is not None else 0
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("_qn"),
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("_cn"),
+    )
     pairs = c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
-    )
+    if dim > 0:
+        unrolled = F.lit(0.0)
+        for i in range(1, dim + 1):
+            unrolled = unrolled + (
+                F.element_at("q_emb", i).cast("double")
+                * F.element_at("c_emb", i).cast("double")
+            )
+        dot = F.when(
+            (F.size("q_emb") == dim) & (F.size("c_emb") == dim), unrolled
+        ).otherwise(_dot(F.col("q_emb"), F.col("c_emb")))
+    else:
+        dot = _dot(F.col("q_emb"), F.col("c_emb"))
+    cos = dot / (F.col("_qn") * F.col("_cn"))
     scored = pairs.select(
         "query_id", "cand_id", F.round(cos, round_digits).alias("cosine")
     )

@@ -152,6 +152,19 @@ def point_in_polygon_join(
     levels = sorted(
         {CID(c + (1 << 63)).level() for _, c, _ in covering_rows}
     ) or [min_level]
+    # Coarse pre-filter BEFORE the ancestor explode: every covering cell
+    # sits at level ≥ min(levels), so a point can only match if its
+    # ancestor at that coarsest level is an ancestor of some covering
+    # cell.  One InSet probe per point (codegen) drops the vast majority
+    # of a planetary fact table before it is multiplied #levels× by the
+    # explode — a pure superset reduction, result-identical.
+    if covering_rows:
+        l0 = levels[0]
+        raw = np.array([c for _, c, _ in covering_rows], dtype=np.int64)
+        anc = np.unique(K.bias(K.parent(K.unbias(raw), l0)))
+        points = points.filter(
+            CC.parent("cell_id_s", l0).isin([int(v) for v in anc])
+        )
     terms = points.withColumn(
         "_term", F.explode(F.array(*[CC.parent("cell_id_s", l) for l in levels]))
     )
