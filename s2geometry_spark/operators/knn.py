@@ -175,19 +175,12 @@ def knn_join(
         pts = pts.withColumn("_p", s2_latlng_to_xyz(F.col("lat"), F.col("lng"))).select(
             "*", "_p.x", "_p.y", "_p.z"
         ).drop("_p")
-        # Fixture/bench-sized fact tables: materialize the narrow
-        # (key, cell, xyz) projection once (lazy localCheckpoint — the
-        # round-1 join pays the write), so rounds 2+ re-read ~40 B/row
-        # instead of re-running the upstream lineage AND the 2M-row Arrow
-        # xyz conversion per round.  Gated on fact_rows: the 100 TB side
-        # must stream, never persist (the schedule is sized so round 1
-        # converges almost everything there).
-        if fact_rows is not None and 0 < fact_rows <= 50_000_000:
-            keep = [c for c in pts.columns if c in (*point_cols, "cell_id_s", "x", "y", "z")]
-            pts = pts.select(*keep).localCheckpoint(eager=False)
-    # NOTE: otherwise the points side is never cached — it is the 100 TB
-    # side; each schedule round is one join-probe scan, and the schedule
-    # has exactly one round per level (most queries converge on the first).
+    # NOTE: the points side is never cached — it is the 100 TB side; each
+    # schedule round is one join-probe scan, and the schedule has exactly
+    # one round per level (most queries converge on the first — with the
+    # density-aware start level the bench grid converges in round 1, so a
+    # checkpoint of the converted fact projection was measured as pure
+    # overhead and removed).
 
     # lazy checkpoint: materialized by the first round's join, truncating
     # lineage without a dedicated eager job (the query table is tiny

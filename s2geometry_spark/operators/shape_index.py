@@ -391,48 +391,91 @@ def build_shape_index(
         edge_max_level = np.where(
             elen > 0, np.clip(-expo, 0, 30), 30
         ).astype(np.int64)
-        # emitted cells accumulate as ARRAYS (i_lo, j_lo, level, unique
-        # row-index list) — the cell-id encode, key unpack and endpoint
-        # gather all run vectorized once at the end instead of per-row
-        # Python tuple construction (the pre-r6 refine spent most of its
-        # time building a list of tuples)
-        em_i: list[int] = []
-        em_j: list[int] = []
+        # Breadth-first vectorized descent: the recursion is flattened so
+        # every numpy call operates on the WHOLE level frontier (all live
+        # cells × their pairs) instead of one quadtree node at a time —
+        # the per-node call overhead was most of the refine CPU.  Emitted
+        # cells accumulate as arrays; the cell-id encode, key unpack and
+        # endpoint gather run vectorized once at the end.
+        em_i: list[np.ndarray] = []
+        em_j: list[np.ndarray] = []
         em_lvl: list[int] = []
         em_rows: list[np.ndarray] = []
+        em_counts: list[np.ndarray] = []
 
-        def rec(i_lo: int, j_lo: int, level: int, idxs: np.ndarray):
-            uniq_first = np.unique(ekey[idxs], return_index=True)[1]
-            n_edges = len(uniq_first)
+        cells_i = np.array([i0], dtype=np.int64)
+        cells_j = np.array([j0], dtype=np.int64)
+        pair_cell = np.zeros(len(pdf), dtype=np.int64)
+        pair_row = np.arange(len(pdf), dtype=np.int64)
+        level = root_level
+        while len(cells_i):
+            order = np.lexsort((ekey[pair_row], pair_cell))
+            pc = pair_cell[order]
+            pr = pair_row[order]
+            ek = ekey[pr]
+            first = np.ones(len(pc), dtype=bool)
+            first[1:] = (pc[1:] != pc[:-1]) | (ek[1:] != ek[:-1])
+            n_cells = len(cells_i)
+            n_edges = np.bincount(pc[first], minlength=n_cells)
             # Short-edge rule (mutable_s2shape_index.cc:1816-1833):
             # subdivide only when the count of edges SHORT relative to
             # this cell (cell level < edge max level) exceeds
             # max(max_edges_per_cell, f * n_edges) with
             # f = s2shape_index_min_short_edge_fraction = 0.2.
-            if not (n_edges <= max_edges_per_cell or level >= max_level):
-                n_short = int(
-                    np.count_nonzero(edge_max_level[idxs][uniq_first] > level)
+            n_short = np.bincount(
+                pc[first & (edge_max_level[pr] > level)], minlength=n_cells
+            )
+            stop = (
+                (n_edges <= max_edges_per_cell)
+                | (level >= max_level)
+                | (n_short <= np.maximum(
+                    max_edges_per_cell, (0.2 * n_edges).astype(np.int64)
+                ))
+            )
+            if stop.any():
+                sel = first & stop[pc]
+                em_i.append(cells_i[stop])
+                em_j.append(cells_j[stop])
+                em_lvl.append(level)
+                em_rows.append(pr[sel])
+                em_counts.append(n_edges[stop])
+            live = np.nonzero(~stop)[0]
+            if not len(live):
+                break
+            remap = np.full(n_cells, -1, dtype=np.int64)
+            remap[live] = np.arange(len(live))
+            keep = ~stop[pc]
+            ppar = remap[pc[keep]]
+            prow = pr[keep]
+            half = 1 << (30 - level - 1)
+            li, lj = cells_i[live], cells_j[live]
+            nc_list, ni_list, nj_list, np_list, nr_list = [], [], [], [], []
+            base = 0
+            for k, (di, dj) in enumerate(
+                ((0, 0), (half, 0), (0, half), (half, half))
+            ):
+                ci = li[ppar] + di
+                cj = lj[ppar] + dj
+                mask = _segs_intersect_rect(
+                    A2[prow], B2[prow],
+                    _uv_bounds(ci, cj, level + 1), pad[prow],
                 )
-                if n_short > max(max_edges_per_cell, int(0.2 * n_edges)):
-                    half = 1 << (30 - level - 1)
-                    for ci, cj in (
-                        (i_lo, j_lo), (i_lo + half, j_lo),
-                        (i_lo, j_lo + half), (i_lo + half, j_lo + half),
-                    ):
-                        mask = _segs_intersect_rect(
-                            A2[idxs], B2[idxs],
-                            _uv_bounds(ci, cj, level + 1), pad[idxs],
-                        )
-                        sub = idxs[mask]
-                        if len(sub):
-                            rec(ci, cj, level + 1, sub)
-                    return
-            em_i.append(i_lo)
-            em_j.append(j_lo)
-            em_lvl.append(level)
-            em_rows.append(idxs[uniq_first])
-
-        rec(i0, j0, root_level, np.arange(len(pdf)))
+                np_list.append(ppar[mask] * 4 + k)
+                nr_list.append(prow[mask])
+            pair_cell = np.concatenate(np_list)
+            pair_row = np.concatenate(nr_list)
+            # child cell table in (parent, k) layout; prune empty children
+            occ = np.bincount(pair_cell, minlength=4 * len(live)) > 0
+            remap2 = np.cumsum(occ) - 1
+            pair_cell = remap2[pair_cell]
+            kk = np.arange(4 * len(live), dtype=np.int64)
+            par = kk >> 2
+            child = kk & 3
+            ci_all = li[par] + np.where((child == 1) | (child == 3), half, 0)
+            cj_all = lj[par] + np.where((child == 2) | (child == 3), half, 0)
+            cells_i = ci_all[occ]
+            cells_j = cj_all[occ]
+            level += 1
         dtypes = {
             "cell_id_s": "int64", "level": "int32",
             "shape_id": "int32", "edge_id": "int32",
@@ -443,13 +486,15 @@ def build_shape_index(
             return pd.DataFrame(
                 {c: pd.Series(dtype=t) for c, t in dtypes.items()}
             )
-        counts = np.fromiter((len(r) for r in em_rows), np.int64, len(em_rows))
+        counts = np.concatenate(em_counts)
         rows_cat = np.concatenate(em_rows)
-        lv = np.asarray(em_lvl, dtype=np.int64)
+        lv = np.concatenate(
+            [np.full(len(a), l, dtype=np.int64) for a, l in zip(em_i, em_lvl)]
+        )
         leafs = from_face_ij(
-            np.full(len(em_i), face, dtype=np.int64),
-            np.asarray(em_i, dtype=np.int64),
-            np.asarray(em_j, dtype=np.int64),
+            np.full(sum(len(a) for a in em_i), face, dtype=np.int64),
+            np.concatenate(em_i),
+            np.concatenate(em_j),
         )
         cells = np.empty(len(leafs), dtype=np.uint64)
         for l in np.unique(lv):
@@ -469,7 +514,19 @@ def build_shape_index(
             }
         ).astype(dtypes)
 
-    return seeded.groupBy("cell_id_s").applyInPandas(refine, INDEX_SCHEMA)
+    # Explicit hash repartition before the group map: the refine stage is
+    # CPU-heavy Python over few bytes, and AQE's size-based partition
+    # coalescing was collapsing its 64 shuffle partitions to 8 (~12 MB
+    # total), capping parallelism at 8 cores.  A user repartition by the
+    # group key satisfies the groupBy clustering (no extra exchange) and
+    # is exempt from AQE coalescing.
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    return (
+        seeded.repartition(n_part, "cell_id_s")
+        .groupBy("cell_id_s")
+        .applyInPandas(refine, INDEX_SCHEMA)
+    )
 
 
 def _probe_level_for(max_distance_rad: float, deepest: int = 30) -> int:

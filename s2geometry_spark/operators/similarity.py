@@ -49,12 +49,15 @@ def cosine_topk(
     (rounded score desc, vec_id) to be deterministic under ties.
     """
     # Probe the (fixed) embedding dimension once: with it, the dot product
-    # unrolls into a codegen sum of element_at products instead of an
+    # unrolls into a codegen sum of array-index products instead of an
     # interpreted higher-order aggregate; norms are computed ONCE PER ROW
     # on each side before the pair join instead of once per pair.  Both
     # rewrites are bit-exact: the unrolled sum replays the aggregate's
-    # left fold (lit(0.0) + t1 + ... + tn), and a CASE guard falls back to
-    # the aggregate form for any row whose dimension differs.
+    # left fold (0.0 + t1 + ... + tn), and a CASE guard falls back to the
+    # aggregate form for any row whose dimension differs.  The unrolled
+    # expression is built as ONE SQL string (a single py4j round trip +
+    # JVM parse — building it term-by-term through the Column API cost
+    # more driver time than the query's execution).
     first = emb.select(F.size("embedding").alias("n")).first()
     dim = int(first["n"]) if first is not None else 0
     q = emb.filter(F.col("vec_id") < n_queries).select(
@@ -67,14 +70,23 @@ def cosine_topk(
         F.col("embedding").alias("c_emb"),
         _norm(F.col("embedding")).alias("_cn"),
     )
+    # a single-file corpus scan gives the all-pairs loop join one task;
+    # spread it when the scan's parallelism is far below the session's
+    # (inputFiles ≈ scan splits for small files; empty for non-file
+    # sources, which keep their existing partitioning)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    n_files = len(emb.inputFiles())
+    if 0 < n_files < max(4, par // 4):
+        c = c.repartition(par)
     pairs = c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
     if dim > 0:
-        unrolled = F.lit(0.0)
-        for i in range(1, dim + 1):
-            unrolled = unrolled + (
-                F.element_at("q_emb", i).cast("double")
-                * F.element_at("c_emb", i).cast("double")
-            )
+        # q_emb[i] is 0-based GetArrayItem: null out of bounds, exactly
+        # like the zip_with padding in the fallback
+        terms = " + ".join(
+            f"(CAST(q_emb[{i}] AS DOUBLE) * CAST(c_emb[{i}] AS DOUBLE))"
+            for i in range(dim)
+        )
+        unrolled = F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
         dot = F.when(
             (F.size("q_emb") == dim) & (F.size("c_emb") == dim), unrolled
         ).otherwise(_dot(F.col("q_emb"), F.col("c_emb")))
