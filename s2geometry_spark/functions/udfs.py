@@ -78,6 +78,26 @@ def s2_cell_center_xyz(cell_s: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"x": x, "y": y, "z": z})
 
 
+@F.pandas_udf(StructType([
+    StructField("cell", LongType()),
+    StructField("x", DoubleType()),
+    StructField("y", DoubleType()),
+    StructField("z", DoubleType()),
+]))
+def s2_cell_and_xyz(lat: pd.Series, lng: pd.Series) -> pd.DataFrame:
+    """Leaf cell id AND unit vector in ONE Python pass — the kNN query
+    side needs both, and two separate UDFs pay the per-stage Python
+    boundary twice.  Identical values: the cell id is derived from the
+    same xyz the separate UDFs compute."""
+    from ..kernel import coords
+
+    x, y, z = coords.latlng_to_xyz(
+        lat.to_numpy(np.float64), lng.to_numpy(np.float64)
+    )
+    ids = K.bias(K.from_point(x, y, z))
+    return pd.DataFrame({"cell": ids, "x": x, "y": y, "z": z})
+
+
 @F.pandas_udf(StringType())
 def s2_token_py(cell_s: pd.Series) -> pd.Series:
     """Python-side token (tests/interop; prefer columns.token for hot path)."""

@@ -230,6 +230,33 @@ def clip_to_padded_face(a_xyz: np.ndarray, b_xyz: np.ndarray, face: int, padding
     return a_uv, b_uv
 
 
+def segs_intersect_rect(
+    A: np.ndarray, B: np.ndarray, rect, pad
+) -> np.ndarray:
+    """Vectorized IntersectsRect: segments (A[i], B[i]) with per-row (or
+    scalar) padding `pad` vs a UV rect (the 2D corner-side test below,
+    batch form); rect entries may be scalars or per-row arrays."""
+    u_lo = rect[0] - pad
+    u_hi = rect[1] + pad
+    v_lo = rect[2] - pad
+    v_hi = rect[3] + pad
+    ok = ~(
+        (np.maximum(A[:, 0], B[:, 0]) < u_lo)
+        | (np.minimum(A[:, 0], B[:, 0]) > u_hi)
+        | (np.maximum(A[:, 1], B[:, 1]) < v_lo)
+        | (np.minimum(A[:, 1], B[:, 1]) > v_hi)
+    )
+    nx = -(B[:, 1] - A[:, 1])
+    ny = B[:, 0] - A[:, 0]
+    ui = np.where(nx >= 0, u_hi, u_lo)
+    vj = np.where(ny >= 0, v_hi, v_lo)
+    ui2 = np.where(nx >= 0, u_lo, u_hi)
+    vj2 = np.where(ny >= 0, v_lo, v_hi)
+    mx = nx * (ui - A[:, 0]) + ny * (vj - A[:, 1])
+    mn = nx * (ui2 - A[:, 0]) + ny * (vj2 - A[:, 1])
+    return ok & (mx >= 0) & (mn <= 0)
+
+
 def intersects_rect(a_uv, b_uv, rect) -> bool:
     """IntersectsRect (s2edge_clipping.cc) — rect = (u_lo,u_hi,v_lo,v_hi)."""
     u_lo, u_hi, v_lo, v_hi = rect

@@ -97,6 +97,30 @@ def to_face_ij_orientation(
     Returns (face, i, j, orientation) int64 arrays.
     """
     ids = np.asarray(ids, dtype=np.uint64)
+    if ids.shape == (1,):
+        # scalar fast path: pure-python ints beat 30 one-element numpy
+        # ops ~40x — this is the Cell-construction hot loop of the
+        # driver-side coverer (identical bit algebra, same LUT)
+        idv = int(ids[0])
+        face = idv >> POS_BITS
+        bits = face & SWAP_MASK
+        i = j = 0
+        for k in range(7, -1, -1):
+            nbits = (MAX_LEVEL - 7 * LOOKUP_BITS) if k == 7 else LOOKUP_BITS
+            chunk = (idv >> (k * 8 + 1)) & ((1 << (2 * nbits)) - 1)
+            bits += chunk << 2
+            bits = int(LOOKUP_IJ[bits])
+            i += (bits >> 6) << (k * 4)
+            j += ((bits >> 2) & 15) << (k * 4)
+            bits &= SWAP_MASK | INVERT_MASK
+        if (idv & -idv) & 0x1111111111111110:
+            bits ^= SWAP_MASK
+        return (
+            np.array([face], dtype=np.int64),
+            np.array([i], dtype=np.int64),
+            np.array([j], dtype=np.int64),
+            np.array([bits], dtype=np.int64),
+        )
     face = (ids >> _U64(POS_BITS)).astype(np.int64)
     bits = (face & SWAP_MASK).astype(np.int64)
     i = np.zeros_like(face)

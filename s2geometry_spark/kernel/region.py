@@ -779,11 +779,65 @@ class ShapeRegion:
                     for i in range(len(v)):
                         edges.append((v[i], v[(i + 1) % len(v)]))
         self.edges = edges
+        # Precomputed per-edge arrays for the vectorized AnyEdgeIntersects
+        # fast path: endpoint faces once (instead of per cell probe), and
+        # a per-face cache of same-face UV projections.  Same math, batch
+        # form — the per-edge scalar clip survives only for edges that
+        # straddle the probe face.
+        if edges:
+            self._E0 = np.array([a for a, _ in edges], dtype=float).reshape(-1, 3)
+            self._E1 = np.array([b for _, b in edges], dtype=float).reshape(-1, 3)
+            from .coords import get_face as _get_face
+
+            self._efa = _get_face(self._E0[:, 0], self._E0[:, 1], self._E0[:, 2])
+            self._efb = _get_face(self._E1[:, 0], self._E1[:, 1], self._E1[:, 2])
+            self._chord2 = ((self._E0 - self._E1) ** 2).sum(-1)
+        else:
+            self._E0 = None
+        self._face_cache: dict = {}
+
+    def _face_data(self, face: int):
+        """(A2, B2, rest) for one probe face: exact UV endpoints of the
+        edges whose BOTH endpoints lie on `face` (identical quotients to
+        the scalar clip's same-face branch), plus the indices of the
+        remaining edges that could still clip onto the face — an edge
+        whose endpoints both satisfy w ≤ 0 in the face frame and whose
+        arc is shorter than π has w(t) ≤ 0 everywhere (positive slerp
+        coefficients), so it can never project onto the face and is
+        dropped here instead of per probe cell."""
+        got = self._face_cache.get(face)
+        if got is None:
+            from .coords import valid_face_xyz_to_uv
+
+            same = (self._efa == face) & (self._efb == face)
+            idx = np.nonzero(same)[0]
+            A, B = self._E0[idx], self._E1[idx]
+            ua, va = valid_face_xyz_to_uv(face, A[:, 0], A[:, 1], A[:, 2])
+            ub, vb = valid_face_xyz_to_uv(face, B[:, 0], B[:, 1], B[:, 2])
+            A2 = np.stack([ua, va], -1)
+            B2 = np.stack([ub, vb], -1)
+            rest = np.nonzero(~same)[0]
+            axis, sign = face % 3, (1.0 if face < 3 else -1.0)
+            wa = sign * self._E0[rest, axis]
+            wb = sign * self._E1[rest, axis]
+            rest = rest[~((wa <= 0.0) & (wb <= 0.0) & (self._chord2[rest] < 2.0))]
+            got = (A2, B2, rest)
+            self._face_cache[face] = got
+        return got
 
     def _any_edge_intersects(self, cell: Cell) -> bool:
+        if self._E0 is None:
+            return False
         bound = cell.get_bound_uv_expanded(self.PAD)
         face = cell.face
-        for a, b in self.edges:
+        A2, B2, rest = self._face_data(face)
+        if len(A2):
+            from .clipping import segs_intersect_rect
+
+            if segs_intersect_rect(A2, B2, bound, 0.0).any():
+                return True
+        for k in rest:
+            a, b = self.edges[k]
             clipped = clip_to_padded_face(a, b, face, self.PAD)
             if clipped is not None and intersects_rect(clipped[0], clipped[1], bound):
                 return True

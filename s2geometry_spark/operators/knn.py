@@ -158,14 +158,16 @@ def knn_join(
     # few Arrow batches instead of spinning a python worker per partition
     queries = queries.coalesce(max(1, -(-n_queries // 65536)))
 
-    from .indexing import index_points
+    from ..functions.udfs import s2_cell_and_xyz
 
-    q = index_points(queries, level=30, with_xyz=True).select(
+    q = queries.withColumn(
+        "_qp", s2_cell_and_xyz(F.col("lat"), F.col("lng"))
+    ).select(
         F.col("query_id").cast("string").alias("query_id"),
-        F.col("cell_id_s").alias("leaf_s"),
-        F.col("x").alias("qx"),
-        F.col("y").alias("qy"),
-        F.col("z").alias("qz"),
+        F.col("_qp.cell").alias("leaf_s"),
+        F.col("_qp.x").alias("qx"),
+        F.col("_qp.y").alias("qy"),
+        F.col("_qp.z").alias("qz"),
     )
 
     pts = points

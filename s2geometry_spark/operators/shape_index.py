@@ -49,6 +49,7 @@ from ..kernel.clipping import (
     INTERSECTS_RECT_ERROR_UV_DIST,
     clip_to_padded_face,
     intersects_rect,
+    segs_intersect_rect,
 )
 
 CELL_PADDING = 2 * (FACE_CLIP_ERROR_UV_COORD + INTERSECTS_RECT_ERROR_UV_DIST)
@@ -138,31 +139,9 @@ def _uv_bounds(i_lo, j_lo, level: int):
     return (u0, u1, v0, v1)
 
 
-def _segs_intersect_rect(
-    A: np.ndarray, B: np.ndarray, rect, pad: np.ndarray
-) -> np.ndarray:
-    """Vectorized IntersectsRect: segments (A[i], B[i]) with per-row
-    padding pad[i] vs a UV rect (the 2D corner-side test of
-    s2edge_clipping.cc); rect entries may be scalars or per-row arrays."""
-    u_lo = rect[0] - pad
-    u_hi = rect[1] + pad
-    v_lo = rect[2] - pad
-    v_hi = rect[3] + pad
-    ok = ~(
-        (np.maximum(A[:, 0], B[:, 0]) < u_lo)
-        | (np.minimum(A[:, 0], B[:, 0]) > u_hi)
-        | (np.maximum(A[:, 1], B[:, 1]) < v_lo)
-        | (np.minimum(A[:, 1], B[:, 1]) > v_hi)
-    )
-    nx = -(B[:, 1] - A[:, 1])
-    ny = B[:, 0] - A[:, 0]
-    ui = np.where(nx >= 0, u_hi, u_lo)
-    vj = np.where(ny >= 0, v_hi, v_lo)
-    ui2 = np.where(nx >= 0, u_lo, u_hi)
-    vj2 = np.where(ny >= 0, v_lo, v_hi)
-    mx = nx * (ui - A[:, 0]) + ny * (vj - A[:, 1])
-    mn = nx * (ui2 - A[:, 0]) + ny * (vj2 - A[:, 1])
-    return ok & (mx >= 0) & (mn <= 0)
+# vectorized IntersectsRect moved to the kernel (clipping.py) in round 6
+# so region probes can share it; re-exported under the historical name
+_segs_intersect_rect = segs_intersect_rect
 
 
 def _split_geodesic(a: np.ndarray, b: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
