@@ -643,18 +643,49 @@ def indexed_closest_edges_join(
     # decision come from the index itself, so the probe table is
     # evaluated exactly once (inside the join).
     l_d = _probe_level_for(max_distance_rad)
-    stats = index.select(
-        F.least(F.col("level"), F.lit(l_d)).alias("l")
-    ).groupBy("l").count().collect()
-    levels = sorted(int(r.l) for r in stats)
-    # ring-1 expansion ⇒ ≤ 9 probe rows per index row (before dedupe)
-    n_probe_bound = 9 * sum(int(r["count"]) for r in stats)
-    # fast-path broadcast = index rows lifted to the probe level, with
-    # coarser-than-probe cells descended 4^(l_d - level)× each
-    desc_bound = sum(int(r["count"]) * 4 ** (l_d - int(r.l)) for r in stats)
     limit2 = float((2 * math.sin(0.5 * min(math.pi, max_distance_rad))) ** 2)
 
-    if desc_bound <= 2_000_000:
+    def _lift_select():
+        return index.select(
+            F.when(
+                F.col("level") >= l_d, CC.parent("cell_id_s", l_d)
+            ).otherwise(F.col("cell_id_s")).alias("lcell"),
+            F.least(F.col("level"), F.lit(l_d)).alias("llevel"),
+            "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz",
+        )
+
+    # A materialized cached index carries an exact row count in its plan
+    # statistics — read it without running a job; when it is broadcast-
+    # sized, collect the lifted index directly and derive the gate from
+    # the collected rows (skipping the separate stats aggregation job).
+    def _cached_rowcount(df) -> int | None:
+        try:
+            rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+            return None if rc.isEmpty() else int(str(rc.get()))
+        except Exception:
+            return None
+
+    n_rows = _cached_rowcount(index)
+    lift_pdf = None
+    stats = None
+    if n_rows is not None and n_rows <= 2_000_000:
+        lift_pdf = _lift_select().toPandas()
+        llev_all = lift_pdf["llevel"].to_numpy(np.int64)
+        # fast-path broadcast = index rows lifted to the probe level, with
+        # coarser-than-probe cells descended 4^(l_d - level)× each
+        if int((4 ** (l_d - llev_all)).sum()) > 2_000_000:
+            lift_pdf = None
+    if lift_pdf is None:
+        stats = index.select(
+            F.least(F.col("level"), F.lit(l_d)).alias("l")
+        ).groupBy("l").count().collect()
+        desc_bound = sum(
+            int(r["count"]) * 4 ** (l_d - int(r.l)) for r in stats
+        )
+        if desc_bound <= 2_000_000:
+            lift_pdf = _lift_select().toPandas()
+
+    if lift_pdf is not None:
         # Fast path — the probe geometry is inverted relative to the
         # fallback (ring-1 adjacency is symmetric): instead of ring-
         # expanding every INDEX row 9× and broadcasting ~9·|index| probe
@@ -688,22 +719,14 @@ def indexed_closest_edges_join(
             ]
             return pd.DataFrame({"x": x, "y": y, "z": z, "cells": cells})
 
-        # The gate above certifies the lifted index is broadcast-sized, so
-        # pull it to the driver ONCE (Arrow, one cache-scan job, no UDFs)
-        # and derive both broadcast sides from local data: running these
-        # as distributed broadcast subtrees instead costs two more full
-        # index scans plus a per-task Python handshake for every ring/
-        # descend UDF task (measured: 37 CPU-seconds of pure overhead).
-        # Driver memory here is the same order as the broadcast the
-        # driver must hold anyway.
-        lift_pdf = index.select(
-            F.when(
-                F.col("level") >= l_d, CC.parent("cell_id_s", l_d)
-            ).otherwise(F.col("cell_id_s")).alias("lcell"),
-            F.least(F.col("level"), F.lit(l_d)).alias("llevel"),
-            "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz",
-        ).toPandas()
-        lcells = K.unbias(lift_pdf["lcell"].to_numpy(np.int64))
+        # The gate above certifies the lifted index is broadcast-sized
+        # (lift_pdf was pulled to the driver ONCE — Arrow, one cache-scan
+        # job, no UDFs) and both broadcast sides derive from local data:
+        # running these as distributed broadcast subtrees instead costs
+        # two more full index scans plus a per-task Python handshake for
+        # every ring/descend UDF task (measured: 37 CPU-seconds of pure
+        # overhead).  Driver memory here is the same order as the
+        # broadcast the driver must hold anyway.
         llev = lift_pdf["llevel"].to_numpy(np.int64)
         if (llev < l_d).any():  # rare coarser-than-probe cells: descend
             parts = [lift_pdf[llev == l_d]]
@@ -769,6 +792,9 @@ def indexed_closest_edges_join(
         # Huge/coarse index fallback: multi-level ancestor explode +
         # per-pair dedup; above the broadcast bound the fact table
         # shuffles on the probe cell, which AQE skew-splits.
+        levels = sorted(int(r.l) for r in stats)
+        # ring-1 expansion ⇒ ≤ 9 probe rows per index row (before dedupe)
+        n_probe_bound = 9 * sum(int(r["count"]) for r in stats)
         probe = probe_cells_df(index, max_distance_rad)
         probe_side = F.broadcast(probe) if n_probe_bound <= 2_000_000 else probe
         terms = points.withColumn(
