@@ -569,53 +569,6 @@ def probe_cells_df(index: DataFrame, max_distance_rad: float) -> DataFrame:
     return probe.dropDuplicates(["probe_cell_s", "shape_id", "edge_id"])
 
 
-def _dist2_expr(px, py, pz, ax, ay, az, bx, by, bz):
-    """Squared-chord point-to-edge distance as a whole-stage-codegen
-    Column — an op-for-op mirror of kernel.distance.point_edge_dist2_rowwise
-    (s2edge_distances.cc UpdateMinDistance path).  Every operation is IEEE
-    double (+,-,*,/,sqrt, comparisons) evaluated in the same order as the
-    NumPy kernel, so results are bit-identical; only the trig (lat/lng →
-    xyz) stays in NumPy upstream."""
-    from ..kernel.distance import DBL_EPSILON
-
-    def dot(ux, uy, uz, vx, vy, vz):
-        return ux * vx + uy * vy + uz * vz
-
-    def cross(ux, uy, uz, vx, vy, vz):
-        return (uy * vz - uz * vy, uz * vx - ux * vz, ux * vy - uy * vx)
-
-    def clip01(v):
-        return F.least(F.greatest(v, F.lit(0.0)), F.lit(1.0))
-
-    xa2 = dot(px - ax, py - ay, pz - az, px - ax, py - ay, pz - az)
-    xb2 = dot(px - bx, py - by, pz - bz, px - bx, py - by, pz - bz)
-    vertex_d2 = F.least(xa2, xb2)
-    ab2 = dot(ax - bx, ay - by, az - bz, ax - bx, ay - by, az - bz)
-    max_error = F.lit(4.75 * DBL_EPSILON) * (xa2 + xb2 + ab2) + F.lit(
-        8 * DBL_EPSILON**2
-    )
-    maybe_interior = F.abs(xa2 - xb2) < ab2 + max_error
-    ex, ey, ez = ax - bx, ay - by, az - bz
-    fx, fy, fz = ax + bx, ay + by, az + bz
-    cx_, cy_, cz_ = cross(ex, ey, ez, fx, fy, fz)  # RobustCrossProd stable tier
-    c2 = dot(cx_, cy_, cz_, cx_, cy_, cz_)
-    x_dot_c = dot(px, py, pz, cx_, cy_, cz_)
-    x_dot_c2 = x_dot_c * x_dot_c
-    acx, acy, acz = cross(ax, ay, az, cx_, cy_, cz_)
-    w1 = dot(px, py, pz, acx, acy, acz)
-    bcx, bcy, bcz = cross(bx, by, bz, cx_, cy_, cz_)
-    w2 = dot(px, py, pz, bcx, bcy, bcz)
-    interior = (
-        maybe_interior & (w1 < F.lit(0.0)) & (w2 > F.lit(0.0)) & (c2 > F.lit(0.0))
-    )
-    cxx, cxy, cxz = cross(cx_, cy_, cz_, px, py, pz)
-    cx2 = dot(cxx, cxy, cxz, cxx, cxy, cxz)
-    ratio = clip01(x_dot_c2 / c2)
-    qr = F.lit(1.0) - F.sqrt(clip01(cx2 / c2))
-    interior_d2 = ratio + qr * qr
-    return F.when(interior, F.least(interior_d2, vertex_d2)).otherwise(vertex_d2)
-
-
 def indexed_closest_edges_join(
     points: DataFrame,
     index: DataFrame,
@@ -760,33 +713,83 @@ def indexed_closest_edges_join(
             pts_t["_term"] == ring_set["rcell"],
             "left_semi",
         )
-        # the semi join typically keeps a sliver of a planetary fact
-        # table: one exchange here (AQE coalesces it to a handful of
-        # partitions) caps the task count of every downstream operator
-        # and pre-clusters rows by the window key
-        matched = matched.repartition(*[F.col(c) for c in point_key])
-        prepped = matched.withColumn(
+        # Decide with small rows, attach heavy rows once (guide §8): only
+        # (point_key, xyz, ring cell) flows through the pair join —
+        # materializing every point column per candidate pair cost ~90
+        # CPU-seconds of row copying at a 6.6M-pair radius.  The full
+        # point row re-attaches to the tiny top-k result at the end.
+        # The fused prep UDF runs pipelined INSIDE the scan stage (no
+        # exchange), keeping the Python work as parallel as the scan —
+        # a repartition here let AQE coalesce the matched set to ONE
+        # python task by bytes, a measured multi-second serial wall.
+        narrow = matched.select(*point_key, "lat", "lng", "_term")
+        prepped = narrow.withColumn(
             "_pt", prep(F.col("lat"), F.col("lng"), F.col("_term"))
-        ).drop("_term")
-        exploded = prepped.withColumn("_rc", F.explode(F.col("_pt.cells")))
-        cand = exploded.join(
-            F.broadcast(idx_l), exploded["_rc"] == idx_l["lcell"], "inner"
+        )
+        flat = prepped.select(
+            *point_key,
+            F.col("_pt.x").alias("_px"),
+            F.col("_pt.y").alias("_py"),
+            F.col("_pt.z").alias("_pz"),
+            F.explode(F.col("_pt.cells")).alias("_rc"),
+        )
+        cand = flat.join(
+            F.broadcast(idx_l), flat["_rc"] == idx_l["lcell"], "inner"
         ).drop("_rc", "lcell")
+        # The exact chord distance is THE kernel itself (NumPy, one
+        # vectorized ArrowEval over the narrow candidate rows — 9 doubles
+        # in, 1 out; bit-identity is definitional).  A whole-stage-codegen
+        # mirror was tried and abandoned: the expression tree re-expands
+        # every shared subterm, the generated consume method blew past
+        # HotSpot's JIT size limit and the hot loop ran bytecode-
+        # interpreted at ~16 µs/row (thread-dump evidence); staging it
+        # through intermediate projections was slower still.
+        @F.pandas_udf("double")
+        def dist2_xyz(
+            px: pd.Series, py: pd.Series, pz: pd.Series,
+            ax: pd.Series, ay: pd.Series, az: pd.Series,
+            bx: pd.Series, by: pd.Series, bz: pd.Series,
+        ) -> pd.Series:
+            from ..kernel.distance import point_edge_dist2_rowwise
+
+            X = np.stack([px, py, pz], -1).astype(np.float64)
+            A = np.stack([ax, ay, az], -1).astype(np.float64)
+            B = np.stack([bx, by, bz], -1).astype(np.float64)
+            return pd.Series(point_edge_dist2_rowwise(X, A, B))
+
+        # non-deterministic marker: single ArrowEval (guide §4.4 — the
+        # pushed radius filter would otherwise evaluate the UDF twice)
+        dist2_fast = dist2_xyz.asNondeterministic()
         scored = (
             cand.withColumn(
                 "dist2",
-                _dist2_expr(
-                    F.col("_pt.x"), F.col("_pt.y"), F.col("_pt.z"),
+                dist2_fast(
+                    F.col("_px"), F.col("_py"), F.col("_pz"),
                     F.col("ax"), F.col("ay"), F.col("az"),
                     F.col("bx"), F.col("by"), F.col("bz"),
                 ),
             )
             .filter(F.col("dist2") < F.lit(limit2))
-            .drop("_pt")
             # an edge reachable through two different lifted cells of one
             # point's ring yields the pair twice — dedupe the (narrow,
             # already distance-filtered) pair rows before the top-k
             .dropDuplicates([*point_key, "shape_id", "edge_id"])
+        )
+        w = Window.partitionBy(*point_key).orderBy(
+            F.col("dist2").asc(), F.col("shape_id").asc(), F.col("edge_id").asc()
+        )
+        topk = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(*point_key, "shape_id", "edge_id", "dist2")
+        )
+        return (
+            topk.join(matched.drop("_term"), list(point_key), "inner")
+            .select(*points.columns, "shape_id", "edge_id", "dist2")
+            .withColumn(
+                "dist_rad",
+                2 * F.asin(0.5 * F.sqrt(F.least(F.col("dist2"), F.lit(4.0)))),
+            )
         )
     else:
         # Huge/coarse index fallback: multi-level ancestor explode +
