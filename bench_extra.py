@@ -148,6 +148,26 @@ def main():
               lambda: minhash_lsh_pairs(docs, n_docs=n_docs).count())
     if want("cosine"):
         timed("q_ann_cosine", lambda: cosine_topk(emb, n_queries=20, k=10).count())
+    # -- oracle-only ANN paths (not in bench.py's timed suite): measured
+    # here with the oracle parameterization at this SF so the HOF->codegen
+    # rewrites have before/after evidence.
+    if want("ann_lsh") or want("ann_ivf") or want("ann_pq") or want("near_dup"):
+        from s2geometry_spark.operators.similarity import (
+            ann_ivf_topk, ann_lsh_topk, ann_pq_topk, embedding_near_dup_pairs,
+        )
+        if want("ann_lsh"):
+            timed("ann_lsh_topk", lambda: ann_lsh_topk(
+                emb, n_queries=10, k=5, bits=6, dim=64).count())
+        if want("ann_ivf"):
+            timed("ann_ivf_topk", lambda: ann_ivf_topk(
+                emb, n_queries=10, k=5, n_centroids=8, nprobe=2).count())
+        if want("ann_pq"):
+            timed("ann_pq_topk", lambda: ann_pq_topk(
+                emb, n_queries=10, k=5, n_codewords=8, m_subspaces=4,
+                r_candidates=20).count())
+        if want("near_dup"):
+            timed("embedding_near_dup", lambda: embedding_near_dup_pairs(
+                emb, threshold=0.4, bits=6, dim=64).count())
     spark.stop()
 
 

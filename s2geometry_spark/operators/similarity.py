@@ -39,6 +39,97 @@ def _norm(a):
     )
 
 
+# ---------------------------------------------------------------------------
+# Codegen forms of the fold expressions above.  The interpreted
+# higher-order functions cost ~80 ns/element/row; unrolled to a fixed
+# dimension they become one whole-stage-codegen arithmetic chain.  Every
+# unroll replays the HOF's left fold (0.0 + t1 + ... + tn, same
+# association, same casts) so values are BIT-IDENTICAL, and a CASE guard
+# falls back to the interpreted form for any row whose dimension differs
+# (the HOF's exact semantics for ragged input).  Expressions are built as
+# ONE SQL string — a single py4j round trip; term-by-term Column-API
+# construction measurably costs more driver time than the execution.
+
+
+def _sql_double(v: float) -> str:
+    """A SQL literal reproducing the exact double `v` (repr round-trips;
+    decimal/scientific parse + CAST AS DOUBLE are correctly rounded)."""
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
+def _dot_codegen(qc: str, cc: str, dim: int):
+    """Codegen dot of two array columns (by NAME, SQL-resolvable)."""
+    if dim <= 0:
+        return _dot(F.col(qc), F.col(cc))
+    terms = " + ".join(
+        f"(CAST({qc}[{i}] AS DOUBLE) * CAST({cc}[{i}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    unrolled = F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
+    return F.when(
+        (F.size(qc) == dim) & (F.size(cc) == dim), unrolled
+    ).otherwise(_dot(F.col(qc), F.col(cc)))
+
+
+def _norm_codegen(col: str, dim: int):
+    """Codegen L2 norm of an array column (by NAME)."""
+    if dim <= 0:
+        return _norm(F.col(col))
+    terms = " + ".join(
+        f"(CAST({col}[{i}] AS DOUBLE) * CAST({col}[{i}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    unrolled = F.sqrt(F.expr(f"CAST(0.0 AS DOUBLE) + {terms}"))
+    return F.when(F.size(col) == dim, unrolled).otherwise(_norm(F.col(col)))
+
+
+def _py_norm(vals) -> float:
+    """Python mirror of `_norm` over a literal vector: the same left fold
+    (0.0 + v0*v0 + v1*v1 + ...) in IEEE binary64, then a correctly-rounded
+    sqrt — bit-identical to evaluating `_norm(F.array(lits))` in the JVM,
+    without shipping an interpreted fold that the optimizer cannot
+    constant-fold (it re-runs per row)."""
+    import math
+
+    acc = 0.0
+    for v in vals:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
+
+
+# Unrolled-codegen gate: the unrolls win 2-4x per ROW once compiled
+# (measured at 500k rows: centroid scores 0.62 vs 1.4-1.6 s, PQ encode
+# 2.2-2.6 vs 5.3-9.9 s, bucket bits 0.65 vs 1.2 s, norm 0.17 vs 0.9 s)
+# but cost a few seconds of per-query FIXED overhead (optimizer walks +
+# janino compilation of ~100-term trees), which dominates tiny scans
+# (2k-row fixture: ivf 2.0 s -> 8.5 s).  Gate on the scan's estimated
+# bytes — scale-adaptive (derived from input size, not core count); both
+# plans produce bit-identical results (parity-tested in
+# tests/test_ann_codegen_parity.py).
+_CODEGEN_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _want_codegen(emb: DataFrame) -> bool:
+    try:
+        stats = emb._jdf.queryExecution().optimizedPlan().stats()
+        return int(stats.sizeInBytes()) >= _CODEGEN_MIN_BYTES
+    except Exception:
+        return True  # unknown source: prefer the at-scale plan
+
+
+def _spread_single_file_scan(emb: DataFrame, side: DataFrame) -> DataFrame:
+    """A single-file corpus scan gives a pair join one task; spread it
+    when the scan's parallelism is far below the session's (inputFiles ≈
+    scan splits for small files; empty for non-file sources, which keep
+    their existing partitioning).  Row-identical: repartition only moves
+    rows."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    n_files = len(emb.inputFiles())
+    if 0 < n_files < max(4, par // 4):
+        return side.repartition(par)
+    return side
+
+
 def cosine_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5, round_digits: int = 6
 ) -> DataFrame:
@@ -63,36 +154,18 @@ def cosine_topk(
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("_qn"),
+        _norm_codegen("embedding", dim).alias("_qn"),
     )
     c = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
-        _norm(F.col("embedding")).alias("_cn"),
+        _norm_codegen("embedding", dim).alias("_cn"),
     )
-    # a single-file corpus scan gives the all-pairs loop join one task;
-    # spread it when the scan's parallelism is far below the session's
-    # (inputFiles ≈ scan splits for small files; empty for non-file
-    # sources, which keep their existing partitioning)
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    n_files = len(emb.inputFiles())
-    if 0 < n_files < max(4, par // 4):
-        c = c.repartition(par)
+    c = _spread_single_file_scan(emb, c)
     pairs = c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-    if dim > 0:
-        # q_emb[i] is 0-based GetArrayItem: null out of bounds, exactly
-        # like the zip_with padding in the fallback
-        terms = " + ".join(
-            f"(CAST(q_emb[{i}] AS DOUBLE) * CAST(c_emb[{i}] AS DOUBLE))"
-            for i in range(dim)
-        )
-        unrolled = F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
-        dot = F.when(
-            (F.size("q_emb") == dim) & (F.size("c_emb") == dim), unrolled
-        ).otherwise(_dot(F.col("q_emb"), F.col("c_emb")))
-    else:
-        dot = _dot(F.col("q_emb"), F.col("c_emb"))
-    cos = dot / (F.col("_qn") * F.col("_cn"))
+    # q_emb[i] is 0-based GetArrayItem: null out of bounds, exactly
+    # like the zip_with padding in the fallback
+    cos = _dot_codegen("q_emb", "c_emb", dim) / (F.col("_qn") * F.col("_cn"))
     scored = pairs.select(
         "query_id", "cand_id", F.round(cos, round_digits).alias("cosine")
     )
@@ -116,9 +189,14 @@ def _hyperplanes(dim: int, bits: int) -> np.ndarray:
     return H
 
 
-def lsh_bucket_expr(emb_col, planes: np.ndarray):
+def lsh_bucket_expr(emb_col, planes: np.ndarray, col_name: str | None = None):
     """Bucket id = sign bits against the fixed hyperplanes, as one JVM
-    expression per bit (aggregate over the array)."""
+    expression per bit (aggregate over the array).
+
+    With `col_name`, each bit's signed sum is unrolled into a codegen
+    chain over that column (guarded on the row's dimension matching the
+    hyperplane's; the interpreted fold remains the ragged-row fallback) —
+    values bit-identical, see the module helpers."""
     bits = []
     for j, row in enumerate(planes):
         signed = F.aggregate(
@@ -130,6 +208,15 @@ def lsh_bucket_expr(emb_col, planes: np.ndarray):
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+        if col_name is not None and len(row) > 0:
+            terms = " + ".join(
+                f"(CAST({col_name}[{d}] AS DOUBLE) * {_sql_double(v)})"
+                for d, v in enumerate(row)
+            )
+            unrolled = F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
+            signed = F.when(F.size(col_name) == len(row), unrolled).otherwise(
+                signed
+            )
         bits.append(F.when(signed >= 0, F.lit(1 << j)).otherwise(0))
     out = bits[0]
     for bcol in bits[1:]:
@@ -145,6 +232,7 @@ def ann_lsh_topk(
     dim: int = 64,
     round_digits: int = 6,
     multiprobe: bool = True,
+    codegen: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-LSH bucket, then
     exact cosine re-rank inside the bucket.
@@ -156,11 +244,20 @@ def ann_lsh_topk(
     corpus instead of a full scan.  Probes are distinct buckets, so no
     candidate dedup shuffle is needed."""
     planes = _hyperplanes(dim, bits)
-    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    use_cg = codegen if codegen is not None else _want_codegen(emb)
+    dim_cg = dim if use_cg else 0  # dim<=0 keeps the interpreted forms
+    bucketed = emb.withColumn(
+        "bucket",
+        lsh_bucket_expr(
+            F.col("embedding"), planes, col_name="embedding" if use_cg else None
+        ),
+    )
+    # per-SIDE norms before the pair join (was: interpreted per pair)
     q = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        _norm_codegen("embedding", dim_cg).alias("_qn"),
     )
     if multiprobe:
         probe_arr = F.array(
@@ -172,15 +269,15 @@ def ann_lsh_topk(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         F.col("bucket").alias("c_bucket"),
+        _norm_codegen("embedding", dim_cg).alias("_cn"),
     )
+    c = _spread_single_file_scan(emb, c)
     pairs = c.join(
         F.broadcast(q),
         (F.col("c_bucket") == F.col("q_bucket"))
         & (F.col("cand_id") != F.col("query_id")),
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
-    )
+    cos = _dot_codegen("q_emb", "c_emb", dim_cg) / (F.col("_qn") * F.col("_cn"))
     scored = pairs.select(
         "query_id", "cand_id", F.round(cos, round_digits).alias("cosine")
     )
@@ -214,17 +311,45 @@ def _ivf_centroids(emb: DataFrame, n_centroids: int) -> list[list[float]]:
     return [[float(x) for x in r["embedding"]] for r in rows]
 
 
-def _centroid_scores(emb_col, cents: list[list[float]]):
+def _centroid_scores(
+    emb_col,
+    cents: list[list[float]],
+    col_name: str | None = None,
+    norm=None,
+):
     """array<double> of UNROUNDED cosines against each codebook
     centroid, as one JVM expression (the centroids ride as literals —
     no join, no shuffle for the assignment pass).  Unrounded on purpose:
     the sequential fold produces bit-identical doubles in Spark, DuckDB
     (list_aggregate 'sum') and the pandas path's d-ordered accumulation,
-    so argmax/ordering agrees everywhere without a rounding rule."""
+    so argmax/ordering agrees everywhere without a rounding rule.
+
+    With `col_name` + `norm` (a column holding this row's `_norm` value,
+    hoisted by the caller so it is computed ONCE instead of once per
+    centroid), each centroid's dot unrolls into a guarded codegen chain
+    and the CENTROID norm — a constant the optimizer cannot fold out of
+    the interpreted aggregate, so it re-ran per row — is computed once in
+    Python by the same left fold (`_py_norm`, bit-identical).  Measured
+    at 500k rows: 0.62 s vs 1.4-1.6 s for the interpreted form; a variant
+    that inlined the row norm per centroid built a tree too large for
+    HotSpot's JIT and was SLOWER than the interpreted form at every scale
+    (2.6 vs 1.6 s) — the norm hoist is what makes the unroll viable.
+    Ragged rows keep the interpreted form via the standard size guard."""
     scores = []
     for c in cents:
         lit = F.array(*[F.lit(v) for v in c])
-        scores.append(_dot(emb_col, lit) / (_norm(emb_col) * _norm(lit)))
+        if col_name is not None and norm is not None and len(c) > 0:
+            ndim = len(c)
+            slow_dot = _dot(emb_col, lit)
+            terms = " + ".join(
+                f"(CAST({col_name}[{i}] AS DOUBLE) * {_sql_double(v)})"
+                for i, v in enumerate(c)
+            )
+            fast_dot = F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
+            dot = F.when(F.size(col_name) == ndim, fast_dot).otherwise(slow_dot)
+            scores.append(dot / (norm * F.lit(_py_norm(c))))
+        else:
+            scores.append(_dot(emb_col, lit) / (_norm(emb_col) * _norm(lit)))
     return F.array(*scores)
 
 
@@ -270,6 +395,7 @@ def ann_ivf_topk(
     nprobe: int = 2,
     round_digits: int = 6,
     plan: str | None = None,
+    codegen: bool | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are assigned to the
     nearest-codebook inverted list; each query scans only its `nprobe`
@@ -291,10 +417,21 @@ def ann_ivf_topk(
     bit-for-bit — production C (thousands of lists) stays one map-only
     pass either way.
     """
+    use_cg = codegen if codegen is not None else _want_codegen(emb)
     cents = _ivf_centroids(emb, n_centroids)
+    dim = len(cents[0]) if cents else 0
+    dim_cg = dim if use_cg else 0
     mode = plan or ("expr" if n_centroids <= IVF_EXPR_MAX_CENTROIDS else "pudf")
+    # row norm hoisted to a real column: computed once, shared by every
+    # centroid score AND reused as the re-rank norm below
+    emb = emb.withColumn("_n", _norm_codegen("embedding", dim_cg))
     if mode == "expr":
-        scores = _centroid_scores(F.col("embedding"), cents)
+        scores = _centroid_scores(
+            F.col("embedding"),
+            cents,
+            col_name="embedding" if use_cg else None,
+            norm=F.col("_n"),
+        )
         list_id = (
             F.array_position(F.col("s"), F.array_max("s")) - 1
         ).cast("int")
@@ -329,22 +466,23 @@ def ann_ivf_topk(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         "list_id",
+        F.col("_n").alias("_cn"),
     )
+    c = _spread_single_file_scan(emb, c)
     q = (
         emb.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.explode(probe_arr).alias("q_list"),
+            F.col("_n").alias("_qn"),
         )
     )
     pairs = c.join(
         F.broadcast(q),
         (F.col("list_id") == F.col("q_list")) & (F.col("cand_id") != F.col("query_id")),
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
-    )
+    cos = _dot_codegen("q_emb", "c_emb", dim_cg) / (F.col("_qn") * F.col("_cn"))
     scored = pairs.select(
         "query_id", "cand_id", F.round(cos, round_digits).alias("cosine")
     )
@@ -408,6 +546,7 @@ def ann_pq_topk(
     m_subspaces: int = 4,
     r_candidates: int = 20,
     round_digits: int = 6,
+    codegen: bool | None = None,
 ) -> DataFrame:
     """Product-quantization ANN top-k (Jégou et al., PAMI 2011 — the
     standard embedding-scale index next to IVF):
@@ -439,20 +578,57 @@ def ann_pq_topk(
             "(see ann_ivf_topk's pudf plan)"
         )
 
+    dim = dsub * m_subspaces
+    use_cg = codegen if codegen is not None else _want_codegen(emb)
+    dim_cg = dim if use_cg else 0
+
     def sub(col, j):
         return F.slice(col, j * dsub + 1, dsub)
 
+    def _sub_d2_slow(j, c):
+        return _d2(
+            sub(F.col("embedding"), j),
+            F.array(*[F.lit(float(v)) for v in cw[j][c]]),
+        )
+
+    def _sub_dot_slow(j, c):
+        return _dot(
+            sub(F.col("embedding"), j),
+            F.array(*[F.lit(float(v)) for v in cw[j][c]]),
+        )
+
+    # codegen unrolls of the two sub-vector folds (guarded on the row's
+    # dimension; slice(col, j*dsub+1, dsub)[i] == col[j*dsub+i] 0-based)
+    def _sub_d2_fast(j, c):
+        terms = " + ".join(
+            f"((CAST(embedding[{j * dsub + i}] AS DOUBLE) - {_sql_double(v)})"
+            f" * (CAST(embedding[{j * dsub + i}] AS DOUBLE) - {_sql_double(v)}))"
+            for i, v in enumerate(cw[j][c])
+        )
+        return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
+
+    def _sub_dot_fast(j, c):
+        terms = " + ".join(
+            f"(CAST(embedding[{j * dsub + i}] AS DOUBLE) * {_sql_double(v)})"
+            for i, v in enumerate(cw[j][c])
+        )
+        return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
+
+    size_ok = F.size("embedding") == dim
+
+    def _sub_d2(j, c):
+        if not use_cg:
+            return _sub_d2_slow(j, c)
+        return F.when(size_ok, _sub_d2_fast(j, c)).otherwise(_sub_d2_slow(j, c))
+
+    def _sub_dot(j, c):
+        if not use_cg:
+            return _sub_dot_slow(j, c)
+        return F.when(size_ok, _sub_dot_fast(j, c)).otherwise(_sub_dot_slow(j, c))
+
     # -- encode: per-subspace argmin code, first-min = smallest code id
     def _code(j):
-        d2s = F.array(
-            *[
-                _d2(
-                    sub(F.col("embedding"), j),
-                    F.array(*[F.lit(float(v)) for v in cw[j][c]]),
-                )
-                for c in range(n_codewords)
-            ]
-        )
+        d2s = F.array(*[_sub_d2(j, c) for c in range(n_codewords)])
         return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
     codes = F.array(*[_code(j) for j in range(m_subspaces)])
@@ -461,13 +637,11 @@ def ann_pq_topk(
         F.col("embedding").alias("c_emb"),
         codes.alias("codes"),
     )
+    coded = _spread_single_file_scan(emb, coded)
     # -- query LUT: flat j-major array of sub-dot products (m*K doubles)
     lut = F.array(
         *[
-            _dot(
-                sub(F.col("embedding"), j),
-                F.array(*[F.lit(float(v)) for v in cw[j][c]]),
-            )
+            _sub_dot(j, c)
             for j in range(m_subspaces)
             for c in range(n_codewords)
         ]
@@ -493,8 +667,11 @@ def ann_pq_topk(
         .withColumn("arank", F.row_number().over(w_adc))
         .filter(F.col("arank") <= r_candidates)
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    # re-rank runs on the r_candidates survivors only — norms stay inline
+    # (widening the ADC window rows with precomputed norms would cost
+    # more shuffle bytes than the fold it saves)
+    cos = _dot_codegen("q_emb", "c_emb", dim_cg) / (
+        _norm_codegen("q_emb", dim_cg) * _norm_codegen("c_emb", dim_cg)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
@@ -516,7 +693,12 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via LSH blocking + exact
     threshold filter (the embedding analog of MinHash dedup)."""
     planes = _hyperplanes(dim, bits)
-    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    # bucket bits unrolled to codegen; per-SIDE norm computed once before
+    # the self-join (was: interpreted per pair)
+    bucketed = emb.withColumn(
+        "bucket", lsh_bucket_expr(F.col("embedding"), planes, col_name="embedding")
+    ).withColumn("_n", _norm_codegen("embedding", dim))
+    bucketed = _spread_single_file_scan(emb, bucketed)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(
@@ -524,8 +706,8 @@ def embedding_near_dup_pairs(
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    cos = _dot_codegen("a.embedding", "b.embedding", dim) / (
+        F.col("a._n") * F.col("b._n")
     )
     return pairs.select(
         F.col("a.vec_id").alias("vec_a"),
