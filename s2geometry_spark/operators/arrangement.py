@@ -94,7 +94,11 @@ def loops_to_edges_df(
                 (shape_id, li, i, eid, *(float(t) for t in a), *(float(t) for t in b))
             )
             eid += 1
-    return spark.createDataFrame(rows, ARR_EDGE_SCHEMA).repartition(partitions)
+    df = spark.createDataFrame(rows, ARR_EDGE_SCHEMA).repartition(partitions)
+    # the builder knows the edge count; downstream Python-stage sizing
+    # reads it instead of paying a count() job (see _py_stage_parts)
+    df._arr_n_edges = len(rows)
+    return df
 
 
 def polygon_to_edges_df(
@@ -933,7 +937,29 @@ def release_arrangement(boundary: DataFrame) -> None:
 
 
 # ----------------------------------------------------------------- crossings
-def crossing_points(index: DataFrame, self_mode: bool) -> DataFrame:
+# The arrangement's CPU-heavy Python stages (crossing matrices, per-seed
+# classify) must be sized by ROWS, not bytes: AQE's size-based partition
+# coalescing sees only the narrow xyz rows and collapses the shuffle to
+# a handful of tasks (measured: 7 tasks carrying 60 s of classify CPU at
+# an 8k-loop union — a ~9 s serial wall on idle cores), while a pinned
+# shuffle-width repartition blows tiny fixtures up to 64 near-empty
+# Python tasks (geo_boolean_ops_sharded 20 s -> 42 s at sf0.01, pure
+# per-task handshake).  The partition count therefore derives from the
+# input row count, capped at the configured shuffle width — scale-
+# adaptive in both directions.  A user repartition by the group key
+# satisfies the groupBy/cogroup clustering (no extra exchange) and is
+# exempt from AQE coalescing.
+PY_STAGE_ROWS_PER_TASK = 256
+
+
+def _py_stage_parts(df: DataFrame, n_rows: int) -> int:
+    cap = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    return max(1, min(cap, -(-int(n_rows) // PY_STAGE_ROWS_PER_TASK)))
+
+
+def crossing_points(
+    index: DataFrame, self_mode: bool, n_part: int | None = None
+) -> DataFrame:
     """(shape_id, edge_id, px, py, pz) cut rows from per-cell bounded
     proper-crossing matrices; bit-exact dedupe across cells."""
 
@@ -997,8 +1023,13 @@ def crossing_points(index: DataFrame, self_mode: bool) -> DataFrame:
     # refined cell) and iterate the refined cells inside — the per-group
     # applyInPandas overhead dominated the per-cell version
     keyed = index.withColumn("_grp", CC.parent("cell_id_s", 4))
+    # row-derived partition count (see PY_STAGE_ROWS_PER_TASK above);
+    # callers that already hold the index row count pass n_part directly
+    if n_part is None:
+        n_part = _py_stage_parts(index, index.count())
     return (
-        keyed.groupBy("_grp")
+        keyed.repartition(n_part, "_grp")
+        .groupBy("_grp")
         .applyInPandas(
             per_group, "shape_id long, edge_id long, px double, py double, pz double"
         )
@@ -1379,7 +1410,17 @@ def distributed_boolean_boundaries(
         "parity", P.ORIGIN, start_parities=flags,
     )
 
-    cuts = crossing_points(index, self_mode=False)
+    # one row-derived partition count for every CPU-heavy Python stage
+    # below: builder-known edge counts when available (no job), else a
+    # count on the persisted index (it materializes the cache every
+    # downstream job reuses)
+    na = getattr(edges_a, "_arr_n_edges", None)
+    nb = getattr(edges_b, "_arr_n_edges", None)
+    n_part = _py_stage_parts(
+        index,
+        (na + nb) if (na is not None and nb is not None) else index.count(),
+    )
+    cuts = crossing_points(index, self_mode=False, n_part=n_part)
     # the sub-edge table feeds one classify cogroup per op
     subs = _repair_orphan_seeds(
         split_subedges(edges, cuts, seed_level), seeded
@@ -1435,10 +1476,16 @@ def distributed_boolean_boundaries(
 
         return classify
 
+    # Explicit row-derived hash repartition of both cogroup inputs (see
+    # PY_STAGE_ROWS_PER_TASK): the per-seed classify is CPU-heavy Python
+    # over narrow xyz rows that AQE was measured coalescing to 7 tasks
+    # carrying 60 s of CPU at an 8k-loop union.
+    subs_p = subs.repartition(n_part, "seed_s")
+    seeded_p = seeded.repartition(n_part, "seed_s")
     for op in ops:
         out[op] = (
-            subs.groupBy("seed_s")
-            .cogroup(seeded.groupBy("seed_s"))
+            subs_p.groupBy("seed_s")
+            .cogroup(seeded_p.groupBy("seed_s"))
             .applyInPandas(make_classify(_BOOL_OPS[op]), BOUNDARY_SCHEMA)
             # shared A/B copies emit the same oriented edge twice — keep
             # one row with the MINIMAL order key so the assembly walk
@@ -1510,7 +1557,9 @@ def distributed_winding_boundary(
         seeded, seeded.select("seed_s").distinct(), seed_level,
         "signed", np.asarray(ref, float), start_winding=int(ref_winding),
     )
-    cuts = crossing_points(index, self_mode=True)
+    ne = getattr(edges, "_arr_n_edges", None)
+    n_part = _py_stage_parts(index, ne if ne is not None else index.count())
+    cuts = crossing_points(index, self_mode=True, n_part=n_part)
     subs = _repair_orphan_seeds(
         split_subedges(edges, cuts, seed_level), seeded
     ).join(anchors, "seed_s", "left")
@@ -1545,9 +1594,11 @@ def distributed_winding_boundary(
         res["seed_s"] = np.int64(seed)
         return res
 
+    # same row-derived AQE-coalesce exemption as the boolean classify
     boundary = (
-        subs.groupBy("seed_s")
-        .cogroup(seeded.groupBy("seed_s"))
+        subs.repartition(n_part, "seed_s")
+        .groupBy("seed_s")
+        .cogroup(seeded.repartition(n_part, "seed_s").groupBy("seed_s"))
         .applyInPandas(classify, BOUNDARY_SCHEMA)
         # shared A/B copies emit the same oriented edge twice — keep one
         # row with the MINIMAL order key so the assembly walk order is
@@ -1979,6 +2030,11 @@ def distributed_buffer_boundary(
             )
 
     trace_edges = rows.mapInPandas(trace, ARR_EDGE_SCHEMA)
+    # Python-stage sizing estimate: each input edge emits at most `block`
+    # trace edges (only a partition-count heuristic — see _py_stage_parts)
+    ne = getattr(edges, "_arr_n_edges", None)
+    if ne is not None:
+        trace_edges._arr_n_edges = ne * block
     from ..kernel.winding import WindingRule
 
     return distributed_winding_boundary(
