@@ -50,20 +50,30 @@ def _encode_one(pdf: pd.DataFrame) -> bytes:
 
 
 def encode_geometries(geoms: DataFrame) -> DataFrame:
-    """Per geometry: (geom_id, encoding_hex, n_bytes)."""
+    """Per geometry: (geom_id, encoding_hex, n_bytes).
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        raw = _encode_one(pdf)
+    Sorted-run batched (operators/_group_batch.py — the encode_vectors
+    idiom): one Python call encodes thousands of geometries instead of
+    paying the per-group applyInPandas invocation overhead per geometry.
+    `_encode_one` orders chains/vertices itself, so results are
+    row-identical to the per-group form."""
+    from ._group_batch import group_bounds, sorted_run_map
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf["geom_id"].to_numpy()
+        ids, hexes, nbytes = [], [], []
+        for lo, hi in group_bounds(gid):
+            raw = _encode_one(pdf.iloc[lo:hi])
+            ids.append(gid[lo])
+            hexes.append(raw.hex().upper())
+            nbytes.append(len(raw))
         return pd.DataFrame(
-            {
-                "geom_id": [key[0]],
-                "encoding_hex": [raw.hex().upper()],
-                "n_bytes": [len(raw)],
-            }
+            {"geom_id": ids, "encoding_hex": hexes, "n_bytes": nbytes}
         )
 
-    return geoms.groupBy("geom_id").applyInPandas(
-        run, "geom_id string, encoding_hex string, n_bytes int"
+    return sorted_run_map(
+        geoms, "geom_id", emit,
+        "geom_id string, encoding_hex string, n_bytes int",
     )
 
 

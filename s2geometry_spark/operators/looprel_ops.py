@@ -22,7 +22,12 @@ def loop_relations_join(pair_vertices: DataFrame) -> DataFrame:
     """Per pair: (pair_id, contains_ab_i, contains_ba_i, intersects_i,
     cmp_boundary).  `side` distinguishes the two operands ('a' < 'b')."""
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # sorted-run batched (operators/_group_batch.py): one Python call
+    # sweeps thousands of pairs; loop vertices are ordered inside the
+    # pair slice, so results are row-identical to the per-group form.
+    from ._group_batch import group_bounds, sorted_run_map
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernel.contains import Loop
         from ..kernel.looprel import (
             compare_boundary,
@@ -30,24 +35,35 @@ def loop_relations_join(pair_vertices: DataFrame) -> DataFrame:
             loop_intersects,
         )
 
-        loops = {}
-        for side, g in pdf.groupby("side"):
-            loops[side] = Loop(
-                g.sort_values("vertex_idx")[["x", "y", "z"]].to_numpy(np.float64)
-            )
-        a, b = loops["a"], loops["b"]
+        pid = pdf["pair_id"].to_numpy()
+        ids, ab, ba, inter, cmpb = [], [], [], [], []
+        for lo, hi in group_bounds(pid):
+            g0 = pdf.iloc[lo:hi]
+            loops = {}
+            for side, g in g0.groupby("side"):
+                loops[side] = Loop(
+                    g.sort_values("vertex_idx")[["x", "y", "z"]].to_numpy(
+                        np.float64
+                    )
+                )
+            a, b = loops["a"], loops["b"]
+            ids.append(pid[lo])
+            ab.append(int(loop_contains(a, b)))
+            ba.append(int(loop_contains(b, a)))
+            inter.append(int(loop_intersects(a, b)))
+            cmpb.append(compare_boundary(a, b))
         return pd.DataFrame(
             {
-                "pair_id": [key[0]],
-                "contains_ab_i": [int(loop_contains(a, b))],
-                "contains_ba_i": [int(loop_contains(b, a))],
-                "intersects_i": [int(loop_intersects(a, b))],
-                "cmp_boundary": [compare_boundary(a, b)],
+                "pair_id": ids,
+                "contains_ab_i": ab,
+                "contains_ba_i": ba,
+                "intersects_i": inter,
+                "cmp_boundary": cmpb,
             }
         )
 
-    return pair_vertices.groupBy("pair_id").applyInPandas(
-        run,
+    return sorted_run_map(
+        pair_vertices, "pair_id", emit,
         "pair_id string, contains_ab_i int, contains_ba_i int,"
         " intersects_i int, cmp_boundary int",
     )

@@ -51,26 +51,40 @@ def _build_vshapes(pdf: pd.DataFrame):
 
 def validate_geometries(geoms: DataFrame) -> DataFrame:
     """Per geometry: (geom_id, valid_i, code, legacy_valid_i,
-    legacy_code) from S2ValidQuery and S2LegacyValidQuery."""
+    legacy_code) from S2ValidQuery and S2LegacyValidQuery.
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    Sorted-run batched (operators/_group_batch.py): one Python call
+    validates thousands of geometries; `_build_vshapes` orders
+    shapes/chains/vertices itself, so results are row-identical to the
+    per-group form."""
+    from ._group_batch import group_bounds, sorted_run_map
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..kernel.valid_query import LegacyValidQuery, ValidQuery
 
-        shapes = _build_vshapes(pdf)
-        ok, code = ValidQuery().validate(shapes)
-        lok, lcode = LegacyValidQuery().validate(shapes)
+        gid = pdf["geom_id"].to_numpy()
+        ids, oks, codes, loks, lcodes = [], [], [], [], []
+        for lo, hi in group_bounds(gid):
+            shapes = _build_vshapes(pdf.iloc[lo:hi])
+            ok, code = ValidQuery().validate(shapes)
+            lok, lcode = LegacyValidQuery().validate(shapes)
+            ids.append(gid[lo])
+            oks.append(int(ok))
+            codes.append(code)
+            loks.append(int(lok))
+            lcodes.append(lcode)
         return pd.DataFrame(
             {
-                "geom_id": [key[0]],
-                "valid_i": [int(ok)],
-                "code": [code],
-                "legacy_valid_i": [int(lok)],
-                "legacy_code": [lcode],
+                "geom_id": ids,
+                "valid_i": oks,
+                "code": codes,
+                "legacy_valid_i": loks,
+                "legacy_code": lcodes,
             }
         )
 
-    return geoms.groupBy("geom_id").applyInPandas(
-        run,
+    return sorted_run_map(
+        geoms, "geom_id", emit,
         "geom_id string, valid_i int, code string,"
         " legacy_valid_i int, legacy_code string",
     )
